@@ -1,0 +1,217 @@
+"""Per-document extraction: Java source -> (nodes, triples, mentions) rows.
+
+This is the fused kernel that runs inside the Spark Arrow UDF: one parse
+feeds all three graph families (fusing what the reference does in three
+separate passes, graphToDot/SaveAST|SaveCFG|SavePDG.java).
+
+Output schema follows the repo contract (FIXTURES.md §3):
+
+nodes   (doc_id, method_id, node_id, graph, kind, category, text,
+         start_line, end_line)
+triples (doc_id, method_id, subj, pred, obj, label)
+   pred in {ast_child, cfg_normal, cfg_true, cfg_false, cfg_jump,
+            pdg_control_true, pdg_control_false, pdg_data, pdg_execution}
+
+Node identity for P/R comparison is (text, start_line, end_line) — the same
+identity the reference DOT output exposes (cfg/node/CFGNode.java:175-188).
+``node_id`` is the PE creation ordinal within the document (deterministic
+pure function of content; replaces the reference's global AtomicInteger,
+pe/ProgramElementInfo.java:32).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from .cfg import CFG, CFGNodeFactory, K_CONTROL
+from .pdg import PDG
+from .pe import (ClassInfo, ExpressionInfo, MethodInfo, PE, StatementInfo,
+                 TypeInfo, VariableDeclarationInfo)
+from .pebuilder import PEBuilder
+
+_CFG_PRED = {("normal", ""): "cfg_normal",
+             ("control", "true"): "cfg_true",
+             ("control", "false"): "cfg_false",
+             ("jump", "jump"): "cfg_jump"}
+
+
+def _pe_kind_category(pe: PE) -> Tuple[str, str]:
+    if isinstance(pe, StatementInfo):
+        return "statement", pe.category
+    if isinstance(pe, ExpressionInfo):
+        return "expression", pe.category
+    if isinstance(pe, MethodInfo):
+        return "method", "Lambda" if pe.lambda_ else "Method"
+    if isinstance(pe, ClassInfo):
+        return "class", "Class"
+    if isinstance(pe, VariableDeclarationInfo):
+        return "variable", pe.category
+    if isinstance(pe, TypeInfo):
+        return "type", "Type"
+    return "operator", "Operator"
+
+
+def _ast_children(pe: PE) -> List[PE]:
+    """Parent->child relation over the PE tree (structural order)."""
+    out: List[PE] = []
+    if isinstance(pe, MethodInfo):
+        out.extend(pe.parameters)
+        out.extend(pe.statements)
+        if pe.lambda_expression is not None:
+            out.append(pe.lambda_expression)
+    elif isinstance(pe, StatementInfo):
+        out.extend(pe.expressions)
+        out.extend(pe.initializers)
+        if pe.condition is not None:
+            out.append(pe.condition)
+        out.extend(pe.updaters)
+        out.extend(pe.statements)
+        out.extend(pe.else_statements)
+        out.extend(pe.catch_statements)
+        if pe.finally_statement is not None:
+            out.append(pe.finally_statement)
+    elif isinstance(pe, ExpressionInfo):
+        if pe.qualifier is not None:
+            out.append(pe.qualifier)
+        out.extend(pe.expressions)
+        if pe.anonymous_class_declaration is not None:
+            out.append(pe.anonymous_class_declaration)
+    elif isinstance(pe, ClassInfo):
+        out.extend(pe.methods)
+    elif isinstance(pe, VariableDeclarationInfo):
+        out.append(pe.type_info)
+    return out
+
+
+def extract_document(doc_id: str, source: str,
+                     graphs: Tuple[str, ...] = ("ast", "cfg", "pdg"),
+                     max_source_chars: int = 4_000_000,
+                     ) -> Tuple[List[dict], List[dict], List[dict], Optional[str]]:
+    """Run the full kernel on one compilation unit.
+
+    Returns (nodes, triples, mentions, error). On parse failure the document
+    degrades to empty output with the error recorded (the reference's
+    PESafeStack drops subtrees; we additionally never fail the batch).
+    """
+    nodes: List[dict] = []
+    triples: List[dict] = []
+    mentions: List[dict] = []
+    if len(source) > max_source_chars:
+        return nodes, triples, mentions, "source too large"
+    try:
+        builder = PEBuilder(source)
+        methods = builder.build()
+    except RecursionError:
+        return nodes, triples, mentions, "recursion limit"
+    except Exception as exc:  # degrade, never fail the batch
+        return nodes, triples, mentions, f"parse error: {exc}"
+
+    idgen = builder.idgen
+    node_seen: set = set()
+
+    def emit_node(method_id: str, pe: PE, graph: str, kind: str) -> None:
+        key = (method_id, graph, pe.pe_id)
+        if key in node_seen:
+            return
+        node_seen.add(key)
+        k, category = _pe_kind_category(pe)
+        nodes.append({
+            "doc_id": doc_id, "method_id": method_id, "node_id": pe.pe_id,
+            "graph": graph, "kind": kind or k, "category": category,
+            "text": pe.text, "start_line": pe.start_line,
+            "end_line": pe.end_line,
+        })
+
+    def emit_triple(method_id: str, subj: int, pred: str, obj: int, label: str) -> None:
+        triples.append({
+            "doc_id": doc_id, "method_id": method_id, "subj": subj,
+            "pred": pred, "obj": obj, "label": label,
+        })
+
+    for ordinal, method in enumerate(methods):
+        method_id = f"{doc_id}#{ordinal}:{method.name or '<lambda>'}"
+        try:
+            # ---- AST graph: PE-tree parent-child, preorder ----
+            if "ast" in graphs:
+                stack: List[PE] = [method]
+                seen_ast: set = set()
+                while stack:
+                    pe = stack.pop()
+                    if pe.pe_id in seen_ast:
+                        continue
+                    seen_ast.add(pe.pe_id)
+                    emit_node(method_id, pe, "ast", "")
+                    children = _ast_children(pe)
+                    for child in children:
+                        emit_triple(method_id, pe.pe_id, "ast_child",
+                                    child.pe_id, "")
+                    stack.extend(reversed(children))
+
+            # ---- CFG ----
+            cfg = CFG(method, CFGNodeFactory(idgen)).build()
+            if "cfg" in graphs:
+                # SaveCFG enumerates the union of fwd+bwd edges over the
+                # node set (graphToDot/SaveCFG.java:88-99)
+                edge_map: Dict[Tuple[int, int, str], object] = {}
+                for n in cfg.all_nodes():
+                    emit_node(method_id, n.core, "cfg",
+                              "control" if n.kind == K_CONTROL else n.kind)
+                    edge_map.update(n.forward)
+                    edge_map.update(n.backward)
+                for k in sorted(edge_map):
+                    e = edge_map[k]
+                    pred = _CFG_PRED[(e.type_str, e.label)]
+                    emit_node(method_id, e.from_node.core, "cfg",
+                              "control" if e.from_node.kind == K_CONTROL
+                              else e.from_node.kind)
+                    emit_node(method_id, e.to_node.core, "cfg",
+                              "control" if e.to_node.kind == K_CONTROL
+                              else e.to_node.kind)
+                    emit_triple(method_id, k[0], pred, k[1], "")
+
+            # ---- PDG (reuses the built CFG) ----
+            if "pdg" in graphs:
+                pdg = PDG(method, cfg, idgen).build()
+                for n in pdg.sorted_nodes():
+                    emit_node(method_id, n.core, "pdg", n.kind)
+                for e in pdg.sorted_edges():
+                    if e.type_str == "control":
+                        pred = "pdg_control_true" if e.label == "true" \
+                            else "pdg_control_false"
+                        label = ""
+                    elif e.type_str == "data":
+                        pred, label = "pdg_data", e.label
+                    else:
+                        pred, label = "pdg_execution", ""
+                    emit_triple(method_id, e.from_node.core.pe_id, pred,
+                                e.to_node.core.pe_id, label)
+
+            # ---- mentions for entity linking ----
+            mentions.append({
+                "doc_id": doc_id, "method_id": method_id,
+                "node_id": method.pe_id, "mention": method.name or "",
+                "kind": "method_decl", "candidate": method.name or "",
+            })
+            stack2: List[PE] = [method]
+            seen_m: set = set()
+            while stack2:
+                pe = stack2.pop()
+                if pe.pe_id in seen_m:
+                    continue
+                seen_m.add(pe.pe_id)
+                if isinstance(pe, ExpressionInfo) and \
+                        pe.category == "MethodInvocation" and pe.expressions:
+                    mentions.append({
+                        "doc_id": doc_id, "method_id": method_id,
+                        "node_id": pe.pe_id,
+                        "mention": pe.expressions[0].text,
+                        "kind": "call_site",
+                        "candidate": pe.api_name or pe.expressions[0].text,
+                    })
+                stack2.extend(_ast_children(pe))
+        except RecursionError:
+            return nodes, triples, mentions, f"recursion limit in {method_id}"
+        except Exception as exc:
+            return nodes, triples, mentions, f"graph error in {method_id}: {exc}"
+
+    return nodes, triples, mentions, None
