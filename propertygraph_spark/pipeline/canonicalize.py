@@ -1,0 +1,74 @@
+"""Connected-components canonicalization over the alias graph.
+
+No GraphFrames jar in this environment (SURVEY.md §7), so CC is a pure
+DataFrame iteration: min-label propagation with pointer jumping
+(comp <- min(comp(neighbors), comp(comp))), which converges in
+O(log diameter) rounds — alias graphs are near-star-shaped, so 2-4 rounds
+in practice. Each round ends in localCheckpoint() to truncate lineage
+(iterative joins otherwise grow the plan exponentially).
+
+Canonical id = min(member) per component — stable across runs because node
+ids are content-derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) [any orderable type] -> (id, component)."""
+    sym = (edges.selectExpr(f"{src} as a", f"{dst} as b")
+           .unionByName(edges.selectExpr(f"{dst} as a", f"{src} as b"))
+           .distinct())
+    sym = sym.localCheckpoint(eager=True)
+    comp = (sym.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id")))
+    comp = comp.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # neighbor minimum
+        nbr_min = (sym.join(comp.withColumnRenamed("id", "b"), "b")
+                   .groupBy("a").agg(F.min("component").alias("nbr_component"))
+                   .withColumnRenamed("a", "id"))
+        # pointer jumping: comp(comp(id))
+        parent = comp.select(F.col("id").alias("component"),
+                             F.col("component").alias("grand"))
+        stepped = (comp.join(nbr_min, "id", "left")
+                   .join(parent, "component", "left")
+                   .select(
+                       "id",
+                       F.least(
+                           F.col("component"),
+                           F.coalesce(F.col("nbr_component"), F.col("component")),
+                           F.coalesce(F.col("grand"), F.col("component")),
+                       ).alias("new_component"),
+                       F.col("component").alias("old_component")))
+        changed = stepped.filter(
+            F.col("new_component") != F.col("old_component")).limit(1).count()
+        comp = stepped.select("id", F.col("new_component").alias("component"))
+        comp = comp.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return comp
+
+
+def canonicalize_entities(linked: DataFrame) -> DataFrame:
+    """Merge aliased symbols: two fqns are aliases when they share a linked
+    simple name (mention). Returns (fqn, canonical_id) with canonical_id =
+    lexicographic min fqn of the component."""
+    pairs = (linked.select("mention", "fqn").distinct()
+             .groupBy("mention")
+             .agg(F.min("fqn").alias("rep"), F.collect_set("fqn").alias("all")))
+    edges = pairs.select(F.explode("all").alias("src"), F.col("rep").alias("dst")) \
+                 .filter(F.col("src") != F.col("dst"))
+    if edges.isEmpty():
+        return linked.select(F.col("fqn")).distinct() \
+            .withColumn("canonical_id", F.col("fqn"))
+    comp = connected_components(edges)
+    all_fqns = linked.select("fqn").distinct()
+    return (all_fqns.join(comp.withColumnRenamed("id", "fqn"), "fqn", "left")
+            .select("fqn",
+                    F.coalesce("component", "fqn").alias("canonical_id")))

@@ -1,0 +1,92 @@
+"""Entity linking: mention table vs broadcast symbol dictionary.
+
+north_star: "Entity linking scores candidate symbol mentions against a
+broadcast dictionary of fully-qualified declarations (salted hash join to
+absorb hot symbols like java.lang.String)".
+
+Two join strategies are provided:
+- ``broadcast`` (default): the dictionary is small relative to mentions;
+  a broadcast hash join is immune to build-side skew — the right default
+  on a 1000-executor cluster while dict << executor memory;
+- ``salted``: when the dictionary outgrows broadcast, the sort-merge path
+  suffers hot keys (java.lang.String-class names dominate Zipf-style).
+  The mention side gets salt = pmod(xxhash64(doc_id, node_id), S) and the
+  dictionary is replicated xS with explode(sequence(...)), turning one hot
+  key into S evenly-sized keys.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (DoubleType, StringType, StructField, StructType)
+
+DICT_SCHEMA = StructType([
+    StructField("fqn", StringType(), False),
+    StructField("simple_name", StringType(), False),
+    StructField("sym_kind", StringType(), False),
+    StructField("weight", DoubleType(), False),
+])
+
+_PKGS = ("java.lang java.util java.io org.acme.core org.acme.io"
+         " com.example.app com.example.util net.synth.gen").split()
+_HOT = ["String", "Object", "Integer", "List", "Map", "Exception"]
+
+
+def symbol_dictionary(spark: SparkSession, n_symbols: int = 2000,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic symbol dictionary with Zipf-ish weights; head keys are
+    made deliberately hot, and the synthetic corpus' method/class names are
+    included so linking produces matches."""
+    rng = random.Random(seed)
+    rows: List[Tuple[str, str, str, float]] = []
+    for i, name in enumerate(_HOT):
+        rows.append((f"java.lang.{name}", name, "class", 1.0 / (i + 1)))
+    # methods of the synthetic corpus (fixtures.py) + heuristic-list names
+    for name in ("replace", "trim", "split", "length", "debug", "put",
+                 "parseInt", "println", "getValue", "setValue", "isEmpty"):
+        rows.append((f"java.lang.String.{name}", name, "method",
+                     1.0 / (len(rows) + 1)))
+    for i in range(n_symbols - len(rows)):
+        pkg = rng.choice(_PKGS)
+        kind = rng.choice(["class", "method", "field"])
+        name = (f"Type{i}" if kind == "class" else f"m{i % 64}") \
+            if rng.random() < 0.7 else f"sym{i}"
+        rows.append((f"{pkg}.{name}", name, kind, 1.0 / (i + 10)))
+    return spark.createDataFrame(rows, DICT_SCHEMA)
+
+
+def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
+                  strategy: str = "broadcast", salt: int = 16) -> DataFrame:
+    """mentions(doc_id, method_id, node_id, mention, kind, candidate)
+    -> linked rows with the best-scored fqn per mention occurrence.
+
+    Scoring: dictionary weight, +0.5 if the mention's qualified candidate
+    ends with the fqn's package-qualified name (cheap string evidence).
+    """
+    m = mentions.withColumn("simple_name", F.col("mention"))
+    if strategy == "broadcast":
+        joined = m.join(F.broadcast(symbol_dict), "simple_name", "inner")
+    elif strategy == "salted":
+        s = F.pmod(F.xxhash64("doc_id", "node_id"), F.lit(salt)).cast("int")
+        m_salted = m.withColumn("salt", s)
+        d_rep = symbol_dict.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        joined = m_salted.join(d_rep, ["simple_name", "salt"], "inner") \
+                         .drop("salt")
+    else:
+        raise ValueError(strategy)
+
+    scored = joined.withColumn(
+        "score",
+        F.col("weight") + F.when(
+            F.col("candidate").isNotNull() &
+            F.expr("candidate like concat('%', simple_name, '()')") &
+            F.expr("fqn like concat('%', simple_name)"), F.lit(0.5)
+        ).otherwise(F.lit(0.0)))
+    # best candidate per mention occurrence — max_by avoids a window shuffle
+    return (scored.groupBy("doc_id", "method_id", "node_id", "mention", "kind")
+            .agg(F.max_by("fqn", "score").alias("fqn"),
+                 F.max("score").alias("score")))
