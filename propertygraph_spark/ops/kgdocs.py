@@ -1,0 +1,187 @@
+"""Bridge from the driver's flat documents table to the north-rule input
+shape: (doc_id:string, spans:array<struct<kind,text,media_ref,offset>>).
+
+The interleaved docs table is synthesized deterministically (BENCH/driver
+requirement: "synthesise it deterministically at small scale; no external
+data"): each document contributes
+  - its `text` column as a kind='text' span,
+  - a synthetic Java compilation unit as the kind='code' span — one of
+    four fixed templates chosen by doc_id % 4, with the doc_id embedded
+    as an integer literal (pure Catalyst format_string, JVM-side),
+  - every 4th doc a kind='media' span.
+
+Because each template's graph SHAPE is independent of the embedded
+literal, the kernel's triple counts per (template, pred) are constants —
+frozen in TEMPLATE_TRIPLE_COUNTS (asserted by tests/test_kg_templates.py)
+— which gives the driver's DuckDB oracle an exact SQL twin for the whole
+extraction pipeline: expected counts = sum over docs of the per-template
+constants, computed from doc_id arithmetic alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# printf-style templates (Spark format_string / DuckDB printf twins).
+JAVA_TEMPLATES = [
+    ("class D0 { public int m(int a, int b) { int t = a + %d; "
+     "if (t > b) { t = t - 1; } return t; } }"),
+    ("class D1 { public int m(int a, int b) { int t = %d; "
+     "while (t > 0) { t = t - a; } "
+     "for (int i = 0; i < b; i = i + 1) { t = t + i; } return t; } }"),
+    ("class D2 { public int m(int a, String s) { int t = s.length() + %d; "
+     "try { t = Integer.parseInt(s); } catch (NumberFormatException e) "
+     "{ t = a; } return t; } }"),
+    ("class D3 { public int m(int a, int b) { int t = %d; "
+     "while (a > 0) { if (t > b) { break; } else { t = t + a; } a = a - 1; } "
+     "return t; } }"),
+]
+
+# Frozen kernel output per template: {tpl: {pred: count}} and mention
+# kinds. Derived by running kernel.extract.extract_document on each
+# template (doc_id literal irrelevant to shape); regenerate with
+# tests/test_kg_templates.py::test_template_constants.
+TEMPLATE_TRIPLE_COUNTS: dict[int, dict[str, int]] = {}   # filled below
+TEMPLATE_MENTION_COUNTS: dict[int, dict[str, int]] = {}  # filled below
+
+
+def _freeze_constants() -> None:
+    from propertygraph_spark.kernel.extract import extract_document
+    for tpl, template in enumerate(JAVA_TEMPLATES):
+        src = template % 7
+        _, triples, mentions, err = extract_document(f"tpl{tpl}", src)
+        assert err is None, f"template {tpl} failed: {err}"
+        by_pred: dict[str, int] = {}
+        for t in triples:
+            by_pred[t["pred"]] = by_pred.get(t["pred"], 0) + 1
+        TEMPLATE_TRIPLE_COUNTS[tpl] = by_pred
+        by_kind: dict[str, int] = {}
+        for m in mentions:
+            by_kind[m["kind"]] = by_kind.get(m["kind"], 0) + 1
+        TEMPLATE_MENTION_COUNTS[tpl] = by_kind
+
+
+_freeze_constants()
+
+
+def java_code_col():
+    """Synthetic compilation unit per row — template picked by doc_id %% 4,
+    doc_id embedded via format_string (whole-stage codegen, no Python)."""
+    tpl = F.col("doc_id") % 4
+    out = F.format_string(JAVA_TEMPLATES[0], F.col("doc_id"))
+    out = F.when(tpl == 1, F.format_string(JAVA_TEMPLATES[1], F.col("doc_id"))) \
+           .otherwise(out)
+    out = F.when(tpl == 2, F.format_string(JAVA_TEMPLATES[2], F.col("doc_id"))) \
+           .otherwise(out)
+    out = F.when(tpl == 3, F.format_string(JAVA_TEMPLATES[3], F.col("doc_id"))) \
+           .otherwise(out)
+    return out
+
+
+def _span(kind, text, media_ref, offset):
+    return F.struct(F.lit(kind).alias("kind"),
+                    text.alias("text"),
+                    media_ref.alias("media_ref"),
+                    F.lit(offset).cast("int").alias("offset"))
+
+
+def docs_with_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id bigint, text, ...) -> north-rule docs table."""
+    text_span = _span("text", F.col("text"), F.lit(""), 0)
+    code_span = _span("code", java_code_col(), F.lit(""), 1)
+    media_span = _span("media", F.lit(""),
+                       F.format_string("media://img/%d", F.col("doc_id")), 2)
+    spans = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.array(text_span, code_span, media_span)
+    ).otherwise(F.array(text_span, code_span))
+    return documents.select(F.col("doc_id").cast("string").alias("doc_id"),
+                            spans.alias("spans"))
+
+
+def spans_roundtrip(documents: DataFrame) -> DataFrame:
+    """Per-row span-sequence invariant surface: explode the spans back out
+    in offset order. The oracle reconstructs the identical rows in pure
+    SQL (printf twin), proving (kind, text, media_ref, order) equality."""
+    docs = docs_with_spans(documents)
+    return (docs.select("doc_id", F.posexplode("spans").alias("seq", "s"))
+            .select("doc_id", "seq",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset")))
+
+
+def triples_by_pred(documents: DataFrame) -> DataFrame:
+    """Full kernel over the synthesized corpus -> counts per pred."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    return triples.groupBy("pred").agg(F.count("*").alias("n_triples")) \
+                  .orderBy("pred")
+
+
+def mentions_by_kind(documents: DataFrame) -> DataFrame:
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    return mentions.groupBy("kind").agg(F.count("*").alias("n_mentions")) \
+                   .orderBy("kind")
+
+
+def triple_count_oracle_sql() -> str:
+    """DuckDB SQL computing the expected per-pred triple counts from
+    doc_id arithmetic + the frozen per-template constants."""
+    values = []
+    for tpl, by_pred in TEMPLATE_TRIPLE_COUNTS.items():
+        for pred, cnt in by_pred.items():
+            values.append(f"({tpl}, '{pred}', {cnt})")
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, pred, cnt) AS (VALUES {', '.join(values)})
+SELECT c.pred AS pred, CAST(SUM(t.n * c.cnt) AS BIGINT) AS n_triples
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY c.pred ORDER BY pred
+"""
+
+
+def mention_count_oracle_sql() -> str:
+    values = []
+    for tpl, by_kind in TEMPLATE_MENTION_COUNTS.items():
+        for kind, cnt in by_kind.items():
+            values.append(f"({tpl}, '{kind}', {cnt})")
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, kind, cnt) AS (VALUES {', '.join(values)})
+SELECT c.kind AS kind, CAST(SUM(t.n * c.cnt) AS BIGINT) AS n_mentions
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY c.kind ORDER BY kind
+"""
+
+
+def spans_roundtrip_oracle_sql() -> str:
+    """SQL reconstruction of the span sequence (DuckDB printf)."""
+    t0, t1, t2, t3 = (t.replace("'", "''") for t in JAVA_TEMPLATES)
+    code = (f"CASE doc_id % 4 WHEN 0 THEN printf('{t0}', doc_id) "
+            f"WHEN 1 THEN printf('{t1}', doc_id) "
+            f"WHEN 2 THEN printf('{t2}', doc_id) "
+            f"ELSE printf('{t3}', doc_id) END")
+    return f"""
+WITH base AS (SELECT doc_id, text, {code} AS code FROM documents)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, seq, kind, text, media_ref,
+       "offset"
+FROM (
+  SELECT doc_id, 0 AS seq, 'text' AS kind, text, '' AS media_ref,
+         0 AS "offset"
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'code', code, '', 1 FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'media', '', printf('media://img/%d', doc_id), 2
+  FROM base WHERE doc_id % 4 = 0
+)
+"""

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* is a
+deterministic fake (clearly marked); everything Spark-side is real and
+designed for scale:
+
+- payloads are `binary` columns (here synthesized deterministically from
+  the documents table via unhex(md5(...)) so the whole path is
+  oracle-checkable in DuckDB);
+- metadata extraction runs as an Arrow-batched `mapInPandas` over the
+  binary column — the exact shape a real libjpeg/ffmpeg decode stage
+  would use (batch in, batch out, no per-row Python calls into Spark);
+- a pure-Catalyst twin of the same metadata arithmetic exists for the
+  oracle, proving the UDF path computes what it claims.
+
+A real deployment swaps `_fake_decode` for the codec call; the schema,
+partitioning, batch shape and UDF signature do not change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("media_kind", StringType(), False),
+    StructField("n_bytes", IntegerType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("checksum_b0", IntegerType(), False),
+])
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic fake binary payload per document:
+    payload = unhex(md5(text) || md5(doc_id)), 32 bytes. Stands in for a
+    real image blob; derived only from table content so DuckDB can
+    reproduce it bit-for-bit."""
+    payload = F.unhex(F.concat(F.md5("text"),
+                               F.md5(F.col("doc_id").cast("string"))))
+    kind = F.when(F.col("doc_id") % 3 == 0, F.lit("image")) \
+            .when(F.col("doc_id") % 3 == 1, F.lit("audio")) \
+            .otherwise(F.lit("video"))
+    return docs.select("doc_id", kind.alias("media_kind"),
+                       payload.alias("payload"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """FAKE DECODE — deterministic stand-in for an image codec.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
+    that library is not in this container. The fake derives (width,
+    height, checksum_b0) from the first payload bytes so the Spark-side
+    plumbing is fully testable and oracle-checkable.
+    """
+    width = 1 + (payload[0] * 256 + payload[1]) % 4096
+    height = 1 + (payload[2] * 256 + payload[3]) % 4096
+    return width, height, payload[0]
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, kind, payload in zip(pdf["doc_id"], pdf["media_kind"],
+                                             pdf["payload"]):
+                w, h, b0 = _fake_decode(bytes(payload))
+                rows.append((doc_id, kind, len(payload), w, h, b0))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return media.mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def resize_stub(media: DataFrame, target_w: int = 224,
+                target_h: int = 224) -> DataFrame:
+    """Resize stage stub: real codecs absent, so this truncates the payload
+    deterministically (placeholder for the resampled image) while keeping
+    the production schema (payload stays binary, dims recorded)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [bytes(p)[:16] for p in pdf["payload"]]
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("media_kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ])
+    src = media.select("doc_id", "media_kind", "payload",
+                       F.lit(0).alias("width"), F.lit(0).alias("height"))
+    return src.mapInPandas(batches, schema)

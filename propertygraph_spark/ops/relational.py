@@ -1,0 +1,148 @@
+"""Relational analytics over the TPC-H-ish testdata star schema + events.
+
+These exercise the engine's relational shell — the operators SURVEY.md
+§2.8 lists as "free Catalyst territory" — and double as the oracle-checked
+headline queries: aggregation with map-side partials, broadcast vs shuffle
+joins, window functions, sessionization, top-k (TakeOrderedAndProject).
+
+Scale notes per query are in the docstrings; every small dimension
+(region, nation, supplier, customer at these SFs) is broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavor: one wide scan, group on two low-cardinality keys.
+    Fully partial-aggregated map-side; the shuffle carries ~8 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_disc_price"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor: customer (broadcast) x orders x lineitem, top-10 by
+    revenue — TakeOrderedAndProject caps the driver-side result."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 flavor: five-way join; all dims broadcast, the only big
+    shuffle is lineitem x orders."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust),
+                  (orders.o_custkey == cust.c_custkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue")))
+
+
+def part_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over aggregates: revenue share of each brand within its part
+    type (two-level shuffle: groupBy then window repartition on p_type)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("p_type", "p_brand")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("brand_revenue")))
+    w = Window.partitionBy("p_type")
+    return (rev.withColumn(
+        "share_pm",
+        F.floor(F.col("brand_revenue") * 1000 / F.sum("brand_revenue").over(w))
+        .cast("long"))
+        .select("p_type", "p_brand", "share_pm")
+        .orderBy("p_type", "p_brand"))
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor via semi join: orders that have at least one
+    lineitem shipped late. Left-semi avoids materializing the match."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (batch
+    twin of streaming/events.py): per (minute, event_type) counts+sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("minute", "ts").alias("minute"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.floor(F.sum("value") * 1000).cast("long")
+                 .alias("sum_value_x1000"))
+            .orderBy("minute", "event_type"))
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a session breaks after a >30 min gap per user.
+    lag() + conditional sum over a per-user window — the standard
+    shuffle-once pattern (single partitionBy(user_id) exchange feeds both
+    windows thanks to matching partitioning)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps read as TIMESTAMP_NTZ in Spark 4: hop through
+    # timestamp_ltz (identity under the UTC session TZ) to get epochs
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_break = ev.withColumn(
+        "is_break", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = with_break.withColumn(
+        "session_seq", F.sum("is_break").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .orderBy("user_id", "session_seq"))
+
+
+def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type + overall share — exercises distinct
+    aggregation (two-phase hash expand)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events"))
+            .orderBy("event_type"))

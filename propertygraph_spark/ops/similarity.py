@@ -1,0 +1,138 @@
+"""Similarity search over the embeddings table (embedding: array<float>).
+
+- brute-force cosine top-k: exact baseline. The dot product is a pure
+  Catalyst fold (zip_with + aggregate) over double-cast elements, so the
+  arithmetic is sequential IEEE and bit-identical to the DuckDB oracle's
+  equivalent fold.
+- LSH-bucketed ANN: the scale path. Deterministic sign-bit hyperplane
+  sketch (hyperplane j = +1/-1 pattern derived from md5(j||dim) parity —
+  data-independent, reproducible on any cluster without a random state),
+  candidates restricted to same-bucket vectors, then exact cosine rerank.
+  At 100 TB this turns the O(n^2) cross join into per-bucket joins.
+
+Cosine is reported as cos_pm = floor(1e6 * cos) (per-micro) so tiny
+float-tail differences cannot flip the oracle value-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors per vector (brute force). Pre-computes
+    norms once, self-joins (i != j), keeps per-query top-k with max_by over
+    a grouped collect — at sandbox scale a plain groupBy+slice; the exact
+    answer the ANN path is judged against."""
+    v = emb.select("vec_id", "embedding")
+    n = v.select("vec_id", F.col("embedding").alias("e"),
+                 _norm(F.col("embedding")).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     F.floor(cos * 1000000).cast("long").alias("cos_pm")))
+    ranked = pairs.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("vec_id")
+            .orderBy(F.desc("cos_pm"), F.asc("neighbor_id"))))
+    return ranked.filter(F.col("rnk") <= k) \
+                 .select("vec_id", "neighbor_id", "cos_pm", "rnk")
+
+
+def _plane_sign(j: int, dim_idx: Column) -> Column:
+    """Deterministic +-1 for hyperplane j at dimension dim_idx: parity of
+    first hex char of md5('<j>|<dim>')."""
+    h = F.md5(F.concat(F.lit(f"{j}|"), dim_idx.cast("string")))
+    first = F.ascii(F.substring(h, 1, 1))
+    val = first - 48 - 39 * (first >= 97).cast("int")
+    return (val % 2) * 2 - 1
+
+
+def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-bit sketch: bucket = sum over planes j of 2^j * [dot(v, s_j)>=0]
+    where s_j is the deterministic +-1 pattern. One pass, map-only."""
+    sketch_bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, i: x.cast("double") * _plane_sign(j, i)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sketch_bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bucket = sketch_bits[0]
+    for b in sketch_bits[1:]:
+        bucket = bucket + b
+    return emb.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+def ann_lsh_topk(emb: DataFrame, k: int = 5,
+                 n_planes: int = N_PLANES) -> DataFrame:
+    """Approximate top-k: exact cosine rerank restricted to same-bucket
+    candidates. Join shuffles on the 8-bit bucket key only."""
+    v = lsh_bucket(emb, n_planes)
+    n = v.select("vec_id", "bucket", F.col("embedding").alias("e"),
+                 _norm(F.col("embedding")).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     F.floor(cos * 1000000).cast("long").alias("cos_pm")))
+    ranked = pairs.withColumn(
+        "rnk", F.row_number().over(
+            Window.partitionBy("vec_id")
+            .orderBy(F.desc("cos_pm"), F.asc("neighbor_id"))))
+    return ranked.filter(F.col("rnk") <= k) \
+                 .select("vec_id", "neighbor_id", "cos_pm", "rnk")
+
+
+def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via the LSH
+    buckets — the embedding leg of the dedup suite."""
+    v = lsh_bucket(emb)
+    n = v.select("vec_id", "bucket", F.col("embedding").alias("e"),
+                 _norm(F.col("embedding")).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.floor(cos * 1000000).cast("long").alias("cos_pm"))
+            .filter(F.col("cos_pm") >= threshold_pm))
+
+
+def centroid_by_label(emb: DataFrame) -> DataFrame:
+    """Per-label centroid + dispersion: element-wise mean via posexplode +
+    groupBy (the classic columnar unpivot — shuffles (label, dim) keyed
+    partial sums, never whole vectors)."""
+    d = emb.select("vec_id", "label",
+                   F.posexplode("embedding").alias("dim", "x"))
+    return (d.groupBy("label", "dim")
+            .agg(F.floor(F.sum(F.col("x").cast("double")) * 1000000)
+                 .cast("long").alias("sum_x_pm"),
+                 F.count("*").alias("n"))
+            .filter(F.col("dim") < 4))

@@ -1,0 +1,127 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All operators are pure Catalyst expressions (no Python UDFs): they run
+JVM-side inside whole-stage codegen and scale linearly with input —
+a 100 TB documents table is a map-only scan for every one of them.
+
+Oracle parity: every expression here has an exact DuckDB-SQL twin (see
+``__spark_entry__.oracle_sql``); arithmetic is integer-only or
+deterministic string ops so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Whitespace tokenization shared by every operator (filter drops the ''
+# artifacts split() produces on empty/trailing input).
+TOKEN_SPLIT_RE = r"\s+"
+
+# Small deterministic stopword marker lists for the n-gram-free language
+# heuristic. Order matters: ties break toward the first list.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans"],
+    "es": ["el", "la", "los", "que", "y", "es", "un", "una", "por"],
+}
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, mean token length, punctuation
+    ratio, stopword ratio, and a composite score. Integer/fixed arithmetic
+    so the DuckDB oracle matches exactly (no float division ambiguity:
+    ratios are scaled to int per-mille)."""
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    n_char = F.length("text")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    # per-mille ratios as BIGINT: floor(1000 * a / b), 0 when empty
+    punct_pm = F.when(n_char > 0, F.floor(n_punct * 1000 / n_char)).otherwise(0)
+    stop_pm = F.when(n_tok > 0, F.floor(n_stop * 1000 / n_tok)).otherwise(0)
+    mean_tok_len_x10 = F.when(
+        n_tok > 0,
+        F.floor(
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t)) * 10 / n_tok),
+    ).otherwise(0)
+    score = (F.least(n_tok, F.lit(500)) + stop_pm - punct_pm)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_measured"),
+        punct_pm.cast("long").alias("punct_per_mille"),
+        stop_pm.cast("long").alias("stopword_per_mille"),
+        mean_tok_len_x10.cast("long").alias("mean_token_len_x10"),
+        score.cast("long").alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: per language, count tokens in its
+    marker list; predict the argmax (ties + all-zero -> 'und').
+
+    Greatest-by-score with deterministic tie-break via an encoded
+    (score, -lang_rank) ordering, identical in the SQL oracle."""
+    toks = tokens_col()
+    scores = []
+    for rank, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, rank, score))
+    # encode: score * 8 + (7 - rank)  => max picks highest score, lowest rank
+    encoded = [s * 8 + (7 - rank) for (_, rank, s) in scores]
+    best = F.greatest(*encoded)
+    pred = F.lit("und")
+    for (lang, rank, s), enc in zip(scores, encoded):
+        pred = F.when((best == enc) & (s > 0), F.lit(lang)).otherwise(pred)
+    cols = [F.col("doc_id"), pred.alias("pred_lang")]
+    for (lang, _, s) in scores:
+        cols.append(s.alias(f"score_{lang}"))
+    return docs.select(*cols)
+
+
+def fingerprint(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: min MD5 over token k-gram
+    shingles (plus the exact-content MD5). Shingle construction uses the
+    index-lambda form of ``transform`` — pure Catalyst, no explode, so the
+    stage stays map-only at any scale."""
+    toks = tokens_col()
+    d = docs.select("doc_id", "text", toks.alias("toks"))
+    n = F.size("toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(-1)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", (i + j + 1).cast("int"))
+                   for j in range(shingle_k)]))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.array_min(F.transform(shingle, F.md5)).alias("min_shingle_md5"),
+        n.alias("n_tokens"),
+    )

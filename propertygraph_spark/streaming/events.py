@@ -1,0 +1,64 @@
+"""Structured Streaming over the events table + streaming KG extraction.
+
+Two streaming entry points:
+
+- ``streaming_event_counts``: watermarked tumbling-window counts per
+  event_type — the streaming twin of ops.relational.events_minutely.
+  Late rows beyond the watermark are dropped by Spark's state store; at
+  cluster scale state is partitioned by (window, event_type), so the
+  low-cardinality type key never concentrates state on one executor
+  (window advances dominate the key space).
+
+- ``streaming_extract``: the KG kernel bolted onto a readStream of docs —
+  the same fused mapInPandas stage as the batch path (the kernel is
+  oblivious to micro-batching), proving extraction works incrementally
+  with exactly-once file-sink semantics + checkpointLocation.
+
+Tests drive both with tiny file sources and the foreachBatch/memory sink
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    return (spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def streaming_event_counts(events: DataFrame,
+                           window: str = "1 minute",
+                           watermark: str = "5 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-capable)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def streaming_extract(docs_stream: DataFrame) -> DataFrame:
+    """Incremental KG extraction: same fused Arrow kernel as the batch
+    pipeline, applied per micro-batch (map-only → no streaming state)."""
+    from propertygraph_spark.pipeline.extract import extract_docs
+    return extract_docs(docs_stream, route=False)
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  timeout_sec: float = 60.0, output_mode: str = "append"):
+    """Drive a streaming DF to completion against a memory sink (test
+    helper): processes all available data, then stops."""
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    return q
