@@ -96,29 +96,45 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _pairs_within_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """All i<j pairs inside each group's sorted id array, generated with
+    nested Catalyst transforms (no self-join, no second shuffle — bucket
+    membership is already co-located, and near-dup buckets are small, so
+    quadratic-per-bucket beats a bucket-keyed self-join at any scale)."""
+    n = F.size(ids_col)
+    pair_structs = F.flatten(F.transform(
+        F.col(ids_col),
+        lambda x, i: F.transform(
+            F.slice(F.col(ids_col), i + 2, n),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return grouped.select(F.explode(pair_structs).alias("p")) \
+                  .select("p.doc_a", "p.doc_b")
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
     """LSH candidate pairs: band the 16-value signature into 4 bands of 4,
-    bucket = md5(concat of band values), self-join per band bucket.
-    Output distinct candidate (doc_a < doc_b) pairs with the number of
-    colliding bands (higher = more similar)."""
+    bucket = md5(concat of band values). Banding is ONE pass over the
+    signature table (explode of a literal band array — the signature agg
+    is computed once, not per band); pairs come from in-bucket pair
+    expansion, so the only shuffles are the signature groupBy and the
+    (band, bucket) groupBy."""
     sig = minhash_signatures(docs, k)
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{i}") for i in range(b * ROWS_PER_BAND,
-                                              (b + 1) * ROWS_PER_BAND)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket")))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{i}")
+                                     for i in range(b * ROWS_PER_BAND,
+                                                    (b + 1) * ROWS_PER_BAND)]))
+            .alias("bucket"))
+        for b in range(N_BANDS)])
+    banded = sig.select("doc_id", F.explode(band_arr).alias("bb")) \
+                .select("doc_id", F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket"))
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    return (_pairs_within_groups(grouped)
+            .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_bands")))
 
 
@@ -155,23 +171,31 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     Band the 16 bits into 4 nibbles; by pigeonhole, hamming<=2 pairs share
     >=2 of 4 nibbles — join per nibble, then verify exact hamming."""
     s = simhash(docs)
-    nibbles = []
-    for b in range(4):
-        nib = (F.col("simhash16") / (1 << (4 * b))).cast("int") % 16
-        nibbles.append(s.select("doc_id", "simhash16",
-                                F.lit(b).alias("band"), nib.alias("nib")))
-    banded = nibbles[0]
-    for extra in nibbles[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.nib") == F.col("b.nib"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash16").alias("sim_a"),
-                    F.col("b.simhash16").alias("sim_b"))
+    nib_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 ((F.col("simhash16") / (1 << (4 * b))).cast("int") % 16)
+                 .alias("nib"))
+        for b in range(4)])
+    banded = (s.select("doc_id", "simhash16", F.explode(nib_arr).alias("bb"))
+              .select("doc_id", "simhash16",
+                      F.col("bb.band").alias("band"),
+                      F.col("bb.nib").alias("nib")))
+    grouped = (banded.groupBy("band", "nib")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("doc_id", "simhash16")))
+                   .alias("members"))
+               .filter(F.size("members") > 1))
+    n = F.size("members")
+    pair_structs = F.flatten(F.transform(
+        F.col("members"),
+        lambda x, i: F.transform(
+            F.slice(F.col("members"), i + 2, n),
+            lambda y: F.struct(x["doc_id"].alias("doc_a"),
+                               y["doc_id"].alias("doc_b"),
+                               x["simhash16"].alias("sim_a"),
+                               y["simhash16"].alias("sim_b")))))
+    cand = (grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
             .distinct())
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     hamming = None
