@@ -113,7 +113,9 @@ def fingerprint(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
     toks = tokens_col()
     d = docs.select("doc_id", "text", toks.alias("toks"))
     n = F.size("toks")
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(-1)))
+    # guard: sequence(0, -1) would produce a DESCENDING array, not empty
+    idx = F.when(n >= shingle_k, F.sequence(F.lit(0), n - shingle_k)) \
+           .otherwise(F.array().cast("array<int>"))
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -25,3 +25,18 @@ def edge_set(src: str, pred_prefix: str):
 
 def wrap(body: str) -> str:
     return "class A {\n    void f(int x) {\n%s\n    }\n}" % body
+
+
+# ---------------------------------------------------------------- spark
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    """Shared local Spark session for integration tests (small but real:
+    shuffles, AQE, Arrow all active)."""
+    from propertygraph_spark.pipeline.session import get_spark
+    s = get_spark("tests", cpus=4, shuffle_partitions=8)
+    yield s
+    s.stop()

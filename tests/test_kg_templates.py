@@ -1,0 +1,51 @@
+"""Freeze-check the per-template kernel constants that back the driver's
+SQL oracle for triple extraction (ops/kgdocs.py). If the kernel's
+semantics change, this fails BEFORE the driver's oracle does, pointing at
+the constant table to regenerate."""
+
+from __future__ import annotations
+
+from propertygraph_spark.kernel.extract import extract_document
+from propertygraph_spark.ops.kgdocs import (JAVA_TEMPLATES,
+                                            TEMPLATE_MENTION_COUNTS,
+                                            TEMPLATE_TRIPLE_COUNTS)
+
+
+def test_template_constants():
+    for tpl, template in enumerate(JAVA_TEMPLATES):
+        _, triples, mentions, err = extract_document("t", template % 7)
+        assert err is None
+        by_pred: dict = {}
+        for t in triples:
+            by_pred[t["pred"]] = by_pred.get(t["pred"], 0) + 1
+        assert by_pred == TEMPLATE_TRIPLE_COUNTS[tpl], f"template {tpl}"
+        by_kind: dict = {}
+        for m in mentions:
+            by_kind[m["kind"]] = by_kind.get(m["kind"], 0) + 1
+        assert by_kind == TEMPLATE_MENTION_COUNTS[tpl], f"template {tpl}"
+
+
+def test_template_shape_independent_of_literal():
+    """The embedded doc_id literal must not change graph shape — the
+    whole oracle construction rests on this."""
+    for template in JAVA_TEMPLATES:
+        base = None
+        for value in (0, 7, 123456789):
+            _, triples, _, err = extract_document("t", template % value)
+            assert err is None
+            counts: dict = {}
+            for t in triples:
+                counts[t["pred"]] = counts.get(t["pred"], 0) + 1
+            if base is None:
+                base = counts
+            else:
+                assert counts == base
+
+
+def test_all_nine_predicates_covered():
+    preds = set()
+    for tpl in TEMPLATE_TRIPLE_COUNTS.values():
+        preds |= set(tpl)
+    assert preds == {"ast_child", "cfg_normal", "cfg_true", "cfg_false",
+                     "cfg_jump", "pdg_control_true", "pdg_control_false",
+                     "pdg_data", "pdg_execution"}

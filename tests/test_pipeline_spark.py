@@ -1,0 +1,135 @@
+"""Spark integration tests: end-to-end pipeline, checkpoint/resume,
+span-sequence invariant, determinism across parallelism, skew routing.
+
+These run against a real local SparkSession (shuffles, AQE, Arrow) on the
+deterministic fixture corpus — the Spark half of SURVEY.md §5.3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from propertygraph_spark.pipeline.extract import extract_docs, split_union
+from propertygraph_spark.pipeline.fixtures import docs_df
+from propertygraph_spark.pipeline.materialize import (fingerprint, run_pipeline,
+                                                      stage_is_current,
+                                                      write_stage)
+
+PREDS = {"ast_child", "cfg_normal", "cfg_true", "cfg_false", "cfg_jump",
+         "pdg_control_true", "pdg_control_false", "pdg_data",
+         "pdg_execution"}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return docs_df(spark, n_docs=20, include_fixtures=True).cache()
+
+
+def test_extract_union_families(spark, corpus):
+    union = extract_docs(corpus, route=False)
+    nodes, triples, mentions, errors = split_union(union)
+    assert errors.count() == 0
+    assert nodes.count() > 0 and mentions.count() > 0
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert preds <= PREDS
+    # the fixture corpus exercises every predicate family but cfg_jump/
+    # pdg_control_false appear only with break/else shapes — synthetic
+    # docs include them
+    assert "pdg_data" in preds and "ast_child" in preds
+
+
+def test_span_sequence_invariant(spark, corpus):
+    """Per-row invariant (BASELINE input_hint): exploding spans back out
+    in offset order preserves (kind, text, media_ref, order)."""
+    exploded = (corpus.select("doc_id", F.explode("spans").alias("s"))
+                .select("doc_id", "s.kind", "s.text", "s.media_ref",
+                        "s.offset"))
+    # order = rank of offset within doc; offsets strictly increasing
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    back = (ranked.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("offset", "rn", "kind",
+                                                      "text", "media_ref")))
+                 .alias("seq")))
+    joined = corpus.join(back, "doc_id")
+    bad = joined.filter(
+        F.size("spans") != F.size("seq")).count()
+    assert bad == 0
+    # spot-check one doc end-to-end in python
+    row = joined.filter(F.col("doc_id") == "fx-mytest").collect()[0]
+    spans_sorted = sorted(
+        ((s["offset"], s["kind"], s["text"], s["media_ref"])
+         for s in row["spans"]))
+    seq = [(s["offset"], s["kind"], s["text"], s["media_ref"])
+           for s in row["seq"]]
+    assert spans_sorted == seq
+
+
+def test_determinism_across_partitioning(spark, corpus):
+    """Same corpus, different partitioning -> identical semantic rows."""
+    a = extract_docs(corpus.repartition(2), route=False)
+    b = extract_docs(corpus.repartition(7), route=False)
+    cols = ["doc_id", "method_id", "subj", "pred", "obj", "label"]
+    ta = split_union(a)[1].select(cols)
+    tb = split_union(b)[1].select(cols)
+    assert ta.exceptAll(tb).count() == 0
+    assert tb.exceptAll(ta).count() == 0
+
+
+def test_skew_routing_splits_heavy_docs(spark):
+    """Mega-docs land in their own partitions (no straggler mixing)."""
+    docs = docs_df(spark, n_docs=12, include_fixtures=False,
+                   mega_every=6, mega_methods=60)
+    union = extract_docs(docs, heavy_threshold=5_000, route=True)
+    _, triples, _, errors = split_union(union)
+    assert errors.count() == 0
+    assert triples.count() > 0
+
+
+def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
+    out = str(tmp_path / "kg")
+    m1 = run_pipeline(spark, corpus, out, docs_fingerprint="t1")
+    assert m1["total"] > 0 and m1["nodes"] > 0
+    assert m1["canonical_entities"] > 0
+    # metrics written beside the commit
+    with open(os.path.join(out, "_metrics", "pipeline.json")) as f:
+        persisted = json.load(f)
+    assert persisted["total"] == m1["total"]
+    by_pred = {x["pred"] for x in m1["triples_by_bucket_pred"]}
+    assert by_pred <= PREDS
+    # resume: unchanged fingerprint -> every stage skipped (fast + same)
+    m2 = run_pipeline(spark, corpus, out, docs_fingerprint="t1")
+    assert m2["total"] == m1["total"]
+    # outputs partitioned by bucket on disk
+    assert any(p.startswith("bucket=") for p in os.listdir(
+        os.path.join(out, "edges")))
+
+
+def test_write_stage_skips_when_current(spark, tmp_path):
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "stage")
+    fp = fingerprint("unit", 1)
+    write_stage(df, path, fp)
+    assert stage_is_current(path, fp)
+    mtime = os.path.getmtime(os.path.join(path, "_manifest.json"))
+    write_stage(df, path, fp)  # must not rewrite
+    assert os.path.getmtime(os.path.join(path, "_manifest.json")) == mtime
+    assert not stage_is_current(path, fingerprint("unit", 2))
+
+
+def test_error_rows_for_broken_docs(spark):
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    rows = [("bad-doc", [("code", "class X { int", "", 0)]),
+            ("empty-doc", [("text", "no code at all", "", 0)])]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    union = extract_docs(docs, route=False)
+    _, triples, _, errors = split_union(union)
+    errs = {r["doc_id"]: r["error"] for r in errors.collect()}
+    assert "bad-doc" in errs and "parse error" in errs["bad-doc"]
+    assert "empty-doc" not in errs  # empty source degrades silently
+    assert triples.filter(F.col("doc_id") == "bad-doc").count() == 0

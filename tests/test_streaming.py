@@ -1,0 +1,81 @@
+"""Structured Streaming tests: windowed event counts vs the batch twin,
+and incremental KG extraction over a file-source stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from propertygraph_spark.streaming.events import (read_events_stream,
+                                                  run_to_memory,
+                                                  streaming_event_counts,
+                                                  streaming_extract)
+
+EVENTS = [
+    (1, "2024-01-01 00:00:10", 1, "click", 1.0, "{}"),
+    (2, "2024-01-01 00:00:40", 1, "click", 2.0, "{}"),
+    (3, "2024-01-01 00:01:10", 2, "view", 3.0, "{}"),
+    (4, "2024-01-01 00:01:30", 2, "click", 4.0, "{}"),
+    (5, "2024-01-01 00:03:05", 1, "view", 5.0, "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events") / "ev.parquet")
+    df = spark.createDataFrame(
+        EVENTS, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.repartition(3).write.parquet(path)  # several files -> several triggers
+    return path
+
+
+def test_streaming_counts_match_batch(spark, events_path):
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    counts = streaming_event_counts(stream)
+    # complete mode: append would hold windows open until the watermark
+    # passes them, which never happens on a finite 3-minute fixture
+    q = run_to_memory(counts, "stream_counts", output_mode="complete")
+    try:
+        got = {(str(r["window_start"]), r["event_type"]):
+               (r["n_events"], r["sum_value"])
+               for r in spark.sql("select * from stream_counts").collect()}
+    finally:
+        q.stop()
+    batch = (spark.read.parquet(events_path)
+             .groupBy(F.date_trunc("minute", "ts").alias("m"), "event_type")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
+    want = {(str(r["m"]), r["event_type"]): (r["n"], r["s"])
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_extract_incremental(spark, tmp_path):
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_TRIPLE_COUNTS,
+                                                docs_with_spans)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    spans_path = str(tmp_path / "docs.parquet")
+    docs_with_spans(docs).repartition(2).write.parquet(spans_path)
+
+    stream = (spark.readStream
+              .schema("doc_id string, spans array<struct<kind:string,"
+                      "text:string,media_ref:string,offset:int>>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(spans_path))
+    union = streaming_extract(stream)
+    q = run_to_memory(union, "stream_kg", output_mode="append")
+    try:
+        triples = spark.sql(
+            "select pred, count(*) as n from stream_kg"
+            " where row_kind = 'triple' group by pred").collect()
+    finally:
+        q.stop()
+    got = {r["pred"]: r["n"] for r in triples}
+    exp: dict = {}
+    for d in range(8):
+        for pred, c in TEMPLATE_TRIPLE_COUNTS[d % 4].items():
+            exp[pred] = exp.get(pred, 0) + c
+    assert got == exp
