@@ -1,0 +1,108 @@
+"""CLI driver — the spark-submit twin of the reference's
+`java -jar PropertyGraph.jar -d <dir> [-p] [-c] [-a]`
+(graphToDot/Write.java:7-70, README.md:21-26).
+
+Usage (spark-submit --py-files propertygraph_spark.zip main.py ... or
+plain python -m propertygraph_spark.main ...):
+
+  # a directory of .java files, like the reference CLI
+  ... --input-dir /path/to/java/src --out /tmp/kg --graphs ast,cfg,pdg
+
+  # a parquet docs table in the north-rule interleaved-span shape
+  ... --input-parquet /path/to/docs.parquet --out /tmp/kg
+
+  # optional per-document DOT dumps (debug scale, like the reference's
+  # AST/ CFG/ PDG/ output dirs)
+  ... --dot --dot-limit 20
+
+The heavy path is always the same fused pipeline
+(pipeline/materialize.run_pipeline): extract -> link -> canonicalize ->
+partitioned node/edge tables + metrics, resumable via stage manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _docs_from_dir(spark, input_dir: str):
+    """Reference S1/S2: recursive *.java scan (MainTest.getFiles,
+    test/java/com/tinypdg/MainTest.java:13-29) -> one single-span doc per
+    file. Small-scale convenience; real corpora arrive as tables."""
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    rows = []
+    for path in sorted(glob.glob(os.path.join(input_dir, "**", "*.java"),
+                                 recursive=True)):
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            code = f.read()
+        doc_id = os.path.relpath(path, input_dir)
+        rows.append((doc_id, [("code", code, "", 0)]))
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="propertygraph_spark pipeline")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input-dir", help="directory of .java files")
+    src.add_argument("--input-parquet",
+                     help="parquet docs table (doc_id, spans)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--graphs", default="ast,cfg,pdg",
+                    help="comma list: ast,cfg,pdg (reference -a/-c/-p)")
+    ap.add_argument("--link", action=argparse.BooleanOptionalAction,
+                    default=True, help="run entity linking + CC canon")
+    ap.add_argument("--dot", action="store_true",
+                    help="also write per-doc DOT files (debug scale)")
+    ap.add_argument("--dot-limit", type=int, default=20)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    from propertygraph_spark.pipeline.session import get_spark
+    spark = get_spark("propertygraph_spark", cpus=args.cpus)
+    try:
+        if args.input_dir:
+            docs = _docs_from_dir(spark, args.input_dir)
+            docs_fp = f"dir:{args.input_dir}"
+        else:
+            docs = spark.read.parquet(args.input_parquet)
+            docs_fp = f"parquet:{args.input_parquet}"
+
+        from propertygraph_spark.pipeline.materialize import run_pipeline
+        metrics = run_pipeline(spark, docs, args.out,
+                               n_buckets=args.buckets,
+                               docs_fingerprint=docs_fp)
+        print(f"triples={metrics['total']} nodes={metrics['nodes']} "
+              f"stages={metrics['stage_times']}")
+
+        if args.dot:
+            from pyspark.sql import functions as F
+            from propertygraph_spark.pipeline.dot import FORMATTERS
+            nodes = spark.read.parquet(os.path.join(args.out, "nodes"))
+            edges = spark.read.parquet(os.path.join(args.out, "edges"))
+            wanted = [g for g in args.graphs.split(",") if g]
+            doc_ids = [r["doc_id"] for r in
+                       nodes.select("doc_id").distinct()
+                       .orderBy("doc_id").limit(args.dot_limit).collect()]
+            for graph in wanted:
+                gdir = os.path.join(args.out, graph.upper())
+                os.makedirs(gdir, exist_ok=True)
+                for doc_id in doc_ids:
+                    dot = FORMATTERS[graph](nodes, edges, doc_id)
+                    safe = doc_id.replace("/", "_").replace("\\", "_")
+                    with open(os.path.join(gdir, f"{safe}_{graph}.dot"),
+                              "w") as f:
+                        f.write(dot)
+            print(f"dot: {len(doc_ids)} docs x {wanted} -> {args.out}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
