@@ -1,0 +1,108 @@
+"""Physical-plan audits: assert the plans Catalyst produces are the ones
+we designed for 100 TB — filters reach the parquet scan, projections are
+pruned, small dims broadcast, aggregates have map-side partials, windows
+share one exchange. These are the `.explain("formatted")` checks the
+task brief demands, frozen as tests so a regression in plan shape fails
+CI, not a production run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from propertygraph_spark.ops import dedup, relational, text
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    p = plan(relational.pricing_summary(spark, SF))
+    # filter reaches the parquet scan
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # two-phase aggregation: partial before the exchange, final after
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+    # projection pruned to the referenced columns only
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark):
+    p = plan(relational.top_unshipped_orders(spark, SF))
+    assert "BroadcastHashJoin" in p
+    # top-10 handled by TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q5_broadcasts_all_dims(spark):
+    p = plan(relational.local_supplier_volume(spark, SF))
+    # supplier, customer, nation+region all broadcast
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_token_stats_prunes_scan(docs):
+    p = plan(text.token_stats(docs))
+    read_schema = p.split("ReadSchema")[1][:300]
+    assert "text" in read_schema
+    # untouched columns never leave the scan
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_exact_dedup_partial_agg(docs):
+    p = plan(dedup.exact_duplicates(docs))
+    assert "partial_count" in p and "partial_min" in p
+    # shuffle key is the md5 grouping expression, never the full text
+    exchange = p.split("hashpartitioning(")[1][:60]
+    assert "_groupingexpression" in exchange or "md5" in exchange
+    assert "text" not in exchange
+
+
+def test_sessions_share_one_exchange(spark):
+    """lag-window, running-sum window and the (user_id, session_seq)
+    groupBy must all ride ONE hashpartitioning(user_id) exchange —
+    hashpartitioning(user_id) satisfies the agg's ClusteredDistribution,
+    so Catalyst plans partial+final HashAggregate with no re-shuffle.
+    The only other exchange is the final orderBy's rangepartitioning."""
+    p = plan(relational.user_sessions(spark, SF))
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert p.count("rangepartitioning(") == 1, p
+
+
+def test_kernel_stage_is_map_only(spark, docs):
+    """No exchange between the corpus scan and the Arrow kernel."""
+    from propertygraph_spark.ops.kgdocs import docs_with_spans
+    from propertygraph_spark.pipeline.extract import extract_docs
+    p = plan(extract_docs(docs_with_spans(docs), route=False))
+    assert "Exchange" not in p
+    assert "MapInArrow" in p or "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_minhash_single_signature_pass(docs):
+    """The banded LSH plan must aggregate the shingle table ONCE (one
+    pair of partial/final aggregates for the 16 min-hashes), not once per
+    band — banding is a Generate (explode) after the aggregation, and the
+    whole pipeline needs only 3 exchanges: shingle distinct (whose
+    (doc_id, shingle) partitioning also satisfies the doc_id signature
+    agg), (band,bucket) grouping, and the final pair count."""
+    p = plan(dedup.minhash_lsh_pairs(docs))
+    import re
+    assert p.count("hashpartitioning(") <= 3, p
+    # formatted mode lists each node twice (tree + details section)
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 3  # shingles, bands, pairs
+    # exactly one partial aggregation computes the 16 min-hashes
+    assert p.count("partial_min") == 1
