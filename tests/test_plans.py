@@ -104,5 +104,6 @@ def test_minhash_single_signature_pass(docs):
     assert p.count("hashpartitioning(") <= 3, p
     # formatted mode lists each node twice (tree + details section)
     assert len(re.findall(r"\(\d+\) Generate", p)) == 3  # shingles, bands, pairs
-    # exactly one partial aggregation computes the 16 min-hashes
-    assert p.count("partial_min") == 1
+    # ONE partial aggregation node computes all 16 min-hashes (16
+    # partial_min functions, not 16 aggregation passes)
+    assert p.count("partial_min") == 16
