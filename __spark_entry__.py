@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), k=5)
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
+    q["ann_ivf_topk"] = lambda s, d: similarity.ann_ivf_topk(_emb(s, d), k=5)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
 
     # --- multimodal plumbing (Arrow mapInPandas decode) ---

@@ -121,12 +121,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows thanks to matching partitioning)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps read as TIMESTAMP_NTZ in Spark 4: hop through
-    # timestamp_ltz (identity under the UTC session TZ) to get epochs
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
+    # interval arithmetic on TIMESTAMP_NTZ: session-timezone-independent
+    # (an ltz hop would silently shift epochs under a non-UTC session)
+    gap = F.col("ts") - F.lag("ts").over(w)
     with_break = ev.withColumn(
-        "is_break", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        "is_break",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 1800 SECONDS")), 1)
+        .otherwise(0))
     sess = with_break.withColumn(
         "session_seq", F.sum("is_break").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -119,9 +119,55 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5,
                  n_planes: int = N_PLANES) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to same-bucket
     candidates. Join shuffles on the 8-bit bucket key only."""
-    v = lsh_bucket(emb, n_planes)
-    n = v.select("vec_id", "bucket", F.col("embedding").alias("e"),
-                 _norm(F.col("embedding")).alias("nrm"))
+    return _topk_within_bucket(lsh_bucket(emb, n_planes), k)
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse quantizer with deterministic centroid seeding: the
+    n_cells vectors with the smallest md5(vec_id) digests act as
+    centroids (content-stable — no random state, reproducible on any
+    cluster); every vector is assigned to its max-cosine centroid.
+
+    The centroid set is an index artifact (collected + broadcast, like a
+    trained quantizer would be); assignment is a map-only numpy pass."""
+    import numpy as np
+
+    seeds = (emb.select("vec_id", "embedding",
+                        F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h").limit(n_cells).collect())
+    C = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
+    C = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(C)
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+        StructField("bucket", IntegerType(), False),
+    ])
+
+    def assign(it):
+        import pandas as pd
+        cent = bc.value
+        for pdf in it:
+            Q = np.array([list(e) for e in pdf["embedding"]],
+                         dtype=np.float64)
+            Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+            cells = (Qn @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "bucket": cells})
+
+    return emb.select("vec_id", "embedding").mapInPandas(assign, schema)
+
+
+def _topk_within_bucket(bucketed: DataFrame, k: int) -> DataFrame:
+    """Exact cosine rerank restricted to same-bucket candidates (shared
+    by the LSH and IVF paths); shuffles only on the bucket key."""
+    n = bucketed.select("vec_id", "bucket", F.col("embedding").alias("e"),
+                        _norm(F.col("embedding")).alias("nrm"))
     a = n.alias("a")
     b = n.alias("b")
     cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -136,6 +182,13 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5,
             .orderBy(F.desc("cos_pm"), F.asc("neighbor_id"))))
     return ranked.filter(F.col("rnk") <= k) \
                  .select("vec_id", "neighbor_id", "cos_pm", "rnk")
+
+
+def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8) -> DataFrame:
+    """Approximate top-k via IVF cells (data-adaptive partitioning; the
+    scale path when hyperplane buckets split true neighbors — cells
+    follow the data distribution)."""
+    return _topk_within_bucket(ivf_assign(emb, n_cells), k)
 
 
 def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Entity linking + connected-components canonicalization tests, and
+ANN recall checks (IVF vs brute force on real testdata)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from propertygraph_spark.ops import similarity
+from propertygraph_spark.pipeline.canonicalize import (canonicalize_entities,
+                                                       connected_components)
+from propertygraph_spark.pipeline.linking import link_mentions, symbol_dictionary
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} via chain, {10,11}; singleton 99 untouched
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert 99 not in comp
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long")
+    comp = connected_components(edges, max_iter=25)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.agg(F.min("component")).collect()[0][0] == 0
+
+
+def test_salted_join_matches_broadcast(spark):
+    """Both linking strategies must produce identical linked rows — the
+    salted path exists for dictionary-scale, not different semantics."""
+    mentions = spark.createDataFrame(
+        [("d1", "m0", 1, "String", "call_site", "String()"),
+         ("d1", "m0", 2, "put", "call_site", "put()"),
+         ("d2", "m1", 3, "nosuch", "call_site", "nosuch()"),
+         ("d2", "m1", 4, "Integer", "method_decl", "Integer")],
+        "doc_id string, method_id string, node_id long, mention string,"
+        " kind string, candidate string")
+    sym = symbol_dictionary(spark, n_symbols=200)
+    a = link_mentions(mentions, sym, strategy="broadcast").collect()
+    b = link_mentions(mentions, sym, strategy="salted", salt=4).collect()
+    key = lambda r: (r["doc_id"], r["node_id"])
+    assert sorted((key(r), r["fqn"], r["score"]) for r in a) == \
+           sorted((key(r), r["fqn"], r["score"]) for r in b)
+    linked = {r["mention"]: r["fqn"] for r in a}
+    assert linked["String"] == "java.lang.String"
+    assert "nosuch" not in linked
+
+
+def test_canonicalize_merges_shared_mentions(spark):
+    linked = spark.createDataFrame(
+        [("size", "java.util.List.size"), ("size", "java.util.Map.size"),
+         ("trim", "java.lang.String.trim")],
+        "mention string, fqn string")
+    canon = {r["fqn"]: r["canonical_id"]
+             for r in canonicalize_entities(linked).collect()}
+    assert canon["java.util.List.size"] == canon["java.util.Map.size"]
+    assert canon["java.lang.String.trim"] == "java.lang.String.trim"
+
+
+@pytest.mark.parametrize("method,minimum", [("ivf", 0.25), ("lsh", 0.05)])
+def test_ann_recall_vs_brute_force(spark, method, minimum):
+    """ANN must recover a sane fraction of true top-5 neighbors on the
+    real sf0.001 embeddings. Near-orthogonal random vectors are the
+    worst case for bucketed ANN (sign-LSH expected collision for a
+    cos~0.4 'neighbor' over 4 planes is (1 - theta/pi)^4 ~ 0.16; real
+    corpora cluster, raising recall) — the bounds are floors against
+    silent breakage, not quality claims. True near-duplicate recovery is
+    asserted separately (test_ops_spark: identical vectors co-bucket)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(200)
+    truth = {(r["vec_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, k=5).collect()}
+    if method == "ivf":
+        approx = similarity.ann_ivf_topk(emb, k=5, n_cells=4)
+    else:
+        approx = similarity.ann_lsh_topk(emb, k=5, n_planes=4)
+    got = {(r["vec_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= minimum, f"{method} recall={recall:.2f}"
