@@ -100,6 +100,17 @@ def main() -> None:
         _noop(build())
         results[name] = round(time.monotonic() - t0, 3)
 
+    # --- full KG pipeline (extract -> link -> canonicalize ->
+    #     materialize with metrics), fresh output dir each run ---
+    from propertygraph_spark.pipeline.materialize import run_pipeline
+    out_dir = "/tmp/bench_pipeline"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    pipe_metrics = run_pipeline(spark, src, out_dir,
+                                docs_fingerprint=f"bench-{sf}")
+    results["pipeline_full"] = round(time.monotonic() - t0, 3)
+    extras["pipeline_triples"] = pipe_metrics["total"]
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "headline_total", "value": total, "unit": "sec",

@@ -17,8 +17,39 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
-    """edges(src, dst) [any orderable type] -> (id, component)."""
+                         max_iter: int = 25,
+                         driver_threshold: int = 200_000) -> DataFrame:
+    """edges(src, dst) [any orderable type] -> (id, component).
+
+    Small graphs (< driver_threshold edges) take a driver-side union-find
+    fast path: the alias graph is usually tiny relative to the corpus,
+    and each distributed iteration costs several scheduler round-trips —
+    the standard hybrid in production CC (collect when it fits, iterate
+    when it doesn't)."""
+    n_edges = edges.limit(driver_threshold).count()
+    if n_edges < driver_threshold:
+        pairs = [(r[0], r[1]) for r in
+                 edges.selectExpr(f"{src} as a", f"{dst} as b").collect()]
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by value: smaller label wins -> canonical = min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        schema = edges.select(F.col(src).alias("id"),
+                              F.col(src).alias("component")).schema
+        return edges.sparkSession.createDataFrame(rows, schema)
+
     sym = (edges.selectExpr(f"{src} as a", f"{dst} as b")
            .unionByName(edges.selectExpr(f"{dst} as a", f"{src} as b"))
            .distinct())

@@ -47,13 +47,41 @@ def stage_is_current(path: str, fp: str) -> bool:
         return False
 
 
+def _data_files(path: str) -> list:
+    """Iceberg-style snapshot file listing: every data file with its
+    partition values, byte size, and footer row count (pyarrow reads
+    footers only — no data scan). This is the documented stand-in for an
+    Iceberg manifest list (no Iceberg runtime jar in this sandbox,
+    SURVEY.md §7): readers can prune partitions and audit row counts
+    from the manifest alone."""
+    import pyarrow.parquet as pq
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path)
+            partition_vals = dict(
+                part.split("=", 1) for part in rel.split(os.sep)[:-1]
+                if "=" in part)
+            files.append({
+                "path": rel,
+                "partition": partition_vals,
+                "bytes": os.path.getsize(full),
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+            })
+    return files
+
+
 def write_stage(df: DataFrame, path: str, fp: str,
                 partition_by: Optional[list] = None,
                 spark: Optional[SparkSession] = None) -> DataFrame:
     """Idempotent stage write: skip if the manifest matches ``fp``; else
-    overwrite and commit a manifest. Returns a reader over the output
-    (downstream stages consume the materialized parquet, which truncates
-    lineage and makes resume possible)."""
+    overwrite and commit an Iceberg-style snapshot manifest (fingerprint
+    + data-file list with partition values/bytes/row counts). Returns a
+    reader over the output (downstream stages consume the materialized
+    parquet, which truncates lineage and makes resume possible)."""
     spark = spark or df.sparkSession
     if stage_is_current(path, fp):
         return spark.read.parquet(path)
@@ -62,10 +90,16 @@ def write_stage(df: DataFrame, path: str, fp: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    files = _data_files(path)
     with open(_manifest_path(path), "w") as f:
-        json.dump({"fingerprint": fp, "written_at": time.time(),
+        json.dump({"fingerprint": fp,
+                   "snapshot_id": fingerprint(fp, len(files)),
+                   "written_at": time.time(),
                    "elapsed_sec": round(time.time() - t0, 3),
-                   "partition_by": partition_by or []}, f)
+                   "partition_by": partition_by or [],
+                   "total_rows": sum(x["rows"] for x in files),
+                   "total_bytes": sum(x["bytes"] for x in files),
+                   "data_files": files}, f)
     return spark.read.parquet(path)
 
 
@@ -115,6 +149,11 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     union_path = os.path.join(out_dir, "extracted")
     union = extract_docs(docs)
     union = with_bucket(union, n_buckets)
+    # co-locate each (row_kind, bucket) into one task before the
+    # partitioned write: without this every kernel task writes a sliver
+    # into every partition dir (tasks x dirs small files — a file-count
+    # explosion that murders both the commit and downstream listings)
+    union = union.repartition("row_kind", "bucket")
     union = write_stage(union, union_path, fp1,
                         partition_by=["row_kind", "bucket"], spark=spark)
     stage_times["extract"] = round(time.time() - t0, 3)

@@ -12,24 +12,46 @@ from propertygraph_spark.pipeline.canonicalize import (canonicalize_entities,
 from propertygraph_spark.pipeline.linking import link_mentions, symbol_dictionary
 
 
-def test_connected_components_basic(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("threshold", [200_000, 0])  # driver path, dist path
+def test_connected_components_basic(spark, threshold):
     # two components: {1,2,3,4} via chain, {10,11}; singleton 99 untouched
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
     comp = {r["id"]: r["component"]
-            for r in connected_components(edges).collect()}
+            for r in connected_components(
+                edges, driver_threshold=threshold).collect()}
     assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert comp[10] == comp[11] == 10
     assert 99 not in comp
 
 
-def test_connected_components_long_chain_converges(spark):
+@_pytest.mark.parametrize("threshold", [200_000, 0])
+def test_connected_components_long_chain_converges(spark, threshold):
     n = 64
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long")
-    comp = connected_components(edges, max_iter=25)
+    comp = connected_components(edges, max_iter=25,
+                                driver_threshold=threshold)
     assert comp.select("component").distinct().count() == 1
     assert comp.agg(F.min("component")).collect()[0][0] == 0
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and distributed min-label must produce the
+    identical (id, component) mapping."""
+    import random
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(60)],
+        "src long, dst long").filter("src != dst")
+    a = {(r["id"], r["component"]) for r in
+         connected_components(edges, driver_threshold=10**6).collect()}
+    b = {(r["id"], r["component"]) for r in
+         connected_components(edges, driver_threshold=0).collect()}
+    assert a == b
 
 
 def test_salted_join_matches_broadcast(spark):

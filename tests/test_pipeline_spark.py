@@ -108,6 +108,14 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     # outputs partitioned by bucket on disk
     assert any(p.startswith("bucket=") for p in os.listdir(
         os.path.join(out, "edges")))
+    # Iceberg-style snapshot manifest: file list + partition values +
+    # footer row counts, auditable without scanning data
+    with open(os.path.join(out, "edges", "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["data_files"]
+    assert all("bucket" in x["partition"] for x in manifest["data_files"])
+    assert manifest["total_rows"] == m1["total"]
+    assert manifest["snapshot_id"]
 
 
 def test_write_stage_skips_when_current(spark, tmp_path):
