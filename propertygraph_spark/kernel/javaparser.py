@@ -324,7 +324,10 @@ class Parser:
                 self.advance()
                 self.advance()
             if self.accept("="):
-                self.parse_expression()
+                if self.at("{"):
+                    self.parse_array_initializer()
+                else:
+                    self.parse_expression()
             if self.accept(","):
                 continue
             break
@@ -507,7 +510,12 @@ class Parser:
                 self.advance()
             init = None
             if self.accept("="):
-                init = self.parse_expression()
+                # brace form `int[] b = {1, 2};` (JDT ArrayInitializer as
+                # a fragment initializer, not an expression)
+                if self.at("{"):
+                    init = self.parse_array_initializer()
+                else:
+                    init = self.parse_expression()
             end = self.toks[self.pos - 1].end
             frags.append(J("VarDeclFragment", name_tok.start, end, name=name, init=init))
             if not self.accept(","):

@@ -1,0 +1,65 @@
+"""Construct-coverage battery: every Java shape the reference's JDT
+front-end feeds into graphs must extract cleanly, and shapes the
+reference deliberately DROPS must stay dropped.
+
+Reference drop semantics (verified against PEASTVisitor.java:177-205):
+visit(TypeDeclaration) returns false and collects only direct
+MethodDeclaration children — so methods of nested/inner classes, enums
+and records never reach `methods` in the reference either. Matching that
+is part of parity; "fixing" it would change the emitted triple set.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from propertygraph_spark.kernel.extract import extract_document
+
+MUST_EXTRACT = {
+    "interface_default": "interface I { int f(); default int g() { return 1; } }",
+    "annotations": 'class A { @Override @SuppressWarnings("x") public void m() { int y = 0; } }',
+    "generics_wildcard": "class A { void m(List<? extends Number> l, Map<String, List<Integer>> m2) { int n = l.size(); } }",
+    "anon_class": "class A { void m() { Runnable r = new Runnable() { public void run() { int x = 1; } }; r.run(); } }",
+    "lambda_block": "class A { void m() { Runnable r = () -> { int x = 1; }; f(v -> v + 1); } }",
+    "method_ref": "class A { void m() { list.forEach(System.out::println); } }",
+    "varargs": "class A { void m(int... xs) { int n = xs.length; } }",
+    "switch_arrow": "class A { void m(int x) { switch (x) { case 1 -> f(); default -> g(); } } }",
+    "switch_expr": "class A { int m(int x) { int y = switch (x) { case 1 -> 10; default -> 0; }; return y; } }",
+    "labeled_loops": "class A { void m() { outer: for (int i = 0; i < 9; i++) { for (int j = 0; j < 9; j++) { if (j > i) { continue outer; } if (i * j > 10) { break outer; } } } } }",
+    "array_decl_init": "class A { void m() { int[][] a = new int[3][4]; a[0][1] = 2; int[] b = {1, 2, 3}; } }",
+    "array_nested_init": "class A { void m() { int[][] c = {{1}, {2, 3}}; } }",
+    "field_array_init": "class A { int[] f = {9}; void m() { f[0]++; } }",
+    "instanceof_pattern": "class A { void m(Object o) { if (o instanceof String s) { int n = s.length(); } } }",
+    "try_resources": "class A { void m() { try (var r = open(); Closeable c2 = o()) { r.read(); } catch (IOException e) { log(e); } finally { done(); } } }",
+    "multi_catch": "class A { void m() { try { f(); } catch (IOException | RuntimeException e) { g(); } } }",
+    "do_while": "class A { void m(int x) { do { x--; } while (x > 0); } }",
+    "assert_stmt": 'class A { void m(int x) { assert x > 0 : "bad"; } }',
+    "super_this_calls": "class A extends B { A() { super(); } A(int x) { this(); } void m() { super.m(); } }",
+    "ternary_nested": "class A { int m(int a) { return a > 0 ? a > 5 ? 1 : 2 : 3; } }",
+    "string_concat_chain": "class A { void m(String s) { String t = s + 1 + 'c' + 2.5 + true + null; } }",
+    "generic_method": "class A { <T> T gen(T t) { return t; } }",
+}
+
+# dropped by the reference (visit(TypeDeclaration) only collects direct
+# MethodDeclarations; no Enum/Record visitor adds to `methods`)
+MUST_DROP = {
+    "inner_class": "class A { class B { void m() { int x = 1; } } static class C { void n() { int y = 2; } } }",
+    "enum_methods": "enum E { A, B; int v() { return 1; } }",
+    "record_methods": "record R(int x) { int d() { return x; } }",
+    "initializer_blocks": "class A { static { int x = 1; } { int y = 2; } }",
+}
+
+
+@pytest.mark.parametrize("name", sorted(MUST_EXTRACT))
+def test_construct_extracts(name):
+    nodes, triples, mentions, err = extract_document(name, MUST_EXTRACT[name])
+    assert err is None, err
+    assert triples, "no triples emitted"
+    assert {n["method_id"] for n in nodes}
+
+
+@pytest.mark.parametrize("name", sorted(MUST_DROP))
+def test_construct_dropped_like_reference(name):
+    nodes, triples, mentions, err = extract_document(name, MUST_DROP[name])
+    assert err is None, err
+    assert not triples  # silently dropped, not an error
