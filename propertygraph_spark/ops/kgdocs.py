@@ -43,6 +43,32 @@ JAVA_TEMPLATES = [
 # tests/test_kg_templates.py::test_template_constants.
 TEMPLATE_TRIPLE_COUNTS: dict[int, dict[str, int]] = {}   # filled below
 TEMPLATE_MENTION_COUNTS: dict[int, dict[str, int]] = {}  # filled below
+TEMPLATE_CLOSURE_PAIRS: dict[int, int] = {}              # filled below
+
+
+def _closure_pairs(triples: list) -> int:
+    """Transitive-closure pair count over the pdg_data edges (reference
+    Python BFS — the oracle constant the distributed semi-naive closure
+    in ops/graph.py must reproduce)."""
+    edges: dict[int, set] = {}
+    nodes: set = set()
+    for t in triples:
+        if t["pred"] == "pdg_data":
+            edges.setdefault(t["subj"], set()).add(t["obj"])
+            nodes.add(t["subj"])
+            nodes.add(t["obj"])
+    total = 0
+    for s in nodes:
+        seen: set = set()
+        stack = [s]
+        while stack:
+            x = stack.pop()
+            for y in edges.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        total += len(seen)
+    return total
 
 
 def _freeze_constants() -> None:
@@ -59,6 +85,7 @@ def _freeze_constants() -> None:
         for m in mentions:
             by_kind[m["kind"]] = by_kind.get(m["kind"], 0) + 1
         TEMPLATE_MENTION_COUNTS[tpl] = by_kind
+        TEMPLATE_CLOSURE_PAIRS[tpl] = _closure_pairs(triples)
 
 
 _freeze_constants()
@@ -129,6 +156,43 @@ def mentions_by_kind(documents: DataFrame) -> DataFrame:
     _, _, mentions, _ = split_union(union)
     return mentions.groupBy("kind").agg(F.count("*").alias("n_mentions")) \
                    .orderBy("kind")
+
+
+def pdg_closure_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed PDG slicing weight: extract, then run the semi-naive
+    transitive closure (ops/graph.py) over every method's pdg_data edges
+    at once, and roll the per-method pair counts up to the template
+    level. Exercises real iterative DataFrame graph computation with an
+    exact constant-based oracle."""
+    from propertygraph_spark.ops.graph import pdg_data_closure_sizes
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    per_method = pdg_data_closure_sizes(triples)
+    # method_id = '<doc_id>#<ordinal>:<name>'
+    doc_of = F.split(F.col("method_id"), "#").getItem(0)
+    return (per_method
+            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .groupBy("tpl")
+            .agg(F.count("*").alias("n_methods"),
+                 F.sum("n_pairs").alias("closure_pairs"))
+            .orderBy("tpl"))
+
+
+def closure_oracle_sql() -> str:
+    values = ", ".join(f"({tpl}, {pairs})"
+                       for tpl, pairs in TEMPLATE_CLOSURE_PAIRS.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, pairs) AS (VALUES {values})
+SELECT c.tpl, t.n AS n_methods,
+       CAST(t.n * c.pairs AS BIGINT) AS closure_pairs
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.pairs > 0
+ORDER BY c.tpl
+"""
 
 
 def triple_count_oracle_sql() -> str:

@@ -106,3 +106,41 @@ def test_ann_recall_vs_brute_force(spark, method, minimum):
     got = {(r["vec_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= minimum, f"{method} recall={recall:.2f}"
+
+
+def test_transitive_closure_matches_bfs(spark):
+    """Distributed semi-naive closure == reference Python BFS."""
+    from propertygraph_spark.ops.graph import transitive_closure
+    # diamond (1->2->3, 1->6->3) + self-loop + cycle: multiple paths to
+    # the same pair across rounds must not produce duplicate rows
+    edges = [(1, 2), (2, 3), (1, 6), (6, 3), (3, 4), (2, 5), (7, 7), (8, 1)]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in edges], "g string, src long, dst long")
+    rows = [(r["a"], r["b"]) for r in
+            transitive_closure(df, scope="g").collect()]
+    assert len(rows) == len(set(rows)), "closure emitted duplicate pairs"
+    got = set(rows)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = set()
+    for s in {x for e in edges for x in e}:
+        seen, stack = set(), [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want |= {(s, t) for t in seen}
+    assert got == want
+
+
+def test_closure_scope_isolation(spark):
+    """Paths must not cross scope boundaries."""
+    from propertygraph_spark.ops.graph import transitive_closure
+    df = spark.createDataFrame(
+        [("m1", 1, 2), ("m2", 2, 3)], "g string, src long, dst long")
+    got = {(r["g"], r["a"], r["b"]) for r in
+           transitive_closure(df, scope="g").collect()}
+    assert got == {("m1", 1, 2), ("m2", 2, 3)}  # no 1->3 across scopes
