@@ -62,3 +62,62 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
          .start())
     q.awaitTermination(timeout_sec)
     return q
+
+
+# ------------------------------------------------------- stateful session
+
+SESSION_OUTPUT_DDL = ("user_id long, session_start timestamp, "
+                      "session_end timestamp, n_events long, "
+                      "sum_value double")
+SESSION_STATE_DDL = ("start long, last long, n long, total double")
+
+
+def streaming_user_sessions(events: DataFrame,
+                            gap_sec: int = 1800) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState: state
+    per user_id = (session_start, last_ts, n_events, sum_value); a
+    completed session is emitted whenever a gap > gap_sec is observed or
+    the group times out. State is partitioned by user_id across the
+    cluster — the streaming twin of ops.relational.user_sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                rows.append((user_id, pd.Timestamp(start, unit="s"),
+                             pd.Timestamp(last, unit="s"), n, total))
+                state.remove()
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "session_start", "session_end", "n_events",
+                "sum_value"])
+            return
+        events_df = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        for ts, value in zip(events_df["ts"], events_df["value"]):
+            sec = int(pd.Timestamp(ts).timestamp())
+            if start is None:
+                start, last, n, total = sec, sec, 1, float(value)
+            elif sec - last > gap_sec:
+                rows.append((user_id, pd.Timestamp(start, unit="s"),
+                             pd.Timestamp(last, unit="s"), n, total))
+                start, last, n, total = sec, sec, 1, float(value)
+            else:
+                last, n, total = sec, n + 1, total + float(value)
+        state.update((start, last, n, total))
+        state.setTimeoutDuration(gap_sec * 1000)
+        yield pd.DataFrame(rows, columns=[
+            "user_id", "session_start", "session_end", "n_events",
+            "sum_value"])
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                fn, SESSION_OUTPUT_DDL, SESSION_STATE_DDL,
+                "append", GroupStateTimeout.ProcessingTimeTimeout))

@@ -79,3 +79,41 @@ def test_streaming_extract_incremental(spark, tmp_path):
         for pred, c in TEMPLATE_TRIPLE_COUNTS[d % 4].items():
             exp[pred] = exp.get(pred, 0) + c
     assert got == exp
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionization: completed sessions (gap
+    observed in-stream) must match the batch sessionizer's output."""
+    from propertygraph_spark.streaming.events import streaming_user_sessions
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:10:00", 2.0),
+        (3, "2024-01-01 02:30:00", 3.0),
+        # user 2: one session, then a 1h gap, then one event
+        (4, "2024-01-01 00:00:00", 4.0), (5, "2024-01-01 00:05:00", 5.0),
+        (6, "2024-01-01 01:10:00", 6.0),
+    ]
+    path = str(tmp_path / "sess.parquet")
+    df = spark.createDataFrame(
+        [(i, ts, 1 if i <= 3 else 2, "e", v, "{}")
+         for (i, ts, v) in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(path)
+
+    from propertygraph_spark.streaming.events import (read_events_stream,
+                                                      run_to_memory)
+    stream = read_events_stream(spark, path)
+    sessions = streaming_user_sessions(stream, gap_sec=1800)
+    q = run_to_memory(sessions, "stateful_sessions", output_mode="append")
+    try:
+        got = {(r["user_id"], str(r["session_start"]), r["n_events"],
+                r["sum_value"])
+               for r in spark.sql("select * from stateful_sessions").collect()}
+    finally:
+        q.stop()
+    # completed sessions only (the trailing open session per user stays
+    # in state until a timeout that never fires under availableNow)
+    assert (1, "2024-01-01 00:00:00", 2, 3.0) in got
+    assert (2, "2024-01-01 00:00:00", 2, 9.0) in got
