@@ -172,10 +172,10 @@ def oracle_sql() -> dict[str, str]:
     # --- relational ---
     o["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       avg(l_quantity) AS avg_qty,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -183,7 +183,7 @@ ORDER BY l_returnflag, l_linestatus
 """
     o["q3_top_unshipped"] = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -201,7 +201,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
     o["q5_supplier_volume"] = """
 SELECT n_name,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -23,13 +23,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 flavor: one wide scan, group on two low-cardinality keys.
     Fully partial-aggregated map-side; the shuffle carries ~8 rows."""
     li = _t(spark, sf_dir, "lineitem")
+    # double sums rounded to cents: partial-agg summation order differs
+    # from the oracle's sequential fold in the last float bits
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_extendedprice").alias("sum_base_price"),
-                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
                  .alias("sum_disc_price"),
-                 F.avg("l_quantity").alias("avg_qty"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
@@ -43,7 +46,8 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
             .limit(10))
@@ -67,7 +71,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (cust.c_nationkey == supp.s_nationkey))
             .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
             .groupBy("n_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"),
                  F.count("*").alias("n_items"))
             .orderBy(F.desc("revenue")))
