@@ -128,10 +128,26 @@ def extract_document(doc_id: str, source: str,
             "pred": pred, "obj": obj, "label": label,
         })
 
+    def emit_mention(method_id: str, pe: PE) -> None:
+        if isinstance(pe, ExpressionInfo) and \
+                pe.category == "MethodInvocation" and pe.expressions:
+            mentions.append({
+                "doc_id": doc_id, "method_id": method_id,
+                "node_id": pe.pe_id,
+                "mention": pe.expressions[0].text,
+                "kind": "call_site",
+                "candidate": pe.api_name or pe.expressions[0].text,
+            })
+
     for ordinal, method in enumerate(methods):
         method_id = f"{doc_id}#{ordinal}:{method.name or '<lambda>'}"
+        mentions.append({
+            "doc_id": doc_id, "method_id": method_id,
+            "node_id": method.pe_id, "mention": method.name or "",
+            "kind": "method_decl", "candidate": method.name or "",
+        })
         try:
-            # ---- AST graph: PE-tree parent-child, preorder ----
+            # ---- AST graph + call-site mentions: ONE preorder walk ----
             if "ast" in graphs:
                 stack: List[PE] = [method]
                 seen_ast: set = set()
@@ -141,6 +157,7 @@ def extract_document(doc_id: str, source: str,
                         continue
                     seen_ast.add(pe.pe_id)
                     emit_node(method_id, pe, "ast", "")
+                    emit_mention(method_id, pe)
                     children = _ast_children(pe)
                     for child in children:
                         emit_triple(method_id, pe.pe_id, "ast_child",
@@ -186,29 +203,17 @@ def extract_document(doc_id: str, source: str,
                     emit_triple(method_id, e.from_node.core.pe_id, pred,
                                 e.to_node.core.pe_id, label)
 
-            # ---- mentions for entity linking ----
-            mentions.append({
-                "doc_id": doc_id, "method_id": method_id,
-                "node_id": method.pe_id, "mention": method.name or "",
-                "kind": "method_decl", "candidate": method.name or "",
-            })
-            stack2: List[PE] = [method]
-            seen_m: set = set()
-            while stack2:
-                pe = stack2.pop()
-                if pe.pe_id in seen_m:
-                    continue
-                seen_m.add(pe.pe_id)
-                if isinstance(pe, ExpressionInfo) and \
-                        pe.category == "MethodInvocation" and pe.expressions:
-                    mentions.append({
-                        "doc_id": doc_id, "method_id": method_id,
-                        "node_id": pe.pe_id,
-                        "mention": pe.expressions[0].text,
-                        "kind": "call_site",
-                        "candidate": pe.api_name or pe.expressions[0].text,
-                    })
-                stack2.extend(_ast_children(pe))
+            # ---- mentions without the ast pass: standalone walk ----
+            if "ast" not in graphs:
+                stack2: List[PE] = [method]
+                seen_m: set = set()
+                while stack2:
+                    pe = stack2.pop()
+                    if pe.pe_id in seen_m:
+                        continue
+                    seen_m.add(pe.pe_id)
+                    emit_mention(method_id, pe)
+                    stack2.extend(_ast_children(pe))
         except RecursionError:
             return nodes, triples, mentions, f"recursion limit in {method_id}"
         except Exception as exc:

@@ -11,7 +11,7 @@ hardware baseline: the same kernel driven by raw multiprocessing.Pool at
 eff(spark) / eff(hardware): how much of the host's achievable 8->32
 speedup Spark retains.
 
-Methodology: each level runs in a fresh JVM (subprocess); 3 kernel runs
+Methodology: each level runs in a fresh JVM (subprocess); 3 interleaved rounds x 3 kernel runs
 per level, best reported (the sandbox host shows 40%+ run-to-run noise
 under load); levels interleaved 8,32,8,32 to decorrelate host drift.
 
@@ -115,11 +115,14 @@ def run_mp_level(procs: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     r8s, r32s = [], []
-    for _ in range(2):  # interleaved rounds
+    for _ in range(3):  # interleaved rounds
         r8s.append(run_spark_level(8, sf_dir))
         r32s.append(run_spark_level(32, sf_dir))
     r8, r32 = _best(r8s), _best(r32s)
-    m8, m32 = run_mp_level(8), run_mp_level(32)
+    m8s = [run_mp_level(8) for _ in range(3)]
+    m32s = [run_mp_level(32) for _ in range(3)]
+    m8 = max(m8s, key=lambda r: r["docs_per_sec"])
+    m32 = max(m32s, key=lambda r: r["docs_per_sec"])
     eff = r32["docs_per_sec_warm"] / (4 * r8["docs_per_sec_warm"])
     hw_eff = m32["docs_per_sec"] / (4 * m8["docs_per_sec"])
     rel = eff / hw_eff if hw_eff else 0.0
