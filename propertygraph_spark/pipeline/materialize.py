@@ -108,6 +108,79 @@ def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
 
 
+# ------------------------------------------------- partition-level resume
+
+def bucket_fingerprints(docs: DataFrame, n_buckets: int) -> dict:
+    """Content fingerprint per doc_id bucket: order-insensitive sum of
+    per-doc content hashes (bucket membership is a pure function of
+    doc_id, so a changed/added/removed doc dirties exactly one bucket).
+    One cheap aggregation -> tiny driver-side map."""
+    rows = (with_bucket(docs, n_buckets)
+            .withColumn("h", F.xxhash64("doc_id", F.to_json(F.col("spans"))))
+            .groupBy("bucket")
+            # bit_xor: order-insensitive and overflow-free under ANSI
+            # (sum of 64-bit hashes overflows long)
+            .agg(F.expr("bit_xor(h)").alias("fp"),
+                 F.count("*").alias("n"))
+            .collect())
+    return {int(r["bucket"]): f'{r["fp"]}:{r["n"]}' for r in rows}
+
+
+def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
+                        n_buckets: int = N_BUCKETS_DEFAULT) -> tuple:
+    """Dirty-partition extraction (north_rule: 'failed stages replay only
+    dirty partitions'): compare per-bucket content fingerprints with the
+    previous run's manifest, run the kernel ONLY over docs in changed
+    buckets, and commit via dynamic partition overwrite so clean bucket
+    directories are untouched on disk.
+
+    Returns (reader over the full output, sorted dirty bucket list)."""
+    from .extract import extract_docs
+
+    current = bucket_fingerprints(docs, n_buckets)
+    manifest_file = os.path.join(path, "_buckets.json")
+    previous: dict = {}
+    try:
+        with open(manifest_file) as f:
+            previous = {int(k): v for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        pass
+    dirty = sorted(b for b, fp in current.items() if previous.get(b) != fp)
+    removed = sorted(b for b in previous if b not in current)
+
+    if dirty:
+        bucketed = with_bucket(docs, n_buckets)
+        subset = bucketed.filter(F.col("bucket").isin(dirty)).drop("bucket")
+        union = with_bucket(extract_docs(subset), n_buckets) \
+            .localCheckpoint(eager=False)
+        # per-batch metric rows are RUN telemetry, not content — they must
+        # not churn an unrelated bucket dir (their doc_id is synthetic);
+        # append them beside the data instead
+        content = union.filter(F.col("row_kind") != "metric") \
+                       .repartition("row_kind", "bucket")
+        metrics = union.filter(F.col("row_kind") == "metric") \
+                       .select("doc_id", "text")
+        with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                   "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            content.write.mode("overwrite") \
+                   .partitionBy("row_kind", "bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           with_mode)
+        metrics.write.mode("append").parquet(os.path.join(path, "_runmetrics"))
+    for b in removed:
+        import shutil
+        for kind_dir in os.listdir(path):
+            target = os.path.join(path, kind_dir, f"bucket={b}")
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+    with open(manifest_file, "w") as f:
+        json.dump({str(k): v for k, v in current.items()}, f)
+    return spark.read.parquet(path), dirty
+
+
 def write_metrics(triples: DataFrame, out_dir: str) -> dict:
     """Per-partition lineage + triple-count metrics beside the commit."""
     by_bucket_pred = (triples.groupBy("bucket", "pred").count()
@@ -143,20 +216,18 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     stage_times: dict = {}
 
-    # stage 1: fused extraction, written once partitioned by row_kind+bucket
+    # stage 1: fused extraction with PARTITION-level resume — per-bucket
+    # content fingerprints; only dirty buckets run the kernel, clean
+    # bucket dirs are untouched (dynamic partition overwrite). Inside,
+    # (row_kind, bucket) are co-located into one task before the write
+    # (otherwise tasks x dirs small-file explosion).
     fp1 = fingerprint("extract", docs_fingerprint, n_buckets)
     t0 = time.time()
     union_path = os.path.join(out_dir, "extracted")
-    union = extract_docs(docs)
-    union = with_bucket(union, n_buckets)
-    # co-locate each (row_kind, bucket) into one task before the
-    # partitioned write: without this every kernel task writes a sliver
-    # into every partition dir (tasks x dirs small files — a file-count
-    # explosion that murders both the commit and downstream listings)
-    union = union.repartition("row_kind", "bucket")
-    union = write_stage(union, union_path, fp1,
-                        partition_by=["row_kind", "bucket"], spark=spark)
+    union, dirty_buckets = extract_incremental(spark, docs, union_path,
+                                               n_buckets)
     stage_times["extract"] = round(time.time() - t0, 3)
+    stage_times["extract_dirty_buckets"] = len(dirty_buckets)
 
     nodes = union.filter(F.col("row_kind") == "node") \
                  .select(*NODE_COLS, "bucket")

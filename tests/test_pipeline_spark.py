@@ -141,3 +141,55 @@ def test_error_rows_for_broken_docs(spark):
     assert "bad-doc" in errs and "parse error" in errs["bad-doc"]
     assert "empty-doc" not in errs  # empty source degrades silently
     assert triples.filter(F.col("doc_id") == "bad-doc").count() == 0
+
+
+def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
+    """north_rule: a changed doc re-extracts only its bucket; clean bucket
+    directories are byte-identical (dynamic partition overwrite)."""
+    import glob as globmod
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    from propertygraph_spark.pipeline.materialize import extract_incremental
+
+    def mk(doc_texts):
+        return spark.createDataFrame(
+            [(d, [("code", t, "", 0)]) for d, t in doc_texts.items()],
+            DOCS_SCHEMA)
+
+    texts = {f"doc{i}": f"class C{i} {{ int m(int a) {{ return a + {i}; }} }}"
+             for i in range(12)}
+    out = str(tmp_path / "inc")
+    reader1, dirty1 = extract_incremental(spark, mk(texts), out, n_buckets=8)
+    n1 = reader1.filter("row_kind = 'triple'").count()
+    assert len(dirty1) > 0  # first run: everything dirty
+
+    # snapshot per-file mtimes
+    before = {p: os.path.getmtime(p)
+              for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)}
+
+    # unchanged rerun -> zero dirty buckets, zero rewrites
+    _, dirty2 = extract_incremental(spark, mk(texts), out, n_buckets=8)
+    assert dirty2 == []
+    after = {p: os.path.getmtime(p)
+             for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)}
+    assert before == after
+
+    # change ONE doc -> exactly its bucket replays; other files untouched
+    texts["doc3"] = "class C3 { int m(int a) { return a * 99; } }"
+    reader3, dirty3 = extract_incremental(spark, mk(texts), out, n_buckets=8)
+    assert len(dirty3) == 1
+    (dirty_bucket,) = dirty3
+    changed = {p for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)
+               if "_runmetrics" not in p and before.get(p) != os.path.getmtime(p)}
+    assert changed  # something was rewritten
+    assert all(f"bucket={dirty_bucket}" in p for p in changed), changed
+
+    # incremental result == full recompute
+    full_out = str(tmp_path / "full")
+    full_reader, _ = extract_incremental(spark, mk(texts), full_out,
+                                         n_buckets=8)
+    cols = ["doc_id", "method_id", "subj", "pred", "obj", "label"]
+    a = reader3.filter("row_kind = 'triple'").select(cols)
+    b = full_reader.filter("row_kind = 'triple'").select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert reader3.filter("row_kind = 'triple'").count() == \
+           full_reader.filter("row_kind = 'triple'").count()
