@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_minutely"] = relational.events_minutely
     q["user_sessions"] = relational.user_sessions
     q["event_type_funnel"] = relational.event_type_funnel
+    q["asof_view_before_click"] = relational.asof_view_before_click
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -248,6 +249,20 @@ WITH g AS (
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+    o["asof_view_before_click"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value AS click_value FROM events
+  WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts AS view_ts, value AS view_value FROM events
+  WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts, c.click_value,
+       v.view_value AS last_view_value, v.view_ts AS last_view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.view_ts <= c.ts
+ORDER BY c.event_id
 """
     o["event_type_funnel"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users,

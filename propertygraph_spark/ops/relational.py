@@ -152,3 +152,27 @@ def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").alias("n_users"),
                  F.count("*").alias("n_events"))
             .orderBy("event_type"))
+
+
+def asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a single-shuffle window: for every 'click'
+    event, the user's most recent 'view' value at or before the click.
+
+    Spark has no ASOF JOIN operator; the classic scalable formulation is
+    union-the-streams + per-key ordered window with last(..., ignorenulls)
+    — ONE hashpartitioning(user_id) exchange, no range join explosion.
+    (DuckDB's native ASOF JOIN is the oracle twin.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    view_val = F.when(F.col("event_type") == "view", F.col("value"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    out = (ev.withColumn("last_view_value",
+                         F.last(view_val, ignorenulls=True).over(w))
+           .withColumn("last_view_ts",
+                       F.last(view_ts, ignorenulls=True).over(w))
+           .filter(F.col("event_type") == "click")
+           .select("event_id", "user_id", "ts",
+                   F.col("value").alias("click_value"),
+                   "last_view_value", "last_view_ts"))
+    return out.orderBy("event_id")
