@@ -109,113 +109,67 @@ def unescape_java(body: str) -> str:
     return "".join(out)
 
 
+import re
+
+# Master token pattern: one compiled scan instead of a char-by-char
+# Python loop (the lexer is on the kernel's critical path). Number/string
+# sub-patterns replicate the historical loop's acceptance rules; the rare
+# cases the regex cannot express (unterminated literals) are detected by
+# a gap in the match stream and raise the same LexError.
+_NUMBER_RE = (
+    r"0[xX][0-9a-fA-F_]+[lL]?"
+    r"|0[bB][01_]+[lL]?"
+    r"|(?:\d[\d_]*(?:\.(?=[0-9eEfFdD])[\d_]*)?|\.\d[\d_]*)"
+    r"(?:[eE](?=[0-9+\-])[+-]?[\d_]*)?[lLfFdD]?"
+)
+_MASTER = re.compile(
+    r"(?P<ws>[ \t\r\n\f\x0b]+)"
+    r"|(?P<linec>//[^\n]*)"
+    r"|(?P<blockc>/\*(?s:.*?)\*/)"
+    r"|(?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)"
+    rf"|(?P<number>{_NUMBER_RE})"
+    r'|(?P<tblock>"""(?s:.*?)""")'
+    r'|(?P<string>"(?:[^"\\\n]|\\.)*")'
+    r"|(?P<char>'(?:[^'\\]|\\.)*?')"
+    r"|(?P<op>" + "|".join(re.escape(op) for op in OPERATORS) + r")"
+)
+
+
 def tokenize(source: str) -> List[Token]:
     toks: List[Token] = []
+    append = toks.append
     i = 0
     n = len(source)
-    while i < n:
-        c = source[i]
-        if c in " \t\r\n\f\x0b":
-            i += 1
-            continue
-        if c == "/" and i + 1 < n:
-            c2 = source[i + 1]
-            if c2 == "/":
-                j = source.find("\n", i)
-                i = n if j < 0 else j + 1
-                continue
-            if c2 == "*":
-                j = source.find("*/", i + 2)
-                if j < 0:
-                    raise LexError(f"unterminated block comment at {i}")
-                i = j + 2
-                continue
-        if c.isalpha() or c in "_$":
-            j = i + 1
-            while j < n and (source[j].isalnum() or source[j] in "_$"):
-                j += 1
-            word = source[i:j]
-            toks.append(Token("keyword" if word in KEYWORDS else "ident", word, i, j))
-            i = j
-            continue
-        if c.isdigit() or (c == "." and i + 1 < n and source[i + 1].isdigit()):
-            j = i
-            if c == "0" and i + 1 < n and source[i + 1] in "xX":
-                j = i + 2
-                while j < n and (source[j] in "0123456789abcdefABCDEF_"):
-                    j += 1
-                if j < n and source[j] in "lL":
-                    j += 1
-            elif c == "0" and i + 1 < n and source[i + 1] in "bB":
-                j = i + 2
-                while j < n and source[j] in "01_":
-                    j += 1
-                if j < n and source[j] in "lL":
-                    j += 1
-            else:
-                seen_dot = seen_exp = False
-                while j < n:
-                    ch = source[j]
-                    if ch.isdigit() or ch == "_":
-                        j += 1
-                    elif ch == "." and not seen_dot and not seen_exp \
-                            and j + 1 < n and (source[j + 1].isdigit() or source[j + 1] in "eEfFdD"):
-                        seen_dot = True
-                        j += 1
-                    elif ch in "eE" and not seen_exp and j + 1 < n \
-                            and (source[j + 1].isdigit() or source[j + 1] in "+-"):
-                        seen_exp = True
-                        j += 2 if source[j + 1] in "+-" else 1
-                    else:
-                        break
-                if j < n and source[j] in "lLfFdD":
-                    j += 1
-            toks.append(Token("number", source[i:j], i, j))
-            i = j
-            continue
-        if c == '"':
-            if source.startswith('"""', i):  # text block
-                j = source.find('"""', i + 3)
-                if j < 0:
-                    raise LexError(f"unterminated text block at {i}")
-                toks.append(Token("string", source[i:j + 3], i, j + 3))
-                i = j + 3
-                continue
-            j = i + 1
-            while j < n:
-                if source[j] == "\\":
-                    j += 2
-                    continue
-                if source[j] == '"':
-                    break
-                if source[j] == "\n":
-                    raise LexError(f"unterminated string at {i}")
-                j += 1
-            if j >= n:
+    for m in _MASTER.finditer(source):
+        if m.start() != i:
+            c = source[i]
+            if c == '"':
                 raise LexError(f"unterminated string at {i}")
-            toks.append(Token("string", source[i:j + 1], i, j + 1))
-            i = j + 1
-            continue
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if source[j] == "\\":
-                    j += 2
-                    continue
-                if source[j] == "'":
-                    break
-                j += 1
-            if j >= n:
+            if c == "'":
                 raise LexError(f"unterminated char literal at {i}")
-            toks.append(Token("char", source[i:j + 1], i, j + 1))
-            i = j + 1
-            continue
-        for op in _OP_BY_FIRST.get(c, ()):
-            if source.startswith(op, i):
-                toks.append(Token("op", op, i, i + len(op)))
-                i += len(op)
-                break
-        else:
+            if source.startswith("/*", i):
+                raise LexError(f"unterminated block comment at {i}")
             raise LexError(f"unexpected character {c!r} at offset {i}")
-    toks.append(Token("eof", "", n, n))
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws" or kind == "linec" or kind == "blockc":
+            continue
+        v = m.group()
+        if kind == "ident":
+            append(Token("keyword" if v in KEYWORDS else "ident", v,
+                         m.start(), i))
+        elif kind == "tblock":
+            append(Token("string", v, m.start(), i))
+        else:
+            append(Token(kind, v, m.start(), i))
+    if i != n:
+        c = source[i]
+        if c == '"':
+            raise LexError(f"unterminated string at {i}")
+        if c == "'":
+            raise LexError(f"unterminated char literal at {i}")
+        if source.startswith("/*", i):
+            raise LexError(f"unterminated block comment at {i}")
+        raise LexError(f"unexpected character {c!r} at offset {i}")
+    append(Token("eof", "", n, n))
     return toks
