@@ -128,11 +128,25 @@ class Parser:
 
     def parse_compilation_unit(self) -> J:
         types: List[J] = []
+        imports: List[str] = []
         while not self.at_kind("eof"):
-            if self.at("package") or self.at("import"):
+            if self.at("package"):
                 while not self.at(";") and not self.at_kind("eof"):
                     self.advance()
                 self.accept(";")
+                continue
+            if self.at("import"):
+                self.advance()
+                self.accept("static")
+                parts: List[str] = []
+                while not self.at(";") and not self.at_kind("eof"):
+                    t = self.advance()
+                    if t.kind in ("ident", "keyword") or t.value in (".", "*"):
+                        parts.append(t.value)
+                self.accept(";")
+                path = "".join(parts)
+                if path and not path.endswith("*"):
+                    imports.append(path)
                 continue
             if self.at(";"):
                 self.advance()
@@ -152,7 +166,8 @@ class Parser:
             else:
                 # stray token; skip to avoid infinite loop
                 self.advance()
-        return J("CompilationUnit", 0, len(self.src), types=types)
+        return J("CompilationUnit", 0, len(self.src), types=types,
+                 imports=imports)
 
     def skip_to_body_and_discard(self) -> None:
         while not self.at("{") and not self.at_kind("eof"):

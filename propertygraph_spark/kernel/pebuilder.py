@@ -32,6 +32,7 @@ class PEBuilder:
         self.idgen = IdGen()
         self.scope_manager = ScopeManager()
         self.methods: List[MethodInfo] = []
+        self.imports: dict = {}  # simple name -> fqn (single-type imports)
 
     # ---------------------------------------------------------- line rules
 
@@ -55,6 +56,9 @@ class PEBuilder:
 
     def build(self) -> List[MethodInfo]:
         unit = parse_java(self.src)
+        for path in unit.get("imports", []):
+            simple = path.rsplit(".", 1)[-1]
+            self.imports.setdefault(simple, path)
         for td in unit["types"]:
             self.build_type_declaration(td)
         return self.methods
@@ -743,7 +747,11 @@ class PEBuilder:
         text.append(")")
         e.text = "".join(text)
         if j["expr"] is not None and receiver_text is not None:
-            e.api_name = receiver_text + "." + j["name"]["name"] + "()"
+            # static-call qualification via the import table (the static
+            # stand-in for JDT binding resolution, which set apiName =
+            # qualifiedType.method(); pe/ExpressionInfo.java:66-70)
+            fqn = self.imports.get(receiver_text, receiver_text)
+            e.api_name = fqn + "." + j["name"]["name"] + "()"
         return e
 
     def _ex_SuperMethodInvocation(self, j: J) -> ExpressionInfo:

@@ -63,3 +63,24 @@ def test_construct_dropped_like_reference(name):
     nodes, triples, mentions, err = extract_document(name, MUST_DROP[name])
     assert err is None, err
     assert not triples  # silently dropped, not an error
+
+
+def test_import_qualified_candidates():
+    """Single-type imports qualify static-call candidates — the static
+    stand-in for JDT binding resolution (apiName,
+    pe/ExpressionInfo.java:66-70); wildcards and locals stay unqualified."""
+    src = (
+        "import java.util.concurrent.ConcurrentHashMap;\n"
+        "import static java.lang.Math.max;\n"
+        "import org.acme.util.*;\n"
+        "class A { void m(String s) {\n"
+        "    ConcurrentHashMap.newKeySet();\n"
+        "    s.trim();\n"
+        "} }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    cands = {m["mention"]: m["candidate"] for m in mentions
+             if m["kind"] == "call_site"}
+    assert cands["newKeySet"] == \
+        "java.util.concurrent.ConcurrentHashMap.newKeySet()"
+    assert cands["trim"] == "s.trim()"  # receiver is a local, not a type
