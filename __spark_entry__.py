@@ -7,13 +7,15 @@
 ``queries``    — one entry per operator family (SURVEY.md §2 + the
                  training-data ops suite: dedup, similarity, text
                  analysis, multimodal, relational shell).
-``oracle_sql`` — DuckDB twins. Every operator whose semantics are
-                 SQL-expressible gets an exact value-checked oracle —
-                 including the KG kernel itself, whose per-template triple
-                 counts are frozen constants (ops/kgdocs.py), and the
-                 mapInPandas media decode, whose arithmetic has a pure-SQL
-                 twin. Only ann_lsh_topk / dedup_embedding (float-fold
-                 ordering inside LSH buckets) are rows-only checked.
+``oracle_sql`` — DuckDB twins. EVERY query is value-checked: md5-based
+                 hashing, integer-scaled ratios and sequential float folds
+                 keep Spark and DuckDB bit-identical — including the KG
+                 kernel itself (frozen per-template constants,
+                 ops/kgdocs.py), the mapInPandas media decode (pure-SQL
+                 arithmetic twin), the LSH/IVF ANN paths (literal
+                 hyperplane signs / md5-seeded centroids in SQL), the
+                 distributed PDG closure, and the as-of join (DuckDB
+                 native ASOF JOIN as the twin).
 """
 
 from __future__ import annotations
@@ -429,6 +431,43 @@ SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos} AS cos_pm
 FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cos} >= 300000
+"""
+
+    # IVF: md5-seeded centroids + argmax-cosine assignment, then the same
+    # in-bucket rerank (tie-break = seed rank, matching numpy argmax's
+    # first-max rule; seed order = md5(vec_id) ascending)
+    _qcos = ("list_sum(list_transform(list_zip(e.embedding, s.embedding), "
+             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+             "/ (e.nrm * s.nrm)")
+    o["ann_ivf_topk"] = f"""
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, embedding, nrm,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS seed_rank
+  FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+), assign AS (
+  SELECT e.vec_id, e.embedding, e.nrm, s.seed_rank,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_qcos} DESC, s.seed_rank ASC) AS rk
+  FROM nv e CROSS JOIN seeds s
+), n AS (
+  SELECT vec_id, embedding, nrm, seed_rank AS bucket
+  FROM assign WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {_cos} AS cos_pm
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_pm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_pm DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
 """
 
     o["ann_cosine_topk"] = """
