@@ -72,7 +72,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
 
     # --- dedup ---
-    q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
+    # exact dedup would be vacuous on the driver corpus (no duplicate
+    # texts), so the query runs over documents + deterministic copies of
+    # every 10th doc — the oracle replicates the same augmentation
+    def _docs_with_dupes(s_, d_):
+        base = _docs(s_, d_)
+        copies = (base.filter(F.col("doc_id") % 10 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        return base.unionByName(copies)
+
+    q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
+        _docs_with_dupes(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), threshold_pm=200)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
@@ -328,9 +338,14 @@ FROM t LEFT JOIN sh ON sh.doc_id = t.doc_id
 
     # --- dedup ---
     o["dedup_exact"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS content_md5, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+FROM aug GROUP BY md5(text) HAVING count(*) > 1
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH sh AS ({_shingle_sql()}),
