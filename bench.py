@@ -70,14 +70,17 @@ def main() -> None:
     kgdocs.docs_with_spans(rep).write.mode("overwrite").parquet(corpus)
     src = spark.read.parquet(corpus)
     n_docs = src.count()
-    t0 = time.monotonic()
     from propertygraph_spark.pipeline.extract import extract_docs
+    # one untimed pass spins up the Python workers (a long-lived cluster
+    # amortizes this); the timed pass measures steady-state throughput
+    extract_docs(src, route=False).count()
+    t0 = time.monotonic()
     n_rows = extract_docs(src, route=False).count()
     kg_sec = time.monotonic() - t0
     results["kg_extract"] = round(kg_sec, 3)
     extras["kg_docs"] = n_docs
     extras["kg_rows"] = n_rows
-    extras["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
+    extras["kg_docs_per_sec_warm"] = round(n_docs / kg_sec, 1)
 
     benches = {
         "q1_pricing_summary": lambda: relational.pricing_summary(spark, sf_dir),
