@@ -176,8 +176,16 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
             target = os.path.join(path, kind_dir, f"bucket={b}")
             if os.path.isdir(target):
                 shutil.rmtree(target)
+    os.makedirs(path, exist_ok=True)
     with open(manifest_file, "w") as f:
         json.dump({str(k): v for k, v in current.items()}, f)
+    has_data = any(d.startswith("row_kind=") for d in os.listdir(path))
+    if not has_data:
+        # empty corpus (or all docs removed): no partition dirs to read
+        from propertygraph_spark.pipeline.extract import UNION_SCHEMA
+        reader = spark.createDataFrame([], UNION_SCHEMA) \
+            .withColumn("bucket", F.lit(0).cast("int"))
+        return reader, dirty
     return spark.read.parquet(path), dirty
 
 

@@ -193,3 +193,13 @@ def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert reader3.filter("row_kind = 'triple'").count() == \
            full_reader.filter("row_kind = 'triple'").count()
+
+
+def test_incremental_extract_empty_corpus(spark, tmp_path):
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    from propertygraph_spark.pipeline.materialize import extract_incremental
+    docs = spark.createDataFrame([], DOCS_SCHEMA)
+    out = str(tmp_path / "empty")
+    reader, dirty = extract_incremental(spark, docs, out, n_buckets=4)
+    assert dirty == []
+    assert reader.count() == 0
