@@ -75,13 +75,18 @@ class Parser:
 
     def peek(self, ahead: int = 0) -> Token:
         i = self.pos + ahead
-        return self.toks[i] if i < len(self.toks) else self.toks[-1]
+        toks = self.toks
+        return toks[i] if i < len(toks) else toks[-1]
 
     def at(self, value: str, ahead: int = 0) -> bool:
-        return self.peek(ahead).value == value
+        i = self.pos + ahead
+        toks = self.toks
+        return (toks[i] if i < len(toks) else toks[-1]).value == value
 
     def at_kind(self, kind: str, ahead: int = 0) -> bool:
-        return self.peek(ahead).kind == kind
+        i = self.pos + ahead
+        toks = self.toks
+        return (toks[i] if i < len(toks) else toks[-1]).kind == kind
 
     def advance(self) -> Token:
         t = self.toks[self.pos]

@@ -122,10 +122,13 @@ _NUMBER_RE = (
     r"|(?:\d[\d_]*(?:\.(?=[0-9eEfFdD])[\d_]*)?|\.\d[\d_]*)"
     r"(?:[eE](?=[0-9+\-])[+-]?[\d_]*)?[lLfFdD]?"
 )
+_KW_ALT = "|".join(sorted((k for k in KEYWORDS if "-" not in k),
+                          key=len, reverse=True))
 _MASTER = re.compile(
     r"(?P<ws>[ \t\r\n\f\x0b]+)"
     r"|(?P<linec>//[^\n]*)"
     r"|(?P<blockc>/\*(?s:.*?)\*/)"
+    rf"|(?P<keyword>(?:{_KW_ALT})(?![A-Za-z0-9_$]))"
     r"|(?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)"
     rf"|(?P<number>{_NUMBER_RE})"
     r'|(?P<tblock>"""(?s:.*?)""")'
@@ -155,10 +158,7 @@ def tokenize(source: str) -> List[Token]:
         if kind == "ws" or kind == "linec" or kind == "blockc":
             continue
         v = m.group()
-        if kind == "ident":
-            append(Token("keyword" if v in KEYWORDS else "ident", v,
-                         m.start(), i))
-        elif kind == "tblock":
+        if kind == "tblock":
             append(Token("string", v, m.start(), i))
         else:
             append(Token(kind, v, m.start(), i))
