@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_spans_roundtrip"] = lambda s, d: kgdocs.spans_roundtrip(_docs(s, d))
     q["kg_pdg_closure"] = lambda s, d: kgdocs.pdg_closure_by_template(
         _docs(s, d))
+    q["kg_degree_hist"] = lambda s, d: kgdocs.degree_histogram(_docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_mentions_by_kind"] = kgdocs.mention_count_oracle_sql()
     o["kg_spans_roundtrip"] = kgdocs.spans_roundtrip_oracle_sql()
     o["kg_pdg_closure"] = kgdocs.closure_oracle_sql()
+    o["kg_degree_hist"] = kgdocs.degree_histogram_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

@@ -44,6 +44,7 @@ JAVA_TEMPLATES = [
 TEMPLATE_TRIPLE_COUNTS: dict[int, dict[str, int]] = {}   # filled below
 TEMPLATE_MENTION_COUNTS: dict[int, dict[str, int]] = {}  # filled below
 TEMPLATE_CLOSURE_PAIRS: dict[int, int] = {}              # filled below
+TEMPLATE_DEGREE_HIST: dict[int, dict[tuple, int]] = {}   # filled below
 
 
 def _closure_pairs(triples: list) -> int:
@@ -86,6 +87,15 @@ def _freeze_constants() -> None:
             by_kind[m["kind"]] = by_kind.get(m["kind"], 0) + 1
         TEMPLATE_MENTION_COUNTS[tpl] = by_kind
         TEMPLATE_CLOSURE_PAIRS[tpl] = _closure_pairs(triples)
+        # out-degree histogram per predicate family: {(pred, degree): n}
+        outdeg: dict = {}
+        for t in triples:
+            outdeg[(t["pred"], t["subj"])] = \
+                outdeg.get((t["pred"], t["subj"]), 0) + 1
+        hist: dict = {}
+        for (pred, _subj), d in outdeg.items():
+            hist[(pred, d)] = hist.get((pred, d), 0) + 1
+        TEMPLATE_DEGREE_HIST[tpl] = hist
 
 
 _freeze_constants()
@@ -178,6 +188,37 @@ def pdg_closure_by_template(documents: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_methods"),
                  F.sum("n_pairs").alias("closure_pairs"))
             .orderBy("tpl"))
+
+
+def degree_histogram(documents: DataFrame) -> DataFrame:
+    """Out-degree histogram of the emitted graphs per predicate family —
+    a second analytics surface over the triple tables (groupBy twice:
+    (pred, subj) degree, then (pred, degree) count)."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    deg = (triples.groupBy("pred", "doc_id", "method_id", "subj")
+           .agg(F.count("*").alias("degree")))
+    return (deg.groupBy("pred", "degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("pred", "degree"))
+
+
+def degree_histogram_oracle_sql() -> str:
+    values = []
+    for tpl, hist in TEMPLATE_DEGREE_HIST.items():
+        for (pred, degree), n in hist.items():
+            values.append(f"({tpl}, '{pred}', {degree}, {n})")
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, pred, degree, nn) AS (VALUES {', '.join(values)})
+SELECT c.pred AS pred, c.degree AS degree,
+       CAST(SUM(t.n * c.nn) AS BIGINT) AS n_nodes
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY c.pred, c.degree ORDER BY pred, degree
+"""
 
 
 def closure_oracle_sql() -> str:

@@ -3,6 +3,8 @@ and incremental KG extraction over a file-source stream."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -117,3 +119,46 @@ def test_stateful_sessionization(spark, tmp_path):
     # in state until a timeout that never fires under availableNow)
     assert (1, "2024-01-01 00:00:00", 2, 3.0) in got
     assert (2, "2024-01-01 00:00:00", 2, 9.0) in got
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late data beyond the watermark is dropped from append-mode state:
+    feed batch 1 with fresh rows up to 01:00, then batch 2 with a row
+    40 minutes older than the watermark — its window must emit WITHOUT
+    the late row's contribution."""
+    from propertygraph_spark.streaming.events import (read_events_stream,
+                                                      streaming_event_counts)
+    base = str(tmp_path / "wm")
+    os.makedirs(base)
+    schema = ("event_id long, ts string, user_id long, event_type string,"
+              " value double, props string")
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema) \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(f"{base}/{name}")
+
+    # batch 1 only on disk: window 00:00 gets one row; max ts 01:00 ->
+    # watermark becomes 00:55 after this batch commits
+    write_file([(1, "2024-01-01 00:00:10", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 01:00:00", 1, "click", 1.0, "{}")], "f1")
+
+    stream = (spark.readStream.schema(schema.replace("ts string",
+                                                     "ts timestamp"))
+              .parquet(base + "/*"))
+    counts = streaming_event_counts(stream, window="1 minute",
+                                    watermark="5 minutes")
+    q = (counts.writeStream.format("memory").queryName("wm_counts")
+         .outputMode("append").start())
+    q.processAllAvailable()  # batch 1 committed, watermark = 00:55
+    # batch 2: a LATE row for window 00:00 (behind the watermark) plus a
+    # fresh row far ahead that closes all earlier windows
+    write_file([(3, "2024-01-01 00:00:20", 1, "click", 9.0, "{}"),
+                (4, "2024-01-01 03:00:00", 1, "click", 1.0, "{}")], "f2")
+    q.processAllAvailable()
+    q.processAllAvailable()  # extra cycle: watermark advance -> emission
+    q.stop()
+    got = {str(r["window_start"]): r["n_events"]
+           for r in spark.sql("select * from wm_counts").collect()}
+    # the 00:00 window emitted with ONLY the on-time row (late row dropped)
+    assert got.get("2024-01-01 00:00:00") == 1, got
