@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
     q["ann_ivf_topk"] = lambda s, d: similarity.ann_ivf_topk(_emb(s, d), k=5)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
+    q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
 
     # --- multimodal plumbing (Arrow mapInPandas decode) ---
     q["media_decode_meta"] = lambda s, d: decode_media_meta(
@@ -507,6 +508,32 @@ WITH n AS (
   FROM pairs
 )
 SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
+"""
+    o["emb_quantize_int8"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS absmax
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END AS scale
+  FROM s
+), c AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))
+           AS codes
+  FROM sc
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000) AS BIGINT) AS scale_pm,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+         AS code_abs_sum,
+       list_max(codes) AS code_max,
+       list_min(codes) AS code_min
+FROM c
 """
     o["emb_centroids"] = """
 SELECT label, dim,

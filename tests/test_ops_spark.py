@@ -151,3 +151,16 @@ def test_kgdocs_roundtrip_and_counts(spark, docs):
         for pred, c in kgdocs.TEMPLATE_TRIPLE_COUNTS[d % 4].items():
             exp[pred] = exp.get(pred, 0) + c
     assert counts == exp
+
+
+def test_quantize_int8(emb):
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    # unit vector [1,0,0,0]: scale 127, codes [127,0,0,0]
+    assert out[0]["code_max"] == 127 and out[0]["code_min"] == 0
+    assert out[0]["code_sum"] == 127 and out[0]["code_abs_sum"] == 127
+    assert out[0]["scale_pm"] == 127_000_000
+    # opposite vector: code_min == -127
+    assert out[3]["code_min"] == -127 and out[3]["code_sum"] == -127
+    # every vector's max |code| is exactly 127 (symmetric scaling)
+    assert all(max(r["code_max"], -r["code_min"]) == 127
+               for r in out.values())
