@@ -273,8 +273,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
 
     metrics = write_metrics(edges_out, out_dir)
     metrics["stage_times"] = stage_times
-    metrics["nodes"] = nodes_out.count()
-    metrics["canonical_entities"] = canon.count()
+
+    def _manifest_rows(stage_path: str) -> int:
+        # snapshot manifests carry exact footer row counts — no scan job
+        with open(_manifest_path(stage_path)) as f:
+            return json.load(f)["total_rows"]
+
+    metrics["nodes"] = _manifest_rows(os.path.join(out_dir, "nodes"))
+    metrics["canonical_entities"] = _manifest_rows(canon_path)
     with open(os.path.join(out_dir, "_metrics", "pipeline.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
