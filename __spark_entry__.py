@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: text.quality_score(_docs(s, d))
     q["text_langid"] = lambda s, d: text.language_id(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
+    q["text_ttr"] = lambda s, d: text.type_token_ratio(_docs(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -325,6 +326,22 @@ SELECT doc_id, n_tok AS n_tokens, n_char AS n_chars_measured,
 FROM m
 """
     o["text_langid"] = _langid_sql()
+    o["text_ttr"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END AS bigrams
+      FROM t)
+SELECT doc_id, n AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       len(list_distinct(bigrams)) AS n_distinct_bigrams,
+       CASE WHEN n > 0
+            THEN CAST(floor(len(list_distinct(toks)) * 1000 / n) AS BIGINT)
+            ELSE 0 END AS ttr_pm
+FROM b
+"""
     o["text_fingerprint"] = f"""
 WITH t AS (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents),
 e AS (SELECT doc_id, toks,

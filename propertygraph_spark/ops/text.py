@@ -127,3 +127,26 @@ def fingerprint(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
         F.array_min(F.transform(shingle, F.md5)).alias("min_shingle_md5"),
         n.alias("n_tokens"),
     )
+
+
+def type_token_ratio(docs: DataFrame) -> DataFrame:
+    """Lexical-diversity quality signal: distinct/total tokens and
+    distinct bigrams per document (TTR per-mille — integer arithmetic,
+    exact oracle twin). Low TTR flags boilerplate/spam in training-data
+    filtering."""
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)) \
+           .otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", F.element_at("toks", (i + 1).cast("int")),
+            F.element_at("toks", (i + 2).cast("int"))))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        F.when(n > 0, F.floor(F.size(F.array_distinct("toks")) * 1000 / n))
+        .otherwise(0).cast("long").alias("ttr_pm"))
