@@ -159,3 +159,57 @@ def test_empty_then_branch():
     assert ("{\n}", "cfg_normal", "h();", "") in e
     assert ("if  ( x > 0 )", "cfg_false", "h();", "") in e
     assert len(e) == 3
+
+
+def test_do_while_continue_targets_body_enter():
+    """Reference rule: continue in a do-loop jumps to the BODY ENTER node,
+    not the condition (cfg/CFG.java:223 passes this.enterNode — a
+    deliberate deviation from Java semantics we must reproduce)."""
+    src = ("class A { void m(int x) { do { if (x > 1) { continue; } x++; } "
+           "while (x < 9); } }")
+    from propertygraph_spark.kernel.extract import extract_document
+    nodes, triples, _, err = extract_document("d", src)
+    assert err is None
+    id2text = {n["node_id"]: n["text"] for n in nodes}
+    jumps = [(id2text[t["subj"]], id2text[t["obj"]])
+             for t in triples if t["pred"] == "cfg_jump"]
+    assert jumps == [("continue;", "if  ( x > 1 )")]
+
+
+def test_multiple_classes_and_overloads():
+    """All TypeDeclarations in a unit are processed; overloads get
+    distinct method_ids via the ordinal."""
+    from propertygraph_spark.kernel.extract import extract_document
+    src = ("class A { void m() { int x = 1; } void m(int a) { int y = a; } }"
+           " class B { void n() { int z = 2; } }")
+    nodes, triples, _, err = extract_document("d", src)
+    assert err is None
+    methods = sorted({n["method_id"] for n in nodes})
+    assert methods == ["d#0:m", "d#1:m", "d#2:n"]
+    # each method's graph is self-contained
+    for mid in methods:
+        assert any(t["method_id"] == mid for t in triples)
+
+
+def test_switch_default_in_middle_falls_through():
+    """default in the middle of a switch participates in fall-through
+    order like any case group (buildSwitchBlockCFG chains consecutive
+    groups, cfg/CFG.java:361-412)."""
+    from propertygraph_spark.kernel.extract import extract_document
+    src = ("class A { void m(int x) { switch (x) "
+           "{ case 1: f(); default: g(); case 2: h(); break; } } }")
+    nodes, triples, _, err = extract_document("d", src)
+    assert err is None
+    id2text = {n["node_id"]: n["text"] for n in nodes}
+    cfg = [(id2text[t["subj"]], id2text[t["obj"]], t["pred"])
+           for t in triples if t["pred"].startswith("cfg_")]
+    # the switch condition fans out with TRUE control edges to every
+    # case label, including the middle default — whose text is ":" (JDT
+    # SwitchCase.expressions() is EMPTY for default, so the reference's
+    # text loop appends nothing before ":", PEASTVisitor.java:1606-1623)
+    cond_true_targets = {b for a, b, p in cfg if p == "cfg_true"}
+    assert {"case 1:", ":", "case 2:"} <= cond_true_targets
+    # fall-through: f() -> default(":"), g() -> case 2:
+    normals = {(a, b) for a, b, p in cfg if p == "cfg_normal"}
+    assert ("f();", ":") in normals
+    assert ("g();", "case 2:") in normals
