@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["user_sessions"] = relational.user_sessions
     q["event_type_funnel"] = relational.event_type_funnel
     q["asof_view_before_click"] = relational.asof_view_before_click
+    q["q6_revenue_change"] = relational.revenue_change
+    q["q12_priority_shipmode"] = relational.priority_shipmode
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -279,6 +281,21 @@ SELECT c.event_id, c.user_id, c.ts, c.click_value,
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.view_ts <= c.ts
 ORDER BY c.event_id
+"""
+    o["q6_revenue_change"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+    o["q12_priority_shipmode"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
 """
     o["event_type_funnel"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users,

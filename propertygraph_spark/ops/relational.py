@@ -176,3 +176,31 @@ def asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("value").alias("click_value"),
                    "last_view_value", "last_view_ts"))
     return out.orderBy("event_id")
+
+
+def revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 flavor: pure filter + global aggregate — the canonical
+    pushdown showcase (every predicate reaches the parquet scan; the
+    'shuffle' carries one partial row per partition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.filter((F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                        2).alias("revenue"),
+                F.count("*").alias("n_items")))
+    return out
+
+
+def priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor: conditional aggregation — counts of high/low
+    priority orders per return flag (CASE inside SUM, single shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+            .otherwise(0)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(high).alias("high_priority_count"),
+                 F.sum(1 - high).alias("low_priority_count"))
+            .orderBy("l_returnflag"))
