@@ -102,6 +102,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
 
+    # cross-modal profile: text-quality signals joined to the doc's
+    # embedding norm (documents.doc_id == embeddings.vec_id in the
+    # testdata layout) — the canonical multimodal feature join
+    def _profile(s_, d_):
+        q_ = text.quality_score(_docs(s_, d_))
+        nrm = _emb(s_, d_).select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(F.sqrt(F.aggregate(
+                "embedding", F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double")))
+                * 1_000_000).cast("long").alias("emb_norm_pm"))
+        return q_.join(nrm, "doc_id", "left")                  .select("doc_id", "n_tokens", "quality_score",
+                         "emb_norm_pm")
+
+    q["doc_embedding_profile"] = _profile
+
     # --- multimodal plumbing (Arrow mapInPandas decode) ---
     q["media_decode_meta"] = lambda s, d: decode_media_meta(
         synthesize_media(_docs(s, d)))
@@ -343,6 +359,34 @@ SELECT doc_id, n_tok AS n_tokens, n_char AS n_chars_measured,
 FROM m
 """
     o["text_langid"] = _langid_sql()
+    o["doc_embedding_profile"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_sql_tokens()} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tok, length(text) AS n_char, n_punct,
+         len(list_filter(toks, x -> list_contains({stop_arr}, x))) AS n_stop
+  FROM t
+), qs AS (
+  SELECT doc_id, n_tok AS n_tokens,
+         CAST(least(n_tok, 500)
+              + (CASE WHEN n_tok > 0
+                      THEN floor(n_stop * 1000 / n_tok) ELSE 0 END)
+              - (CASE WHEN n_char > 0
+                      THEN floor(n_punct * 1000 / n_char) ELSE 0 END)
+           AS BIGINT) AS quality_score
+  FROM m
+), nrm AS (
+  SELECT vec_id AS doc_id,
+         CAST(floor(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
+           AS BIGINT) AS emb_norm_pm
+  FROM embeddings
+)
+SELECT qs.doc_id, qs.n_tokens, qs.quality_score, nrm.emb_norm_pm
+FROM qs LEFT JOIN nrm ON qs.doc_id = nrm.doc_id
+"""
     o["text_ttr"] = f"""
 WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
 b AS (SELECT doc_id, toks, len(toks) AS n,
