@@ -136,7 +136,7 @@ def _sql_hexval(c: str) -> str:
 
 
 def _langid_sql() -> str:
-    score_exprs, preds = [], []
+    score_exprs = []
     items = list(LANG_MARKERS.items())
     encs = []
     for rank, (lang, markers) in enumerate(items):

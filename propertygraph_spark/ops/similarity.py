@@ -88,25 +88,31 @@ def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(batches, schema)
 
 
-def _plane_sign(j: int, dim_idx: Column) -> Column:
-    """Deterministic +-1 for hyperplane j at dimension dim_idx: parity of
-    first hex char of md5('<j>|<dim>')."""
-    h = F.md5(F.concat(F.lit(f"{j}|"), dim_idx.cast("string")))
-    first = F.ascii(F.substring(h, 1, 1))
-    val = first - 48 - 39 * (first >= 97).cast("int")
-    return (val % 2) * 2 - 1
+def plane_signs(j: int, dims: int) -> list:
+    """Deterministic +-1 pattern for hyperplane j: parity of the first
+    hex char of md5('<j>|<dim>') — computed host-side once (the same
+    derivation the SQL oracle inlines as literals)."""
+    import hashlib
+    return [
+        (int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0], 16) % 2) * 2 - 1
+        for i in range(dims)]
 
 
-def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES,
+               dims: int = 64) -> DataFrame:
     """Sign-bit sketch: bucket = sum over planes j of 2^j * [dot(v, s_j)>=0]
-    where s_j is the deterministic +-1 pattern. One pass, map-only."""
+    where s_j is the deterministic +-1 pattern, inlined as a literal
+    array (computing it per row via md5 expressions cost dims x planes
+    md5 calls per vector). One pass, map-only."""
     sketch_bits = []
     for j in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in plane_signs(j, dims)])
+        # slice to the actual vector length: zip_with pads the shorter
+        # side with nulls, which would null the whole projection
         proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), F.size("embedding") - 1),
-                lambda x, i: x.cast("double") * _plane_sign(j, i)),
+            F.zip_with(F.col("embedding"),
+                       F.slice(signs, 1, F.size("embedding")),
+                       lambda x, s: x.cast("double") * s),
             F.lit(0.0), lambda acc, v: acc + v)
         sketch_bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     bucket = sketch_bits[0]
