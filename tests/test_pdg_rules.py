@@ -155,3 +155,40 @@ def test_method_name_def_heuristics():
     # obj is undeclared -> field-aliased to this.obj (StatementInfo.java:286)
     e2 = pdg(wrap("obj.setValue(v);\n        g(obj);"))
     assert ("obj.setValue(v);", "pdg_data", "g(obj);", "this.obj") in e2
+
+
+def test_data_edge_dedup_matches_reference_treeset():
+    """The reference stores PDG edges in TreeSet<PDGEdge> whose compareTo
+    is (fromNode, toNode, type.toString()) with DATA.toString() == "data"
+    (pdg/edge/PDGEdge.java:78-89, :113-117; pdg/node/PDGNode.java:36-43).
+    Two data dependences between the SAME node pair for DIFFERENT
+    variables therefore collapse to the first inserted — def iteration
+    order (TreeSet of VarDefs, name order). Reproduce, don't repair:
+    in FilenameGuardFilterOld, the decl both may-defs `filename`
+    (receiver of .replace) and defs `guarded`; both reach LOG.debug(...),
+    but only the `filename` edge (name-ordered first) survives."""
+    from propertygraph_spark.kernel.extract import extract_document
+    src = open("/root/reference/testcase/FilenameGuardFilterOld.java").read()
+    nodes, triples, _, err = extract_document("fx", src)
+    assert err is None
+    id2 = {n["node_id"]: n["text"] for n in nodes}
+    decl_to_debug = [
+        t for t in triples if t["pred"] == "pdg_data"
+        and id2[t["subj"]].startswith("String guarded")
+        and id2[t["obj"]].startswith("LOG.debug")]
+    assert len(decl_to_debug) == 1
+    assert decl_to_debug[0]["label"] == "filename"
+
+
+def test_param_scope_resolution_no_field_aliasing():
+    """Uses of a parameter resolve to the method scope (params are
+    DECLARE defs there, pe/MethodInfo.java:115-124) — they must NOT be
+    field-aliased to `this.<name>`."""
+    from propertygraph_spark.kernel.extract import extract_document
+    src = ("class A { void m(String s) { int n = s.length(); "
+           "f(s); } }")
+    nodes, triples, _, err = extract_document("d", src)
+    assert err is None
+    labels = {t["label"] for t in triples if t["pred"] == "pdg_data"}
+    assert "s" in labels
+    assert "this.s" not in labels
