@@ -203,3 +203,22 @@ def test_incremental_extract_empty_corpus(spark, tmp_path):
     reader, dirty = extract_incremental(spark, docs, out, n_buckets=4)
     assert dirty == []
     assert reader.count() == 0
+
+
+def test_fixture_corpus_pipeline_golden(spark):
+    """The full Spark path (span assembly -> Arrow kernel -> union split)
+    over the 11-fixture corpus must reproduce exactly the kernel-level
+    golden totals (sum of tests/test_fixture_goldens.py) — locks the
+    spans->source concatenation and the Arrow boundary, not just the
+    kernel."""
+    docs = docs_df(spark, n_docs=0, include_fixtures=True)
+    _, triples, mentions, errors = split_union(extract_docs(docs, route=False))
+    assert errors.count() == 0
+    got = {r["pred"]: r["count"]
+           for r in triples.groupBy("pred").count().collect()}
+    assert got == {
+        "ast_child": 899, "cfg_normal": 79, "cfg_true": 15, "cfg_false": 11,
+        "pdg_control_true": 35, "pdg_control_false": 10,
+        "pdg_data": 193, "pdg_execution": 118,
+    }
+    assert mentions.count() == 114
