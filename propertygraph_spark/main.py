@@ -74,9 +74,11 @@ def main(argv=None) -> int:
             docs_fp = f"parquet:{args.input_parquet}"
 
         from propertygraph_spark.pipeline.materialize import run_pipeline
+        graphs = tuple(g for g in args.graphs.split(",") if g)
         metrics = run_pipeline(spark, docs, args.out,
                                n_buckets=args.buckets,
-                               docs_fingerprint=docs_fp)
+                               docs_fingerprint=docs_fp,
+                               graphs=graphs)
         print(f"triples={metrics['total']} nodes={metrics['nodes']} "
               f"stages={metrics['stage_times']}")
 

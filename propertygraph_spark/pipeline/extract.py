@@ -107,7 +107,7 @@ def _kind_batch(schema, filled: dict, n: int):
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
-def _kernel(batches) -> Iterator:
+def _kernel(batches, graphs=("ast", "cfg", "pdg")) -> Iterator:
     """mapInArrow kernel: one fused pass per document; output is built
     column-wise per row_kind (the pandas-object detour costs ~1.6x the
     kernel itself at 32 cores — Arrow-native batches avoid it)."""
@@ -124,7 +124,8 @@ def _kernel(batches) -> Iterator:
         mention_rows: list = []
         error_rows: list = []
         for doc_id, source in zip(doc_ids, sources):
-            nodes, triples, mentions, err = extract_document(doc_id, source or "")
+            nodes, triples, mentions, err = extract_document(
+                doc_id, source or "", graphs=graphs)
             nodes_rows.extend((doc_id, n) for n in nodes)
             triple_rows.extend((doc_id, t) for t in triples)
             mention_rows.extend((doc_id, m) for m in mentions)
@@ -178,12 +179,17 @@ def _kernel(batches) -> Iterator:
 
 
 def extract_docs(docs: DataFrame, heavy_threshold: int = 200_000,
-                 route: bool = True) -> DataFrame:
-    """docs(doc_id, spans) -> union-schema rows (map-only after routing)."""
+                 route: bool = True,
+                 graphs: tuple = ("ast", "cfg", "pdg")) -> DataFrame:
+    """docs(doc_id, spans) -> union-schema rows (map-only after routing).
+    ``graphs`` selects the emitted families (reference -a/-c/-p flags,
+    graphToDot/Write.java:57-65) — one fused parse regardless."""
+    import functools
     src = with_source(docs)
     if route:
         src = route_by_cost(src, heavy_threshold)
-    return src.select("doc_id", "source").mapInArrow(_kernel, UNION_SCHEMA)
+    kernel = functools.partial(_kernel, graphs=tuple(graphs))
+    return src.select("doc_id", "source").mapInArrow(kernel, UNION_SCHEMA)
 
 
 def split_union(union_df: DataFrame) -> Tuple[DataFrame, DataFrame, DataFrame, DataFrame]:

@@ -127,7 +127,8 @@ def bucket_fingerprints(docs: DataFrame, n_buckets: int) -> dict:
 
 
 def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
-                        n_buckets: int = N_BUCKETS_DEFAULT) -> tuple:
+                        n_buckets: int = N_BUCKETS_DEFAULT,
+                        graphs: tuple = ("ast", "cfg", "pdg")) -> tuple:
     """Dirty-partition extraction (north_rule: 'failed stages replay only
     dirty partitions'): compare per-bucket content fingerprints with the
     previous run's manifest, run the kernel ONLY over docs in changed
@@ -138,6 +139,8 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
     from .extract import extract_docs
 
     current = bucket_fingerprints(docs, n_buckets)
+    current = {b: f"{fp}:{'+'.join(sorted(graphs))}"
+               for b, fp in current.items()}
     manifest_file = os.path.join(path, "_buckets.json")
     previous: dict = {}
     try:
@@ -151,7 +154,7 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
     if dirty:
         bucketed = with_bucket(docs, n_buckets)
         subset = bucketed.filter(F.col("bucket").isin(dirty)).drop("bucket")
-        union = with_bucket(extract_docs(subset), n_buckets) \
+        union = with_bucket(extract_docs(subset, graphs=graphs), n_buckets) \
             .localCheckpoint(eager=False)
         # per-batch metric rows are RUN telemetry, not content — they must
         # not churn an unrelated bucket dir (their doc_id is synthetic);
@@ -209,7 +212,8 @@ def write_metrics(triples: DataFrame, out_dir: str) -> dict:
 def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
                  n_buckets: int = N_BUCKETS_DEFAULT,
                  docs_fingerprint: str = "",
-                 link_strategy: str = "broadcast") -> dict:
+                 link_strategy: str = "broadcast",
+                 graphs: tuple = ("ast", "cfg", "pdg")) -> dict:
     """Full KG-construction pipeline with per-stage checkpoint/resume.
 
     docs -> [extract: map-only Arrow kernel] -> union rows (partitioned by
@@ -233,7 +237,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     t0 = time.time()
     union_path = os.path.join(out_dir, "extracted")
     union, dirty_buckets = extract_incremental(spark, docs, union_path,
-                                               n_buckets)
+                                               n_buckets, graphs=graphs)
     stage_times["extract"] = round(time.time() - t0, 3)
     stage_times["extract_dirty_buckets"] = len(dirty_buckets)
 

@@ -222,3 +222,13 @@ def test_fixture_corpus_pipeline_golden(spark):
         "pdg_data": 193, "pdg_execution": 118,
     }
     assert mentions.count() == 114
+
+
+def test_graphs_selection(spark, corpus):
+    """Reference -c flag twin: cfg-only extraction emits only cfg triples
+    (one fused parse either way; graphs selection is kernel-side)."""
+    union = extract_docs(corpus, route=False, graphs=("cfg",))
+    _, triples, _, errors = split_union(union)
+    assert errors.count() == 0
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert preds and all(p.startswith("cfg_") for p in preds)
