@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_view_before_click"] = relational.asof_view_before_click
     q["q6_revenue_change"] = relational.revenue_change
     q["q12_priority_shipmode"] = relational.priority_shipmode
+    q["events_rollup_hourly"] = relational.events_rollup_hourly
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -312,6 +313,19 @@ SELECT l_returnflag,
                      THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    o["events_rollup_hourly"] = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS minute,
+         count(*) AS n_events,
+         CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_x1000
+  FROM events GROUP BY 1
+)
+SELECT date_trunc('hour', minute) AS hour,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(sum_value_x1000) AS BIGINT) AS sum_value_x1000,
+       count(*) AS n_minutes
+FROM minute GROUP BY 1 ORDER BY hour
 """
     o["event_type_funnel"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users,

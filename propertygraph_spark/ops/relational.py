@@ -204,3 +204,23 @@ def priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(high).alias("high_priority_count"),
                  F.sum(1 - high).alias("low_priority_count"))
             .orderBy("l_returnflag"))
+
+
+def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hour level is computed
+    FROM the minute level (not from raw rows) — the rollup-reuse pattern
+    of time-series stores. Minute partials carry integer-scaled sums, so
+    the second-level aggregation is exact integer arithmetic (and the
+    oracle mirrors the same two-level computation)."""
+    minute = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value") * 1000).cast("long")
+             .alias("sum_value_x1000")))
+    return (minute
+            .groupBy(F.date_trunc("hour", "minute").alias("hour"))
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value_x1000").alias("sum_value_x1000"),
+                 F.count("*").alias("n_minutes"))
+            .orderBy("hour"))
