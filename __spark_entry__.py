@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q6_revenue_change"] = relational.revenue_change
     q["q12_priority_shipmode"] = relational.priority_shipmode
     q["events_rollup_hourly"] = relational.events_rollup_hourly
+    q["events_range_join"] = relational.events_range_join
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -326,6 +327,15 @@ SELECT date_trunc('hour', minute) AS hour,
        CAST(sum(sum_value_x1000) AS BIGINT) AS sum_value_x1000,
        count(*) AS n_minutes
 FROM minute GROUP BY 1 ORDER BY hour
+"""
+    o["events_range_join"] = """
+WITH e AS (SELECT event_id, date_trunc('second', ts) AS ts, user_id
+           FROM events)
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(date_diff('second', a.ts, b.ts)) <= 60
 """
     o["event_type_funnel"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -224,3 +224,34 @@ def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("sum_value_x1000").alias("sum_value_x1000"),
                  F.count("*").alias("n_minutes"))
             .orderBy("hour"))
+
+
+def events_range_join(spark: SparkSession, sf_dir: str,
+                      window_sec: int = 60) -> DataFrame:
+    """Range join: pairs of same-user events within window_sec of each
+    other. The scalable formulation bands timestamps into window-sized
+    bins and joins on (user, bin±1) before the exact filter — candidate
+    count is O(events x density), never the O(n^2) cross join a naive
+    inequality join plans. timestampdiff on TIMESTAMP_NTZ keeps the
+    arithmetic session-timezone-independent."""
+    # whole-second timestamps before diffing: engines disagree on
+    # sub-second diff semantics (elapsed-truncation vs boundary count)
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", F.date_trunc("second", "ts").alias("ts"),
+                  "user_id"))
+    binned = ev.withColumn("bin", F.date_trunc("minute", "ts"))
+    a = binned.alias("a")
+    b = binned.alias("b")
+    diff = F.expr("timestampdiff(SECOND, a.ts, b.ts)")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("b.bin") >= F.expr(
+                       "a.bin - INTERVAL 1 MINUTE"))
+                   & (F.col("b.bin") <= F.expr(
+                       "a.bin + INTERVAL 1 MINUTE"))
+                   & (F.col("a.event_id") < F.col("b.event_id")))
+            .withColumn("gap_sec", diff)
+            .filter(F.abs(F.col("gap_sec")) <= window_sec)
+            .select(F.col("a.user_id").alias("user_id"),
+                    F.col("a.event_id").alias("event_a"),
+                    F.col("b.event_id").alias("event_b"),
+                    F.col("gap_sec").cast("long").alias("gap_sec")))
