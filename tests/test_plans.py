@@ -107,3 +107,19 @@ def test_minhash_single_signature_pass(docs):
     # ONE partial aggregation node computes all 16 min-hashes (16
     # partial_min functions, not 16 aggregation passes)
     assert p.count("partial_min") == 16
+
+
+def test_range_join_is_not_cartesian(spark):
+    """The banded range join must plan as an equi-join on (user, bin
+    window) — never BroadcastNestedLoopJoin/CartesianProduct, which is
+    what a naive inequality-only join degenerates to."""
+    p = plan(relational.events_range_join(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of window formulation rides one user_id exchange."""
+    p = plan(relational.asof_view_before_click(spark, SF))
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in p
