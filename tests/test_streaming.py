@@ -162,3 +162,55 @@ def test_watermark_drops_late_rows(spark, tmp_path):
            for r in spark.sql("select * from wm_counts").collect()}
     # the 00:00 window emitted with ONLY the on-time row (late row dropped)
     assert got.get("2024-01-01 00:00:00") == 1, got
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """Production sink pattern: checkpointed parquet writeStream. A
+    restart with the same checkpointLocation must not duplicate rows,
+    and newly arriving files are picked up where the last run left off."""
+    from propertygraph_spark.ops.kgdocs import docs_with_spans
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def write_docs(lo, hi, name):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", "en", "s", 10) for i in range(lo, hi)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        docs_with_spans(docs).coalesce(1).write.parquet(f"{src_dir}/{name}")
+
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir + "/*"))
+        from propertygraph_spark.streaming.events import streaming_extract
+        q = (streaming_extract(stream)
+             .filter("row_kind = 'triple'")
+             .select("doc_id", "method_id", "subj", "pred", "obj", "label")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    write_docs(0, 4, "f1")
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+    # restart with no new data: nothing re-emitted
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n1
+    # new file arrives; restart processes ONLY the new docs
+    write_docs(4, 6, "f2")
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() > n1
+    assert out.select("doc_id").distinct().count() == 6
+    # no duplicates per (doc_id, subj, pred, obj)
+    assert out.count() == out.dropDuplicates(
+        ["doc_id", "method_id", "subj", "pred", "obj", "label"]).count()
