@@ -843,10 +843,24 @@ class Parser:
                     end = self.advance().end
                     node = J("TypeLiteral", node.start, end, base=node)
                     continue
-                if nxt.value == "this" or nxt.value == "new":
-                    # Outer.this / qualified new -> unsupported
+                if nxt.value == "this":
+                    # Outer.this -> unsupported
                     self.advance()
                     self.advance()
+                    node = J("Unknown", node.start, self.toks[self.pos - 1].end)
+                    continue
+                if nxt.value == "new":
+                    # qualified instance creation `outer.new Inner(args)`:
+                    # consume the WHOLE creation (type, args, optional anon
+                    # body) so the statement survives; the Unknown node is
+                    # dropped subtree-locally (PESafeStack-style)
+                    self.advance()
+                    self.advance()
+                    self.parse_type()
+                    if self.at("("):
+                        self.parse_arguments()
+                    if self.at("{"):
+                        self.skip_balanced("{", "}")
                     node = J("Unknown", node.start, self.toks[self.pos - 1].end)
                     continue
                 if nxt.value == "<":

@@ -38,6 +38,8 @@ MUST_EXTRACT = {
     "ternary_nested": "class A { int m(int a) { return a > 0 ? a > 5 ? 1 : 2 : 3; } }",
     "string_concat_chain": "class A { void m(String s) { String t = s + 1 + 'c' + 2.5 + true + null; } }",
     "generic_method": "class A { <T> T gen(T t) { return t; } }",
+    "qualified_new": "class A { void m() { Object o = outer.new Inner(); f(o); } }",
+    "var_and_multilabel": "class A { void m(int x) { var y = x; switch (y) { case 1, 2: f(); break; default: g(); } } }",
 }
 
 # dropped by the reference (visit(TypeDeclaration) only collects direct
