@@ -97,6 +97,12 @@ def main() -> None:
         "ann_lsh_topk": lambda: similarity.ann_lsh_topk(emb(spark, sf_dir)),
         "media_decode": lambda: decode_media_meta(
             synthesize_media(docs(spark, sf_dir))),
+        "asof_join": lambda: relational.asof_view_before_click(spark, sf_dir),
+        "range_join": lambda: relational.events_range_join(spark, sf_dir),
+        "rollup_hourly": lambda: relational.events_rollup_hourly(spark, sf_dir),
+        "ann_ivf_topk": lambda: similarity.ann_ivf_topk(emb(spark, sf_dir)),
+        "quantize_int8": lambda: similarity.quantize_int8(emb(spark, sf_dir)),
+        "text_ttr": lambda: text.type_token_ratio(docs(spark, sf_dir)),
     }
     for name, build in benches.items():
         t0 = time.monotonic()

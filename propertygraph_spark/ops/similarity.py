@@ -171,23 +171,43 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
 
 def _topk_within_bucket(bucketed: DataFrame, k: int) -> DataFrame:
     """Exact cosine rerank restricted to same-bucket candidates (shared
-    by the LSH and IVF paths); shuffles only on the bucket key."""
-    n = bucketed.select("vec_id", "bucket", F.col("embedding").alias("e"),
-                        _norm(F.col("embedding")).alias("nrm"))
-    a = n.alias("a")
-    b = n.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_id"),
-                     F.col("b.vec_id").alias("neighbor_id"),
-                     F.floor(cos * 1000000).cast("long").alias("cos_pm")))
-    ranked = pairs.withColumn(
-        "rnk", F.row_number().over(
-            Window.partitionBy("vec_id")
-            .orderBy(F.desc("cos_pm"), F.asc("neighbor_id"))))
-    return ranked.filter(F.col("rnk") <= k) \
-                 .select("vec_id", "neighbor_id", "cos_pm", "rnk")
+    by the LSH and IVF paths): ONE shuffle on the bucket key, then a
+    numpy/BLAS pairwise matmul per bucket inside applyInPandas (the
+    per-pair Catalyst fold is interpreted — a 250-vector cell means
+    60k folds x dims; BLAS does the block in microseconds)."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("cos_pm", LongType(), False),
+        StructField("rnk", LongType(), False),
+    ])
+
+    def per_bucket(pdf):
+        import pandas as pd
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id",
+                                         "cos_pm", "rnk"])
+        M = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        cos = (M @ M.T) / np.outer(nrm, nrm)
+        cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
+        out = []
+        for qi in range(len(ids)):
+            mask = np.arange(len(ids)) != qi
+            cand_ids = ids[mask]
+            cand = cos_pm[qi][mask]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            for r, j in enumerate(order, start=1):
+                out.append((ids[qi], cand_ids[j], cand[j], r))
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id",
+                                          "cos_pm", "rnk"])
+
+    return (bucketed.select("vec_id", "bucket", "embedding")
+            .groupBy("bucket").applyInPandas(per_bucket, schema))
 
 
 def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8) -> DataFrame:
