@@ -219,19 +219,34 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8) -> DataFrame:
 
 def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via the LSH
-    buckets — the embedding leg of the dedup suite."""
-    v = lsh_bucket(emb)
-    n = v.select("vec_id", "bucket", F.col("embedding").alias("e"),
-                 _norm(F.col("embedding")).alias("nrm"))
-    a = n.alias("a")
-    b = n.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.floor(cos * 1000000).cast("long").alias("cos_pm"))
-            .filter(F.col("cos_pm") >= threshold_pm))
+    buckets — the embedding leg of the dedup suite. Same bucket-grouped
+    BLAS pattern as _topk_within_bucket."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField("vec_a", LongType(), False),
+        StructField("vec_b", LongType(), False),
+        StructField("cos_pm", LongType(), False),
+    ])
+
+    def per_bucket(pdf):
+        import pandas as pd
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cos_pm"])
+        M = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        cos_pm = np.floor((M @ M.T) / np.outer(nrm, nrm)
+                          * 1_000_000).astype(np.int64)
+        ii, jj = np.where(cos_pm >= threshold_pm)
+        out = [(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])),
+                int(cos_pm[i][j]))
+               for i, j in zip(ii, jj) if ids[i] < ids[j]]
+        return pd.DataFrame(out, columns=["vec_a", "vec_b", "cos_pm"])
+
+    return (lsh_bucket(emb).select("vec_id", "bucket", "embedding")
+            .groupBy("bucket").applyInPandas(per_bucket, schema))
 
 
 def centroid_by_label(emb: DataFrame) -> DataFrame:
