@@ -1,14 +1,11 @@
 """Similarity search over the embeddings table (embedding: array<float>).
 
-- brute-force cosine top-k: exact baseline. The dot product is a pure
-  Catalyst fold (zip_with + aggregate) over double-cast elements, so the
-  arithmetic is sequential IEEE and bit-identical to the DuckDB oracle's
-  equivalent fold.
-- LSH-bucketed ANN: the scale path. Deterministic sign-bit hyperplane
-  sketch (hyperplane j = +1/-1 pattern derived from md5(j||dim) parity —
-  data-independent, reproducible on any cluster without a random state),
-  candidates restricted to same-bucket vectors, then exact cosine rerank.
-  At 100 TB this turns the O(n^2) cross join into per-bucket joins.
+- brute-force cosine top-k: exact baseline as a broadcast-index BLAS
+  block matmul (map-only; at 100 TB shard the index and loop shards).
+- LSH / IVF ANN: the scale paths. Bucketing is deterministic (literal
+  md5-parity hyperplane signs / md5-seeded centroids — reproducible on
+  any cluster, and inlined identically in the SQL oracles); the exact
+  rerank is a bucket-grouped BLAS matmul behind ONE bucket-key shuffle.
 
 Cosine is reported as cos_pm = floor(1e6 * cos) (per-micro) so tiny
 float-tail differences cannot flip the oracle value-hash.
@@ -16,22 +13,9 @@ float-tail differences cannot flip the oracle value-hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
+from pyspark.sql import DataFrame, functions as F
 
 N_PLANES = 8
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v)
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(
-        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
 def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
