@@ -1,0 +1,27 @@
+"""Meta-tests of the driver contract surface itself."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+
+def test_every_query_has_an_oracle():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) == set(qs), (
+        set(oracles) ^ set(qs))  # full value-checked coverage, both ways
+
+
+def test_oracles_are_self_contained_sql():
+    tables = {"region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"}
+    for name, sql in E.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+        # no unresolved python format placeholders leaked into the SQL
+        # (literal braces inside Java template strings are fine)
+        assert "{_sql" not in sql and "{dedup." not in sql, name
+
+
+def test_queries_are_stateless_rebuilds():
+    a, b = E.queries(), E.queries()
+    assert set(a) == set(b)
+    assert len(a) == 36
