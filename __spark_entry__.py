@@ -573,7 +573,9 @@ WITH nv AS (
 ), assign AS (
   SELECT e.vec_id, e.embedding, e.nrm, s.seed_rank,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY {_qcos} DESC, s.seed_rank ASC) AS rk
+                            ORDER BY CAST(floor(({_qcos}) * 1000000000)
+                                          AS BIGINT) DESC,
+                                     s.seed_rank ASC) AS rk
   FROM nv e CROSS JOIN seeds s
 ), n AS (
   SELECT vec_id, embedding, nrm, seed_rank AS bucket
@@ -637,9 +639,11 @@ SELECT vec_id,
        list_min(codes) AS code_min
 FROM c
 """
+    # per-element integer scaling (not floor-of-float-sum): summation
+    # order can never flip the value on either engine
     o["emb_centroids"] = """
 SELECT label, dim,
-       CAST(floor(sum(x) * 1000000) AS BIGINT) AS sum_x_pm,
+       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_x_pm,
        count(*) AS n
 FROM (SELECT label,
              unnest(generate_series(0, len(embedding) - 1)) AS dim,

@@ -22,12 +22,20 @@ next to the shuffle it feeds.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .text import tokens_col
 
 N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+# buckets above this size are split into doc_id-ordered chunks: pairs are
+# generated per (chunk, chunk) group of <= 2*chunk_size members — a
+# training corpus with 10^6 copies of boilerplate must not produce one
+# 2 GB collect_list row and one never-finishing O(n^2) task. The pair SET
+# is identical with or without chunking, so oracles are unaffected.
+HOT_BUCKET_THRESHOLD = 1024
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -60,8 +68,11 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     count intersections, derive union from per-doc shingle counts.
 
     Scale notes: the self-join shuffles on `shingle` — a skewed common
-    shingle blows up df^2, so AQE skew-join splitting stays on; per-doc
-    counts are broadcast back (small relative to the pair table)."""
+    shingle blows up df^2, so AQE skew-join splitting stays on. The
+    per-doc count table has ONE ROW PER DOCUMENT — at 10^12 docs it is
+    not broadcastable, so no broadcast hint: the joins ride the doc_a /
+    doc_b shuffle keys and AQE promotes to broadcast only when the
+    runtime size actually fits."""
     sh = _shingles(docs, k)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -75,7 +86,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                        F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"),
                        F.col("n_sh").alias("n_b"))
-    return (inter.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
             .withColumn(
                 "jaccard_pm",
                 F.floor(F.col("n_inter") * 1000
@@ -96,28 +107,91 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _ordered_pairs(ids) -> F.Column:
+    """Array of i<j pair structs over a sorted id array column."""
+    n = F.size(ids)
+    return F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, n),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+
+
 def _pairs_within_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
     """All i<j pairs inside each group's sorted id array, generated with
     nested Catalyst transforms (no self-join, no second shuffle — bucket
-    membership is already co-located, and near-dup buckets are small, so
-    quadratic-per-bucket beats a bucket-keyed self-join at any scale)."""
-    n = F.size(ids_col)
-    pair_structs = F.flatten(F.transform(
-        F.col(ids_col),
-        lambda x, i: F.transform(
-            F.slice(F.col(ids_col), i + 2, n),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
-    return grouped.select(F.explode(pair_structs).alias("p")) \
+    membership is already co-located)."""
+    return grouped.select(F.explode(_ordered_pairs(F.col(ids_col)))
+                          .alias("p")) \
                   .select("p.doc_a", "p.doc_b")
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
+def _bucket_pairs_chunked(banded: DataFrame, keys: list,
+                          chunk_size: int) -> DataFrame:
+    """i<j doc_id pairs within each bucket (bucket = the ``keys`` tuple),
+    with bounded per-task expansion.
+
+    Each bucket's members are split into doc_id-ordered chunks of
+    <= ``chunk_size``; every doc is routed to the (lo, hi) chunk-pair
+    groups it participates in, and pairs are expanded per group:
+    same-chunk groups via the sorted i<j expansion, cross-chunk groups
+    via the a x b cross product (chunk order makes every emitted pair
+    already doc_a < doc_b). No group exceeds 2*chunk_size members, so a
+    10^6-member boilerplate bucket becomes ~n^2/chunk_size^2 bounded
+    tasks instead of one 2 GB collect_list row.
+
+    Cold buckets (<= chunk_size members) have exactly one chunk — one
+    (0, 0) group, zero replication: the classic single-group path falls
+    out as the special case. The whole routine is ONE exchange (the
+    window's hashpartitioning on the bucket keys; the groupBy's clustering
+    keys are a superset, so it reuses that partitioning), plus in-row
+    Catalyst transforms — the upstream (shingling, signatures) is never
+    recomputed, unlike a bucket-keyed self-join which would plan the
+    whole lineage once per join side."""
+    w = Window.partitionBy(*keys)
+    wo = w.orderBy("doc_id")
+    sized = (banded
+             .withColumn("n_members", F.count("*").over(w))
+             .withColumn("chunk",
+                         F.floor((F.row_number().over(wo) - 1)
+                                 / F.lit(chunk_size)).cast("int"))
+             .filter(F.col("n_members") > 1))
+    n_chunks = F.ceil(F.col("n_members") / F.lit(chunk_size)).cast("int")
+    chunk_pairs = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda p: F.struct(F.least(F.col("chunk"), p).alias("lo"),
+                           F.greatest(F.col("chunk"), p).alias("hi")))
+    keyed = (sized.select(*keys, "doc_id", "chunk",
+                          F.explode(chunk_pairs).alias("pk"))
+             .select(*keys, "doc_id", "chunk",
+                     F.col("pk.lo").alias("lo"), F.col("pk.hi").alias("hi")))
+    grouped = (keyed.groupBy(*keys, "lo", "hi")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "chunk")))
+                    .alias("members")))
+    a_ids = F.transform(
+        F.filter("members", lambda m: m["chunk"] == F.col("lo")),
+        lambda m: m["doc_id"])
+    b_ids = F.transform(
+        F.filter("members", lambda m: m["chunk"] == F.col("hi")),
+        lambda m: m["doc_id"])
+    cross = F.flatten(F.transform(
+        a_ids, lambda x: F.transform(
+            b_ids, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    pairs_arr = F.when(F.col("lo") == F.col("hi"),
+                       _ordered_pairs(a_ids)).otherwise(cross)
+    return (grouped.select(F.explode(pairs_arr).alias("p"))
+            .select("p.doc_a", "p.doc_b"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
+                      hot_threshold: int = HOT_BUCKET_THRESHOLD) -> DataFrame:
     """LSH candidate pairs: band the 16-value signature into 4 bands of 4,
     bucket = md5(concat of band values). Banding is ONE pass over the
     signature table (explode of a literal band array — the signature agg
-    is computed once, not per band); pairs come from in-bucket pair
-    expansion, so the only shuffles are the signature groupBy and the
-    (band, bucket) groupBy."""
+    is computed once, not per band); pairs come from chunk-bounded
+    in-bucket expansion (_bucket_pairs_chunked), so the only shuffles are
+    the signature groupBy, the (band, bucket) window, and the final pair
+    groupBy."""
     sig = minhash_signatures(docs, k)
     band_arr = F.array(*[
         F.struct(
@@ -130,10 +204,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
     banded = sig.select("doc_id", F.explode(band_arr).alias("bb")) \
                 .select("doc_id", F.col("bb.band").alias("band"),
                         F.col("bb.bucket").alias("bucket"))
-    grouped = (banded.groupBy("band", "bucket")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") > 1))
-    return (_pairs_within_groups(grouped)
+    return (_bucket_pairs_chunked(banded, ["band", "bucket"], hot_threshold)
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_bands")))
 
@@ -166,37 +237,30 @@ def simhash(docs: DataFrame) -> DataFrame:
     return voted.select("doc_id", sim.cast("long").alias("simhash16"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2,
+                  hot_threshold: int = HOT_BUCKET_THRESHOLD) -> DataFrame:
     """Candidate pairs whose 16-bit simhash differ in <= max_hamming bits.
     Band the 16 bits into 4 nibbles; by pigeonhole, hamming<=2 pairs share
-    >=2 of 4 nibbles — join per nibble, then verify exact hamming."""
+    >=2 of 4 nibbles — chunk-bounded in-nibble pair expansion
+    (_bucket_pairs_chunked: identical docs all share one nibble bucket, so
+    bounded chunks matter here more than anywhere), then verify exact
+    hamming after joining the sims back by doc key."""
     s = simhash(docs)
     nib_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  ((F.col("simhash16") / (1 << (4 * b))).cast("int") % 16)
                  .alias("nib"))
         for b in range(4)])
-    banded = (s.select("doc_id", "simhash16", F.explode(nib_arr).alias("bb"))
-              .select("doc_id", "simhash16",
+    banded = (s.select("doc_id", F.explode(nib_arr).alias("bb"))
+              .select("doc_id",
                       F.col("bb.band").alias("band"),
                       F.col("bb.nib").alias("nib")))
-    grouped = (banded.groupBy("band", "nib")
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("doc_id", "simhash16")))
-                   .alias("members"))
-               .filter(F.size("members") > 1))
-    n = F.size("members")
-    pair_structs = F.flatten(F.transform(
-        F.col("members"),
-        lambda x, i: F.transform(
-            F.slice(F.col("members"), i + 2, n),
-            lambda y: F.struct(x["doc_id"].alias("doc_a"),
-                               y["doc_id"].alias("doc_b"),
-                               x["simhash16"].alias("sim_a"),
-                               y["simhash16"].alias("sim_b")))))
-    cand = (grouped.select(F.explode(pair_structs).alias("p"))
-            .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
-            .distinct())
+    cand = (_bucket_pairs_chunked(banded, ["band", "nib"], hot_threshold)
+            .distinct()
+            .join(s.select(F.col("doc_id").alias("doc_a"),
+                           F.col("simhash16").alias("sim_a")), "doc_a")
+            .join(s.select(F.col("doc_id").alias("doc_b"),
+                           F.col("simhash16").alias("sim_b")), "doc_b"))
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     hamming = None
     for i in range(16):

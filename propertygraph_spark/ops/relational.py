@@ -161,9 +161,15 @@ def asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no ASOF JOIN operator; the classic scalable formulation is
     union-the-streams + per-key ordered window with last(..., ignorenulls)
     — ONE hashpartitioning(user_id) exchange, no range join explosion.
-    (DuckDB's native ASOF JOIN is the oracle twin.)"""
+    (DuckDB's native ASOF JOIN is the oracle twin.)
+
+    ASOF matches view_ts <= click_ts INCLUSIVE, so a view sharing the
+    click's timestamp must sort BEFORE the click in the window: order by
+    (ts, view-first flag, event_id) — (ts, event_id) alone would hide an
+    equal-ts view whose event_id exceeds the click's."""
     ev = _t(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    view_first = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    w = (Window.partitionBy("user_id").orderBy("ts", view_first, "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     view_val = F.when(F.col("event_type") == "view", F.col("value"))
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
@@ -239,15 +245,20 @@ def events_range_join(spark: SparkSession, sf_dir: str,
     ev = (_t(spark, sf_dir, "events")
           .select("event_id", F.date_trunc("second", "ts").alias("ts"),
                   "user_id"))
-    binned = ev.withColumn("bin", F.date_trunc("minute", "ts"))
+    # bin width = window_sec (NOT a fixed minute): floor(x+1) = floor(x)+1
+    # guarantees |ts_a - ts_b| <= window_sec  =>  |bin_a - bin_b| <= 1 for
+    # ANY window_sec, so bin±1 candidates are complete. Epoch seconds come
+    # from pure NTZ arithmetic against an NTZ literal — never a
+    # session-timezone-dependent ltz/unix hop.
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    binned = ev.withColumn("bin", F.floor(sec / F.lit(window_sec)))
     a = binned.alias("a")
     b = binned.alias("b")
     diff = F.expr("timestampdiff(SECOND, a.ts, b.ts)")
     return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-                   & (F.col("b.bin") >= F.expr(
-                       "a.bin - INTERVAL 1 MINUTE"))
-                   & (F.col("b.bin") <= F.expr(
-                       "a.bin + INTERVAL 1 MINUTE"))
+                   & (F.col("b.bin") >= F.col("a.bin") - 1)
+                   & (F.col("b.bin") <= F.col("a.bin") + 1)
                    & (F.col("a.event_id") < F.col("b.event_id")))
             .withColumn("gap_sec", diff)
             .filter(F.abs(F.col("gap_sec")) <= window_sec)

@@ -18,25 +18,26 @@ from pyspark.sql import DataFrame, functions as F
 N_PLANES = 8
 
 
-def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+def cosine_topk(emb: DataFrame, k: int = 5,
+                index_block_rows: int = 500_000) -> DataFrame:
     """Exact top-k cosine neighbors per vector (brute force baseline).
 
-    Executed as a block matmul: the index side is collected once (it is
-    the SEARCH INDEX — at 100 TB you shard it and loop this stage per
-    shard, or switch to ann_lsh_topk), broadcast to executors, and each
-    Arrow batch of query vectors does one numpy/BLAS matmul + argpartition
-    against it. This beats the per-pair Catalyst-fold cross join by ~30x
-    (BLAS vectorization) and shuffles nothing at all — the stage is
-    map-only over the query side.
+    Executed as a SHARDED block matmul: the index side is split into
+    broadcast-sized blocks of <= ``index_block_rows`` vectors
+    (block = pmod(vec_id, n_blocks)); each pass collects ONE block,
+    broadcasts it, and every Arrow batch of query vectors does one
+    numpy/BLAS matmul + lexsort against it, keeping its per-block top-k.
+    Global top-k = window rank over the union of per-block partials
+    (global winners are necessarily per-block winners, so the reduction
+    is exact). The driver never holds more than one block — no full-table
+    collect, so the index can be arbitrarily large; a single-block index
+    stays the round-1 map-only zero-shuffle plan.
+
+    This beats the per-pair Catalyst-fold cross join by ~30x (BLAS
+    vectorization); the only shuffle is the final rank over
+    n_queries x k x n_blocks partial rows (multi-block case only).
     """
     import numpy as np
-
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
-    m_norm = np.sqrt((M * M).sum(axis=1))
-    sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast((ids, M, m_norm))
 
     from pyspark.sql.types import LongType, StructField, StructType
     schema = StructType([
@@ -46,30 +47,67 @@ def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         StructField("rnk", LongType(), False),
     ])
 
-    def batches(it):
-        import pandas as pd
-        b_ids, b_M, b_norm = bc.value
-        for pdf in it:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Q = np.array([list(e) for e in pdf["embedding"]],
-                         dtype=np.float64)
-            q_norm = np.sqrt((Q * Q).sum(axis=1))
-            cos = (Q @ b_M.T) / np.outer(q_norm, b_norm)
-            cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
-            out = []
-            for qi in range(len(q_ids)):
-                row = cos_pm[qi]
-                # exclude self, rank by (-cos_pm, neighbor_id)
-                mask = b_ids != q_ids[qi]
-                cand_ids = b_ids[mask]
-                cand = row[mask]
-                order = np.lexsort((cand_ids, -cand))[:k]
-                for r, j in enumerate(order, start=1):
-                    out.append((q_ids[qi], cand_ids[j], cand[j], r))
-            yield pd.DataFrame(
-                out, columns=["vec_id", "neighbor_id", "cos_pm", "rnk"])
+    n_index = emb.count()
+    n_blocks = max(1, -(-n_index // index_block_rows))
+    sc = emb.sparkSession.sparkContext
+    queries = emb.select("vec_id", "embedding")
 
-    return emb.select("vec_id", "embedding").mapInPandas(batches, schema)
+    def block_pass(bc, with_rank: bool):
+        def batches(it):
+            import pandas as pd
+            b_ids, b_M, b_norm = bc.value
+            for pdf in it:
+                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                Q = np.array([list(e) for e in pdf["embedding"]],
+                             dtype=np.float64)
+                q_norm = np.sqrt((Q * Q).sum(axis=1))
+                cos = (Q @ b_M.T) / np.outer(q_norm, b_norm)
+                cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
+                out = []
+                for qi in range(len(q_ids)):
+                    row = cos_pm[qi]
+                    # exclude self, rank by (-cos_pm, neighbor_id)
+                    mask = b_ids != q_ids[qi]
+                    cand_ids = b_ids[mask]
+                    cand = row[mask]
+                    order = np.lexsort((cand_ids, -cand))[:k]
+                    for r, j in enumerate(order, start=1):
+                        out.append((q_ids[qi], cand_ids[j], cand[j],
+                                    r if with_rank else 0))
+                yield pd.DataFrame(
+                    out, columns=["vec_id", "neighbor_id", "cos_pm", "rnk"])
+        return batches
+
+    partials = []
+    for blk in range(n_blocks):
+        block_df = emb.select("vec_id", "embedding")
+        if n_blocks > 1:
+            block_df = block_df.filter(
+                F.pmod("vec_id", F.lit(n_blocks)) == blk)
+        rows = block_df.collect()
+        if not rows:
+            continue
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        m_norm = np.sqrt((M * M).sum(axis=1))
+        bc = sc.broadcast((ids, M, m_norm))
+        partials.append(queries.mapInPandas(
+            block_pass(bc, with_rank=(n_blocks == 1)), schema))
+
+    if not partials:  # empty index
+        return emb.sparkSession.createDataFrame([], schema)
+    if n_blocks == 1:
+        return partials[0]
+
+    from pyspark.sql.window import Window
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.unionByName(p)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_pm"), F.asc("neighbor_id"))
+    return (allp.drop("rnk")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k))
 
 
 def plane_signs(j: int, dims: int) -> list:
@@ -145,7 +183,13 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
             Q = np.array([list(e) for e in pdf["embedding"]],
                          dtype=np.float64)
             Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
-            cells = (Qn @ cent.T).argmax(axis=1).astype(np.int32)
+            # quantize the argmax criterion (per-nano): BLAS matmul and a
+            # sequential fold can differ in the last ulp, which near a tie
+            # would move a vector to a different cell; floor(cos*1e9)
+            # collapses such near-ties, and numpy argmax's first-max rule
+            # == the SQL twin's seed_rank ASC tiebreak
+            cos_q = np.floor((Qn @ cent.T) * 1_000_000_000)
+            cells = cos_q.argmax(axis=1).astype(np.int32)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "embedding": pdf["embedding"],
                                 "bucket": cells})
@@ -236,12 +280,17 @@ def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFra
 def centroid_by_label(emb: DataFrame) -> DataFrame:
     """Per-label centroid + dispersion: element-wise mean via posexplode +
     groupBy (the classic columnar unpivot — shuffles (label, dim) keyed
-    partial sums, never whole vectors)."""
+    partial sums, never whole vectors).
+
+    Each element is integer-scaled (floor(x * 1e6) as BIGINT) BEFORE the
+    sum: integer addition is associative, so partial-aggregation order can
+    never flip the result — floor-of-float-sum is a last-ulp parity flake
+    between engines."""
     d = emb.select("vec_id", "label",
                    F.posexplode("embedding").alias("dim", "x"))
+    x_pm = F.floor(F.col("x").cast("double") * 1000000).cast("long")
     return (d.groupBy("label", "dim")
-            .agg(F.floor(F.sum(F.col("x").cast("double")) * 1000000)
-                 .cast("long").alias("sum_x_pm"),
+            .agg(F.sum(x_pm).alias("sum_x_pm"),
                  F.count("*").alias("n"))
             .filter(F.col("dim") < 4))
 

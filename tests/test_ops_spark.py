@@ -153,6 +153,112 @@ def test_kgdocs_roundtrip_and_counts(spark, docs):
     assert counts == exp
 
 
+def test_chunked_pair_expansion_matches_naive(spark):
+    """Odd chunk size, multiple chunks: the chunked expansion must emit
+    EXACTLY the i<j pair set of each bucket (chunking is a physical
+    rewrite, not a semantic one)."""
+    import itertools
+    rows = ([(d, "b0") for d in range(30)]
+            + [(d, "b1") for d in range(100, 107)]
+            + [(999, "lonely")])
+    banded = spark.createDataFrame(rows, "doc_id long, bucket string") \
+                  .withColumn("band", F.lit(0))
+    got = {(r["doc_a"], r["doc_b"]) for r in dedup._bucket_pairs_chunked(
+        banded, ["band", "bucket"], chunk_size=7).collect()}
+    exp = set(itertools.combinations(range(30), 2)) \
+        | set(itertools.combinations(range(100, 107), 2))
+    assert got == exp
+
+
+def test_minhash_lsh_hot_bucket_skew(spark):
+    """5000 identical docs share every LSH bucket — the degenerate
+    training-corpus case. With chunking no task expands the whole bucket
+    (groups are <= 2*chunk_size members by construction); result must
+    still be the complete pair set colliding in all 4 bands."""
+    n = 5000
+    rows = [(d, "same boilerplate text repeated in every doc of the shard")
+            for d in range(n)] + [(n, "something entirely different here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_pairs(docs, hot_threshold=256)
+    agg = out.agg(F.count("*").alias("n_pairs"),
+                  F.min("n_bands").alias("min_b"),
+                  F.max("n_bands").alias("max_b")).collect()[0]
+    assert agg["n_pairs"] == n * (n - 1) // 2
+    assert agg["min_b"] == 4 and agg["max_b"] == 4
+
+
+def test_cosine_topk_sharded_index_matches_single_block(emb):
+    """Block-sharded brute force (index 10x the block size in block count
+    terms) must equal the single-collect result exactly."""
+    single = {(r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos_pm"])
+              for r in similarity.cosine_topk(emb, k=3).collect()}
+    sharded = {(r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos_pm"])
+               for r in similarity.cosine_topk(
+                   emb, k=3, index_block_rows=1).collect()}
+    assert sharded == single
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Tiny events table with hand-placed gaps for the range-join and
+    as-of edge cases (written as parquet: the ops read from an sf dir)."""
+    d = str(tmp_path_factory.mktemp("events_sf"))
+    rows = [
+        # user 1: gap 80s ACROSS two minute boundaries (00:50 -> 02:10):
+        # a fixed 1-minute bin would put them 2 bins apart and lose them
+        (1, 1, "2024-01-01 00:00:50", "view", 1.0),
+        (2, 1, "2024-01-01 00:02:10", "click", 2.0),
+        # user 2: gap 30s (same minute)
+        (3, 2, "2024-01-01 00:00:00", "view", 3.0),
+        (4, 2, "2024-01-01 00:00:30", "click", 4.0),
+        # user 3: view and click at the SAME timestamp, view has the
+        # LARGER event_id -> ASOF <= must still see the view
+        (6, 3, "2024-01-01 00:05:00", "click", 5.0),
+        (7, 3, "2024-01-01 00:05:00", "view", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string,"
+              " value double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_range_join_window_follows_parameter(spark, events_dir):
+    from propertygraph_spark.ops import relational
+    pairs60 = {(r["event_a"], r["event_b"]): r["gap_sec"]
+               for r in relational.events_range_join(
+                   spark, events_dir, window_sec=60).collect()}
+    pairs120 = {(r["event_a"], r["event_b"]): r["gap_sec"]
+                for r in relational.events_range_join(
+                    spark, events_dir, window_sec=120).collect()}
+    assert (1, 2) not in pairs60          # 80s > 60s window
+    assert pairs120[(1, 2)] == 80         # 80s <= 120s: bin math must keep it
+    assert pairs60[(3, 4)] == 30
+    # DuckDB twin at the non-default window
+    import duckdb
+    con = duckdb.connect()
+    exp = {(a, b): g for a, b, g in con.execute(f"""
+        WITH e AS (SELECT event_id, date_trunc('second', ts) AS ts, user_id
+                   FROM read_parquet('{events_dir}/events.parquet/*.parquet'))
+        SELECT a.event_id, b.event_id,
+               CAST(date_diff('second', a.ts, b.ts) AS BIGINT)
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(date_diff('second', a.ts, b.ts)) <= 120
+        """).fetchall()}
+    assert pairs120 == exp
+
+
+def test_asof_sees_equal_timestamp_view(spark, events_dir):
+    from propertygraph_spark.ops import relational
+    out = {r["event_id"]: r for r in
+           relational.asof_view_before_click(spark, events_dir).collect()}
+    # click 6 and view 7 share ts; view's larger event_id must not hide it
+    assert out[6]["last_view_value"] == 6.0
+    assert out[6]["last_view_ts"] is not None
+
+
 def test_quantize_int8(emb):
     out = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
     # unit vector [1,0,0,0]: scale 127, codes [127,0,0,0]

@@ -98,12 +98,16 @@ def test_minhash_single_signature_pass(docs):
     band — banding is a Generate (explode) after the aggregation, and the
     whole pipeline needs only 3 exchanges: shingle distinct (whose
     (doc_id, shingle) partitioning also satisfies the doc_id signature
-    agg), (band,bucket) grouping, and the final pair count."""
+    agg), (band,bucket) grouping, and the final pair count. The chunked
+    pair expansion must NOT add exchanges (its groupBy keys are a
+    superset of the window's partition keys) and must NOT replan the
+    signature aggregation (a bucket-keyed self-join would)."""
     p = plan(dedup.minhash_lsh_pairs(docs))
     import re
     assert p.count("hashpartitioning(") <= 3, p
     # formatted mode lists each node twice (tree + details section)
-    assert len(re.findall(r"\(\d+\) Generate", p)) == 3  # shingles, bands, pairs
+    # shingles, bands, chunk-pair keys, pairs
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 4
     # ONE partial aggregation node computes all 16 min-hashes (16
     # partial_min functions, not 16 aggregation passes)
     assert p.count("partial_min") == 16
