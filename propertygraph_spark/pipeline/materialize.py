@@ -135,12 +135,18 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
     buckets, and commit via dynamic partition overwrite so clean bucket
     directories are untouched on disk.
 
-    Returns (reader over the full output, sorted dirty bucket list)."""
+    Returns (reader over the full output, sorted dirty bucket list,
+    content_state) where content_state is a stable digest of the current
+    per-bucket fingerprint map — downstream stage fingerprints MUST key on
+    it (not on a caller-supplied corpus label) so editing the input re-runs
+    linking/canonicalization/materialize, not just extraction."""
     from .extract import extract_docs
 
     current = bucket_fingerprints(docs, n_buckets)
     current = {b: f"{fp}:{'+'.join(sorted(graphs))}"
                for b, fp in current.items()}
+    content_state = fingerprint(*(f"{b}={current[b]}"
+                                  for b in sorted(current)))
     manifest_file = os.path.join(path, "_buckets.json")
     previous: dict = {}
     try:
@@ -163,6 +169,21 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
                        .repartition("row_kind", "bucket")
         metrics = union.filter(F.col("row_kind") == "metric") \
                        .select("doc_id", "text")
+        # dynamic overwrite only replaces (row_kind, bucket) partitions
+        # PRESENT in the new data: a row_kind that vanished from a dirty
+        # bucket (e.g. its only malformed doc got fixed -> no error rows)
+        # would otherwise survive as phantom rows. Drop every existing
+        # partition of each dirty bucket first, so the overwrite rebuilds
+        # the bucket from nothing.
+        if os.path.isdir(path):
+            import shutil
+            for kind_dir in os.listdir(path):
+                if not kind_dir.startswith("row_kind="):
+                    continue
+                for b in dirty:
+                    stale = os.path.join(path, kind_dir, f"bucket={b}")
+                    if os.path.isdir(stale):
+                        shutil.rmtree(stale)
         with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -188,8 +209,8 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
         from propertygraph_spark.pipeline.extract import UNION_SCHEMA
         reader = spark.createDataFrame([], UNION_SCHEMA) \
             .withColumn("bucket", F.lit(0).cast("int"))
-        return reader, dirty
-    return spark.read.parquet(path), dirty
+        return reader, dirty, content_state
+    return spark.read.parquet(path), dirty, content_state
 
 
 def write_metrics(triples: DataFrame, out_dir: str) -> dict:
@@ -233,11 +254,15 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     # bucket dirs are untouched (dynamic partition overwrite). Inside,
     # (row_kind, bucket) are co-located into one task before the write
     # (otherwise tasks x dirs small-file explosion).
-    fp1 = fingerprint("extract", docs_fingerprint, n_buckets)
     t0 = time.time()
     union_path = os.path.join(out_dir, "extracted")
-    union, dirty_buckets = extract_incremental(spark, docs, union_path,
-                                               n_buckets, graphs=graphs)
+    union, dirty_buckets, content_state = extract_incremental(
+        spark, docs, union_path, n_buckets, graphs=graphs)
+    # stage fingerprints key on the CONTENT state (digest of the current
+    # per-bucket fingerprint map), never only on the caller's corpus
+    # label: an edited corpus must re-run linking/canonicalize/materialize,
+    # not just the dirty-bucket extraction
+    fp1 = fingerprint("extract", docs_fingerprint, content_state, n_buckets)
     stage_times["extract"] = round(time.time() - t0, 3)
     stage_times["extract_dirty_buckets"] = len(dirty_buckets)
 

@@ -158,7 +158,7 @@ def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
     texts = {f"doc{i}": f"class C{i} {{ int m(int a) {{ return a + {i}; }} }}"
              for i in range(12)}
     out = str(tmp_path / "inc")
-    reader1, dirty1 = extract_incremental(spark, mk(texts), out, n_buckets=8)
+    reader1, dirty1, _ = extract_incremental(spark, mk(texts), out, n_buckets=8)
     n1 = reader1.filter("row_kind = 'triple'").count()
     assert len(dirty1) > 0  # first run: everything dirty
 
@@ -167,7 +167,7 @@ def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
               for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)}
 
     # unchanged rerun -> zero dirty buckets, zero rewrites
-    _, dirty2 = extract_incremental(spark, mk(texts), out, n_buckets=8)
+    _, dirty2, _ = extract_incremental(spark, mk(texts), out, n_buckets=8)
     assert dirty2 == []
     after = {p: os.path.getmtime(p)
              for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)}
@@ -175,7 +175,7 @@ def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
 
     # change ONE doc -> exactly its bucket replays; other files untouched
     texts["doc3"] = "class C3 { int m(int a) { return a * 99; } }"
-    reader3, dirty3 = extract_incremental(spark, mk(texts), out, n_buckets=8)
+    reader3, dirty3, _ = extract_incremental(spark, mk(texts), out, n_buckets=8)
     assert len(dirty3) == 1
     (dirty_bucket,) = dirty3
     changed = {p for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)
@@ -185,7 +185,7 @@ def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
 
     # incremental result == full recompute
     full_out = str(tmp_path / "full")
-    full_reader, _ = extract_incremental(spark, mk(texts), full_out,
+    full_reader, _, _ = extract_incremental(spark, mk(texts), full_out,
                                          n_buckets=8)
     cols = ["doc_id", "method_id", "subj", "pred", "obj", "label"]
     a = reader3.filter("row_kind = 'triple'").select(cols)
@@ -195,12 +195,69 @@ def test_incremental_extract_replays_only_dirty_buckets(spark, tmp_path):
            full_reader.filter("row_kind = 'triple'").count()
 
 
+def test_pipeline_rerun_after_edit_refreshes_downstream(spark, tmp_path):
+    """Editing the input under the SAME caller corpus label must re-run
+    the downstream stages too: stage fingerprints key on the per-bucket
+    content state, so linked/canonical/edges can never go stale while
+    extracted/ moves on (the silent-staleness bug)."""
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+
+    def mk(extra_stmt=""):
+        rows = [(f"doc{i}",
+                 [("code", f"class C{i} {{ int m(int a) {{ {extra_stmt} "
+                           f"return a + {i}; }} }}", "", 0)])
+                for i in range(6)]
+        return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+    out = str(tmp_path / "kg_edit")
+    m1 = run_pipeline(spark, mk(), out, docs_fingerprint="same-label")
+    # same label, changed content -> everything downstream must refresh
+    m2 = run_pipeline(spark, mk("int b = a * 2;"), out,
+                      docs_fingerprint="same-label")
+    assert m2["total"] > m1["total"]
+    # and must equal a from-scratch run over the edited corpus
+    fresh = run_pipeline(spark, mk("int b = a * 2;"),
+                         str(tmp_path / "kg_fresh"),
+                         docs_fingerprint="other")
+    assert m2["total"] == fresh["total"]
+    assert m2["nodes"] == fresh["nodes"]
+    assert m2["canonical_entities"] == fresh["canonical_entities"]
+
+
+def test_dirty_bucket_drops_vanished_row_kinds(spark, tmp_path):
+    """A row_kind that disappears from a re-extracted bucket (the bucket's
+    only malformed doc gets fixed -> no more error rows) must disappear
+    from the OUTPUT too — dynamic partition overwrite alone would leave
+    the stale row_kind=error/bucket=b directory in place."""
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    from propertygraph_spark.pipeline.materialize import extract_incremental
+
+    def mk(broken: bool):
+        body = "class X { int" if broken \
+            else "class X { int m(int a) { return a; } }"
+        rows = [("doc-fix", [("code", body, "", 0)]),
+                ("doc-ok", [("code",
+                             "class Y { int m(int a) { return a; } }",
+                             "", 0)])]
+        return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+    out = str(tmp_path / "vanish")
+    reader1, _, _ = extract_incremental(spark, mk(True), out, n_buckets=4)
+    assert reader1.filter("row_kind = 'error'").count() == 1
+    reader2, dirty2, _ = extract_incremental(spark, mk(False), out,
+                                             n_buckets=4)
+    assert dirty2  # the fixed doc's bucket replayed
+    assert reader2.filter("row_kind = 'error'").count() == 0  # no phantoms
+    assert reader2.filter(
+        "row_kind = 'triple' AND doc_id = 'doc-fix'").count() > 0
+
+
 def test_incremental_extract_empty_corpus(spark, tmp_path):
     from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
     from propertygraph_spark.pipeline.materialize import extract_incremental
     docs = spark.createDataFrame([], DOCS_SCHEMA)
     out = str(tmp_path / "empty")
-    reader, dirty = extract_incremental(spark, docs, out, n_buckets=4)
+    reader, dirty, _ = extract_incremental(spark, docs, out, n_buckets=4)
     assert dirty == []
     assert reader.count() == 0
 
