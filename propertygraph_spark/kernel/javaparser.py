@@ -333,15 +333,20 @@ class Parser:
         name_tok = self.advance()
         if self.at("("):
             return self.finish_method(start, mods, typ, name_tok.value, False)
-        # field declaration -> parse & discard (not visited by reference)
+        # field declaration -> the PE tree drops it (not visited by the
+        # reference, PEASTVisitor.java:190-199), but the declared TYPES
+        # feed the builder's receiver-type table for apiName resolution
         self.pos -= 1  # back to name
-        self.parse_variable_fragments_discard()
-        self.accept(";")
-        return None
+        names = self.parse_variable_fragments_discard()
+        end_tok = self.accept(";")
+        return J("FieldDeclaration", start,
+                 end_tok.end if end_tok else self.peek().start,
+                 type=typ, names=names, modifiers=mods)
 
-    def parse_variable_fragments_discard(self) -> None:
+    def parse_variable_fragments_discard(self) -> List[str]:
+        names: List[str] = []
         while True:
-            self.advance()  # name
+            names.append(self.advance().value)  # name
             while self.at("[") and self.at("]", 1):
                 self.advance()
                 self.advance()
@@ -353,6 +358,7 @@ class Parser:
             if self.accept(","):
                 continue
             break
+        return names
 
     def finish_method(self, start: int, mods: List[str], return_type: Optional[J],
                       name: str, is_ctor: bool) -> J:

@@ -69,6 +69,47 @@ class LineMap:
         return bisect_right(self._starts, offset)
 
 
+def translate_unicode_escapes(source: str) -> str:
+    """JLS §3.3 unicode-escape translation, applied to the RAW input
+    before tokenizing (JDT's scanner decodes ``\\uXXXX`` anywhere — in
+    identifiers, keywords, operators, even as a literal-terminating
+    quote — not only inside literals). An escape is a backslash preceded
+    by an EVEN number of backslashes, one or more ``u``s, then exactly 4
+    hex digits; an odd backslash followed by ``u`` that is not a valid
+    escape is a compile error (here: LexError, which the kernel degrades
+    to an error row). No-op fast path when the source has no ``\\u``."""
+    if "\\u" not in source:
+        return source
+    out = []
+    i = 0
+    n = len(source)
+    hexdigits = "0123456789abcdefABCDEF"
+    while i < n:
+        c = source[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        j = i
+        while j < n and source[j] == "\\":
+            j += 1
+        n_bs = j - i
+        if n_bs % 2 == 1 and j < n and source[j] == "u":
+            out.append("\\" * (n_bs - 1))
+            k = j
+            while k < n and source[k] == "u":
+                k += 1
+            hex4 = source[k:k + 4]
+            if len(hex4) == 4 and all(h in hexdigits for h in hex4):
+                out.append(chr(int(hex4, 16)))
+                i = k + 4
+                continue
+            raise LexError(f"invalid unicode escape at offset {i}")
+        out.append(source[i:j])
+        i = j
+    return "".join(out)
+
+
 def unescape_java(body: str) -> str:
     """Resolve Java string/char escapes (JDT getLiteralValue semantics)."""
     out = []

@@ -17,22 +17,69 @@ from __future__ import annotations
 from typing import List, Optional
 
 from .javaparser import J, parse_java
-from .lexer import LineMap, unescape_java
+from .lexer import LineMap, translate_unicode_escapes, unescape_java
 from .pe import (ClassInfo, ExpressionInfo, IdGen, MethodInfo, OperatorInfo,
                  PE, ScopeManager, StatementInfo, TypeInfo,
                  VariableDeclarationInfo)
 
 NL = "\n"  # reference uses System.lineSeparator(); we fix '\n'
 
+import re
+
+_IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*\Z")
+
 
 class PEBuilder:
     def __init__(self, source: str):
+        # JLS §3.3: unicode escapes decode BEFORE lexing (JDT scanner
+        # semantics): an escaped letter inside an identifier or keyword
+        # still lexes as that identifier/keyword. Offsets/line numbers
+        # refer to the translated source (documented deviation: an escape
+        # earlier on the same line shifts later columns; line numbers only
+        # move if the escape encodes a line terminator).
+        source = translate_unicode_escapes(source)
         self.src = source
         self.lines = LineMap(source)
         self.idgen = IdGen()
         self.scope_manager = ScopeManager()
         self.methods: List[MethodInfo] = []
         self.imports: dict = {}  # simple name -> fqn (single-type imports)
+        # declared-type environment: a stack of {var name -> base type}
+        # scopes (class fields, method params, block/for/foreach/catch
+        # locals). The static stand-in for JDT variable bindings: a call
+        # through a declared receiver resolves apiName via the receiver's
+        # TYPE (ExpressionInfo.java:66-70, PEASTVisitor.java:1017-1025),
+        # so `T x; x.m()` yields `pkg.T.m()` when pkg.T is imported.
+        self.type_env: List[dict] = []
+
+    # ------------------------------------------------------- type tracking
+
+    @staticmethod
+    def _base_type(type_text: str) -> str:
+        """Erase generics/array suffixes: List<Map<K,V>>[] -> List."""
+        for cut in ("<", "["):
+            idx = type_text.find(cut)
+            if idx != -1:
+                type_text = type_text[:idx]
+        return type_text.strip()
+
+    def _push_env(self) -> None:
+        self.type_env.append({})
+
+    def _pop_env(self) -> None:
+        if self.type_env:
+            self.type_env.pop()
+
+    def _declare_type(self, name: Optional[str], type_text: Optional[str]) -> None:
+        if name and type_text and self.type_env:
+            self.type_env[-1][name] = self._base_type(type_text)
+
+    def _lookup_type(self, name: str) -> Optional[str]:
+        for env in reversed(self.type_env):
+            t = env.get(name)
+            if t is not None:
+                return t
+        return None
 
     # ---------------------------------------------------------- line rules
 
@@ -66,6 +113,14 @@ class PEBuilder:
     def build_type_declaration(self, j: J) -> ClassInfo:
         """PEASTVisitor.java:177-205 (methods land in self.methods)."""
         cls = ClassInfo(self.idgen, j["name"], self._sl(j), self._el(j))
+        # class-level type scope: field types are visible to every method
+        # regardless of declaration order (fields themselves stay dropped
+        # from the PE tree — projection P2)
+        self._push_env()
+        for member in j["body"]:
+            if member.t == "FieldDeclaration":
+                for name in member["names"]:
+                    self._declare_type(name, member["type"]["text"])
         text = ["class ", j["name"], "{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -77,12 +132,14 @@ class PEBuilder:
                     text.append(NL)
         text.append("}")
         cls.text = "".join(text)
+        self._pop_env()
         return cls
 
     def build_method_declaration(self, j: J) -> Optional[MethodInfo]:
         """PEASTVisitor.java:260-302."""
         method = MethodInfo(self.idgen, self.scope_manager, False, j["name"],
                             self._sl(j), self._el(j))
+        self._push_env()  # method scope: params + body locals
         text: List[str] = []
         for mod in j["modifiers"]:
             method.modifiers.append(mod)
@@ -109,11 +166,13 @@ class PEBuilder:
                 method.set_statement(body)
                 text.append(body.text)
         method.text = "".join(text)
+        self._pop_env()
         return method
 
     def build_single_variable_declaration(self, j: J) -> Optional[VariableDeclarationInfo]:
         """PEASTVisitor.java:1760-1791 (TypeInfo id precedes the var id)."""
         sl, el = self._sl(j), self._el(j)
+        self._declare_type(j["name"], j["type"]["text"])
         type_info = TypeInfo(self.idgen, j["type"]["text"], sl, el)
         var = VariableDeclarationInfo(self.idgen, VariableDeclarationInfo.LOCAL,
                                       type_info, j["name"], sl, el)
@@ -144,6 +203,7 @@ class PEBuilder:
     def _st_Block(self, j: J, owner: PE) -> StatementInfo:
         """PEASTVisitor.java:1697-1723."""
         blk = self._new_stmt(j, owner, "SimpleBlock")
+        self._push_env()
         text = ["{", NL]
         for s in j["statements"]:
             st = self.build_statement(s, blk)
@@ -153,6 +213,7 @@ class PEBuilder:
                 text.append(NL)
         text.append("}")
         blk.text = "".join(text)
+        self._pop_env()
         return blk
 
     def _st_Empty(self, j: J, owner: PE) -> StatementInfo:
@@ -279,6 +340,9 @@ class PEBuilder:
     def _st_VarDeclStmt(self, j: J, owner: PE) -> StatementInfo:
         """PEASTVisitor.java:1172-1211."""
         st = self._new_stmt(j, owner, "VariableDeclaration")
+        for frag in j["fragments"]:
+            if frag.t == "VarDeclFragment":
+                self._declare_type(frag["name"]["name"], j["type"]["text"])
         text: List[str] = []
         for mod in j["modifiers"]:
             text.append(mod)
@@ -358,6 +422,7 @@ class PEBuilder:
 
     def _st_For(self, j: J, owner: PE) -> StatementInfo:
         st = self._new_stmt(j, owner, "For")
+        self._push_env()  # for-init declarations scope to the loop
         text = ["for ("]
         for init_j in j["inits"]:
             init = self.build_expression(init_j)
@@ -389,11 +454,13 @@ class PEBuilder:
             st.set_statement(body)
             text.append(body.text)
             st.text = "".join(text)  # text only set when body built
+        self._pop_env()
         return st
 
     def _st_EnhancedFor(self, j: J, owner: PE) -> StatementInfo:
         """PEASTVisitor.java:1278-1317 — param+expr BEFORE the foreach stmt;
         condition stays None (the CFG substitutes a pseudo node)."""
+        self._push_env()  # the foreach variable scopes to the loop
         text = ["for ("]
         param = self.build_single_variable_declaration(j["param"])
         if param is not None:
@@ -413,6 +480,7 @@ class PEBuilder:
             st.set_statement(body)
             text.append(body.text)
         st.text = "".join(text)
+        self._pop_env()
         return st
 
     def _st_Switch(self, j: J, owner: PE) -> StatementInfo:
@@ -489,6 +557,7 @@ class PEBuilder:
         """PEASTVisitor.java:1726-1757 (text quirk: body text is NOT
         appended; catchBlock.getText() was still empty at append time)."""
         st = self._new_stmt(j, owner, "Catch")
+        self._push_env()  # the catch parameter scopes to the handler
         text = ["catch ("]
         exc = self.build_single_variable_declaration(j["exc"])
         if exc is not None:
@@ -500,6 +569,7 @@ class PEBuilder:
         if body is not None:
             st.set_statement(body)
         st.text = "".join(text)
+        self._pop_env()
         return st
 
     def _st_TypeDeclarationStatement(self, j: J, owner: PE) -> StatementInfo:
@@ -747,10 +817,19 @@ class PEBuilder:
         text.append(")")
         e.text = "".join(text)
         if j["expr"] is not None and receiver_text is not None:
-            # static-call qualification via the import table (the static
-            # stand-in for JDT binding resolution, which set apiName =
-            # qualifiedType.method(); pe/ExpressionInfo.java:66-70)
-            fqn = self.imports.get(receiver_text, receiver_text)
+            # apiName = qualifiedReceiverType.method() like JDT bindings
+            # (pe/ExpressionInfo.java:66-70, PEASTVisitor.java:1017-1025):
+            # a declared receiver (field/param/local — Java obscuring puts
+            # variables before types) resolves through its DECLARED type
+            # from the scope stack, then the import table qualifies the
+            # type; an undeclared identifier is treated as a static type
+            # receiver directly.
+            recv = receiver_text
+            if _IDENT_RE.match(recv):
+                declared = self._lookup_type(recv)
+                if declared is not None:
+                    recv = declared
+            fqn = self.imports.get(recv, recv)
             e.api_name = fqn + "." + j["name"]["name"] + "()"
         return e
 
@@ -866,6 +945,9 @@ class PEBuilder:
 
     def _ex_VarDeclExpr(self, j: J) -> ExpressionInfo:
         e = self._new_expr(j, "VariableDeclarationExpression")
+        for frag in j["fragments"]:
+            if frag.t == "VarDeclFragment":
+                self._declare_type(frag["name"]["name"], j["type"]["text"])
         sl, el = self._sl(j), self._el(j)
         type_info = TypeInfo(self.idgen, j["type"]["text"], sl, el)
         e.add_expression(type_info)

@@ -85,4 +85,66 @@ def test_import_qualified_candidates():
              if m["kind"] == "call_site"}
     assert cands["newKeySet"] == \
         "java.util.concurrent.ConcurrentHashMap.newKeySet()"
-    assert cands["trim"] == "s.trim()"  # receiver is a local, not a type
+    # a declared receiver resolves through its TYPE (String param) —
+    # java.lang types carry no import entry, so the simple name stands
+    assert cands["trim"] == "String.trim()"
+
+
+def test_typed_receiver_api_name():
+    """JDT-binding twin (ExpressionInfo.java:66-70): a call through a
+    field/param/local of declared type T yields pkg.T.method() when pkg.T
+    is imported; shadowing follows the innermost scope; undeclared
+    receivers keep the static-type treatment."""
+    src = (
+        "import org.acme.core.Widget;\n"
+        "import org.acme.io.Pipe;\n"
+        "class A {\n"
+        "    Widget field;\n"
+        "    void f(Widget p) {\n"
+        "        Widget w = make();\n"
+        "        w.spin();\n"
+        "        p.poke();\n"
+        "        field.frob();\n"
+        "        Widget.create();\n"
+        "        unknown.thing();\n"
+        "        { Pipe w = open(); w.flush(); }\n"
+        "        w.again();\n"
+        "        for (Pipe it : pipes) { it.drain(); }\n"
+        "        try { g(); } catch (Pipe e) { e.vent(); }\n"
+        "    }\n"
+        "}")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    cands = [(m["mention"], m["candidate"]) for m in mentions
+             if m["kind"] == "call_site"]
+    d = dict(cands)
+    assert d["spin"] == "org.acme.core.Widget.spin()"      # local
+    assert d["poke"] == "org.acme.core.Widget.poke()"      # param
+    assert d["frob"] == "org.acme.core.Widget.frob()"      # field
+    assert d["create"] == "org.acme.core.Widget.create()"  # static type
+    assert d["thing"] == "unknown.thing()"                 # unresolvable
+    assert d["flush"] == "org.acme.io.Pipe.flush()"        # inner shadow
+    assert d["again"] == "org.acme.core.Widget.again()"    # shadow popped
+    assert d["drain"] == "org.acme.io.Pipe.drain()"        # foreach var
+    assert d["vent"] == "org.acme.io.Pipe.vent()"          # catch param
+
+
+def test_unicode_escapes_outside_literals():
+    """JLS §3.3 / JDT scanner: escapes decode before lexing — escaped
+    identifier and keyword letters produce real graphs, not error rows."""
+    src = ('class \\u0041B { void \\u0066oo() { '
+           'int x\\u005f1 = 1; x\\u005f1 = x\\u005f1 + 1; } }')
+    nodes, triples, mentions, err = extract_document("d", src)
+    assert err is None
+    assert triples
+    texts = [n["text"] for n in nodes if n["kind"] == "method"]
+    assert texts and "foo" in texts[0] and "x_1" in texts[0]
+    # an odd backslash + u that is not 4 hex digits is a compile error
+    # (JLS) -> degrades to an error row, never a crash
+    _, t2, _, err2 = extract_document(
+        "d2", 'class A { void f() { int \\uZZZZ = 1; } }')
+    assert err2 is not None and not t2
+    # an ESCAPED backslash followed by u is NOT a unicode escape
+    _, t3, _, err3 = extract_document(
+        "d3", 'class A { void f() { String s = "a\\\\u0041"; } }')
+    assert err3 is None and t3
