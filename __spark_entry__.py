@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_pdg_closure"] = lambda s, d: kgdocs.pdg_closure_by_template(
         _docs(s, d))
     q["kg_degree_hist"] = lambda s, d: kgdocs.degree_histogram(_docs(s, d))
+    q["kg_linked_mentions"] = lambda s, d: kgdocs.linked_mentions(_docs(s, d))
+    q["kg_canonical_entities"] = lambda s, d: kgdocs.canonical_entities(
+        _docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -205,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_spans_roundtrip"] = kgdocs.spans_roundtrip_oracle_sql()
     o["kg_pdg_closure"] = kgdocs.closure_oracle_sql()
     o["kg_degree_hist"] = kgdocs.degree_histogram_oracle_sql()
+    o["kg_linked_mentions"] = kgdocs.linked_oracle_sql()
+    o["kg_canonical_entities"] = kgdocs.canonical_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

@@ -23,16 +23,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # printf-style templates (Spark format_string / DuckDB printf twins).
+# The call sites exercise entity linking end to end: typed receivers
+# (declared String/Text locals -> qualified candidates via the kernel's
+# apiName resolution) make the same simple name resolve to DIFFERENT
+# fqns across templates (java.lang.String.trim vs org.acme.util.Text.trim),
+# giving canonicalization real alias components to merge.
 JAVA_TEMPLATES = [
-    ("class D0 { public int m(int a, int b) { int t = a + %d; "
+    ('class D0 { public int m(int a, int b) { int t = a + %d; '
+     'String s = " x"; s.trim(); '
      "if (t > b) { t = t - 1; } return t; } }"),
     ("class D1 { public int m(int a, int b) { int t = %d; "
+     "Text u = new Text(); u.trim(); u.put(b); t = t + u.length(); "
      "while (t > 0) { t = t - a; } "
      "for (int i = 0; i < b; i = i + 1) { t = t + i; } return t; } }"),
     ("class D2 { public int m(int a, String s) { int t = s.length() + %d; "
+     "map.put(a, s); "
      "try { t = Integer.parseInt(s); } catch (NumberFormatException e) "
      "{ t = a; } return t; } }"),
     ("class D3 { public int m(int a, int b) { int t = %d; "
+     "obj.getValue(); Text v = new Text(); v.getValue(); "
      "while (a > 0) { if (t > b) { break; } else { t = t + a; } a = a - 1; } "
      "return t; } }"),
 ]
@@ -45,6 +54,10 @@ TEMPLATE_TRIPLE_COUNTS: dict[int, dict[str, int]] = {}   # filled below
 TEMPLATE_MENTION_COUNTS: dict[int, dict[str, int]] = {}  # filled below
 TEMPLATE_CLOSURE_PAIRS: dict[int, int] = {}              # filled below
 TEMPLATE_DEGREE_HIST: dict[int, dict[tuple, int]] = {}   # filled below
+# per template: every mention occurrence as (mention, kind, candidate) —
+# the input multiset of the entity-linking stage, frozen so the linking
+# and canonicalization oracles can replay scoring host-side
+TEMPLATE_LINK_OCCURRENCES: dict[int, list] = {}          # filled below
 
 
 def _closure_pairs(triples: list) -> int:
@@ -87,6 +100,8 @@ def _freeze_constants() -> None:
             by_kind[m["kind"]] = by_kind.get(m["kind"], 0) + 1
         TEMPLATE_MENTION_COUNTS[tpl] = by_kind
         TEMPLATE_CLOSURE_PAIRS[tpl] = _closure_pairs(triples)
+        TEMPLATE_LINK_OCCURRENCES[tpl] = [
+            (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
         outdeg: dict = {}
         for t in triples:
@@ -203,6 +218,128 @@ def degree_histogram(documents: DataFrame) -> DataFrame:
     return (deg.groupBy("pred", "degree")
             .agg(F.count("*").alias("n_nodes"))
             .orderBy("pred", "degree"))
+
+
+def linked_mentions(documents: DataFrame) -> DataFrame:
+    """Entity linking over the synthesized corpus: extraction mentions x
+    broadcast symbol dictionary, best-scored fqn per occurrence, rolled up
+    to (mention, fqn, score_pm) counts. The oracle replays the identical
+    scoring host-side over the frozen per-template occurrence multiset
+    (north_star linking stage, now oracle-checked end to end)."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    linked = link_mentions(mentions,
+                           symbol_dictionary(documents.sparkSession))
+    return (linked.groupBy(
+                "mention", "fqn",
+                F.floor(F.col("score") * 1000).cast("long").alias("score_pm"))
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy("mention", "fqn", "score_pm"))
+
+
+def canonical_entities(documents: DataFrame) -> DataFrame:
+    """Alias canonicalization over the linked table: connected components
+    of fqns sharing a linked mention, canonical_id = min fqn of the
+    component. The oracle recomputes the components INDEPENDENTLY with a
+    DuckDB recursive CTE over the frozen linked literals — a genuine
+    second implementation, not a replayed constant."""
+    from propertygraph_spark.pipeline.canonicalize import canonicalize_entities
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    linked = link_mentions(mentions,
+                           symbol_dictionary(documents.sparkSession))
+    return canonicalize_entities(linked).orderBy("fqn")
+
+
+def _host_best_link(mention: str, candidate, rows) -> tuple | None:
+    """Host-side replay of pipeline.linking scoring (keep in sync):
+    weight, +0.5 typed-receiver stem match, +0.25 call form — identical
+    float-addition order, exact string compares. Within a simple-name
+    group the dictionary weights are pairwise-distinct, so argmax has no
+    ties."""
+    best = None
+    for fqn, simple, _kind, weight in rows:
+        if simple != mention:
+            continue
+        score = weight
+        if candidate is not None and candidate.endswith("()"):
+            stem = candidate[:-2]
+            if fqn == stem or fqn.endswith("." + stem):
+                score = score + 0.5
+        if candidate is not None and candidate.endswith(mention + "()") \
+                and fqn.endswith(mention):
+            score = score + 0.25
+        if best is None or score > best[1]:
+            best = (fqn, score)
+    return best
+
+
+def _linked_constants() -> dict:
+    """(tpl, mention, fqn, score_pm) -> per-doc occurrence count."""
+    import math
+
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    agg: dict = {}
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, _kind, candidate in occs:
+            best = _host_best_link(mention, candidate, rows)
+            if best is None:
+                continue  # inner join: unmatched mentions drop
+            fqn, score = best
+            key = (tpl, mention, fqn, math.floor(score * 1000))
+            agg[key] = agg.get(key, 0) + 1
+    return agg
+
+
+def linked_oracle_sql() -> str:
+    values = [f"({tpl}, '{m}', '{fqn}', {spm}, {c})"
+              for (tpl, m, fqn, spm), c in sorted(_linked_constants().items())]
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, mention, fqn, score_pm, cnt) AS (VALUES {', '.join(values)})
+SELECT c.mention AS mention, c.fqn AS fqn,
+       CAST(c.score_pm AS BIGINT) AS score_pm,
+       CAST(SUM(t.n * c.cnt) AS BIGINT) AS n_occurrences
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY c.mention, c.fqn, c.score_pm
+ORDER BY mention, fqn, score_pm
+"""
+
+
+def canonical_oracle_sql() -> str:
+    """Recursive-CTE connected components over the linked literals: an
+    independent DuckDB implementation of the canonicalization semantics
+    (min reachable fqn through shared-mention edges)."""
+    pairs = sorted({(tpl, m, fqn)
+                    for (tpl, m, fqn, _spm) in _linked_constants()})
+    values = ", ".join(f"({tpl}, '{m}', '{fqn}')" for tpl, m, fqn in pairs)
+    return f"""
+WITH RECURSIVE tpls AS (
+  SELECT DISTINCT doc_id % 4 AS tpl FROM documents
+), lit(tpl, mention, fqn) AS (VALUES {values}),
+present AS (
+  SELECT DISTINCT mention, fqn FROM lit JOIN tpls USING (tpl)
+), edges AS (
+  SELECT a.fqn AS src, b.fqn AS dst
+  FROM present a JOIN present b
+    ON a.mention = b.mention AND a.fqn <> b.fqn
+), reach(fqn, r) AS (
+  SELECT fqn, fqn FROM (SELECT DISTINCT fqn FROM present)
+  UNION
+  SELECT reach.fqn, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT fqn, min(r) AS canonical_id FROM reach GROUP BY fqn ORDER BY fqn
+"""
 
 
 def degree_histogram_oracle_sql() -> str:

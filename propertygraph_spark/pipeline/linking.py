@@ -35,11 +35,13 @@ _PKGS = ("java.lang java.util java.io org.acme.core org.acme.io"
 _HOT = ["String", "Object", "Integer", "List", "Map", "Exception"]
 
 
-def symbol_dictionary(spark: SparkSession, n_symbols: int = 2000,
-                      seed: int = 42) -> DataFrame:
-    """Deterministic symbol dictionary with Zipf-ish weights; head keys are
-    made deliberately hot, and the synthetic corpus' method/class names are
-    included so linking produces matches."""
+def symbol_rows(n_symbols: int = 2000,
+                seed: int = 42) -> List[Tuple[str, str, str, float]]:
+    """Deterministic dictionary rows (fqn, simple_name, sym_kind, weight) —
+    pure Python, shared by the Spark dictionary AND the DuckDB oracle
+    freezer (ops/kgdocs.linked_oracle_sql), which replays the scoring
+    host-side. Weights are pairwise-distinct (distinct denominators), so
+    best-score selection has no ties to break."""
     rng = random.Random(seed)
     rows: List[Tuple[str, str, str, float]] = []
     for i, name in enumerate(_HOT):
@@ -49,13 +51,28 @@ def symbol_dictionary(spark: SparkSession, n_symbols: int = 2000,
                  "parseInt", "println", "getValue", "setValue", "isEmpty"):
         rows.append((f"java.lang.String.{name}", name, "method",
                      1.0 / (len(rows) + 1)))
+    # alias twins under a second class: the same simple name resolvable to
+    # two fqns (via typed-receiver evidence), so canonicalization has real
+    # multi-node components to merge. Weight denominators (1000+) are
+    # disjoint from every other block — no score ties within a name group.
+    for i, name in enumerate(("trim", "put", "getValue", "length")):
+        rows.append((f"org.acme.util.Text.{name}", name, "method",
+                     1.0 / (1000 + i)))
     for i in range(n_symbols - len(rows)):
         pkg = rng.choice(_PKGS)
         kind = rng.choice(["class", "method", "field"])
         name = (f"Type{i}" if kind == "class" else f"m{i % 64}") \
             if rng.random() < 0.7 else f"sym{i}"
         rows.append((f"{pkg}.{name}", name, kind, 1.0 / (i + 10)))
-    return spark.createDataFrame(rows, DICT_SCHEMA)
+    return rows
+
+
+def symbol_dictionary(spark: SparkSession, n_symbols: int = 2000,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic symbol dictionary with Zipf-ish weights; head keys are
+    made deliberately hot, and the synthetic corpus' method/class names are
+    included so linking produces matches."""
+    return spark.createDataFrame(symbol_rows(n_symbols, seed), DICT_SCHEMA)
 
 
 def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
@@ -63,9 +80,16 @@ def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
     """mentions(doc_id, method_id, node_id, mention, kind, candidate)
     -> linked rows with the best-scored fqn per mention occurrence.
 
-    Scoring: dictionary weight, +0.5 if the mention's qualified candidate
-    ends with the fqn's package-qualified name (cheap string evidence).
-    """
+    Scoring (replayed host-side by ops/kgdocs._host_best_link — keep in
+    sync): dictionary weight,
+    +0.5 when the candidate's qualified stem (candidate minus the
+        trailing ``()``) is the fqn or a ``.``-suffix of it — the
+        typed-receiver evidence produced by the kernel's declared-type
+        apiName resolution ("Text.trim()" -> org.acme.util.Text.trim);
+    +0.25 when the candidate merely has call form for this simple name
+        (ends with ``name()``) — weak evidence that still prefers
+        method-kind fqns. Exact string compares (right()/concat), no LIKE
+        wildcards, so the host replay is bit-identical."""
     m = mentions.withColumn("simple_name", F.col("mention"))
     if strategy == "broadcast":
         joined = m.join(F.broadcast(symbol_dict), "simple_name", "inner")
@@ -79,13 +103,22 @@ def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
     else:
         raise ValueError(strategy)
 
+    stem = "substring(candidate, 1, length(candidate) - 2)"
+    typed_hit = (
+        F.col("candidate").isNotNull()
+        & F.expr("right(candidate, 2) = '()'")
+        & F.expr(f"(fqn = {stem} OR "
+                 f"right(fqn, length({stem}) + 1) = concat('.', {stem}))"))
+    call_form = (
+        F.col("candidate").isNotNull()
+        & F.expr("right(candidate, length(simple_name) + 2)"
+                 " = concat(simple_name, '()')")
+        & F.expr("right(fqn, length(simple_name)) = simple_name"))
     scored = joined.withColumn(
         "score",
-        F.col("weight") + F.when(
-            F.col("candidate").isNotNull() &
-            F.expr("candidate like concat('%', simple_name, '()')") &
-            F.expr("fqn like concat('%', simple_name)"), F.lit(0.5)
-        ).otherwise(F.lit(0.0)))
+        F.col("weight")
+        + F.when(typed_hit, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(call_form, F.lit(0.25)).otherwise(F.lit(0.0)))
     # best candidate per mention occurrence — max_by avoids a window shuffle
     return (scored.groupBy("doc_id", "method_id", "node_id", "mention", "kind")
             .agg(F.max_by("fqn", "score").alias("fqn"),
