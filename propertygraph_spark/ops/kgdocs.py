@@ -29,19 +29,17 @@ from pyspark.sql import DataFrame, functions as F
 # fqns across templates (java.lang.String.trim vs org.acme.util.Text.trim),
 # giving canonicalization real alias components to merge.
 JAVA_TEMPLATES = [
-    ('class D0 { public int m(int a, int b) { int t = a + %d; '
-     'String s = " x"; s.trim(); '
+    ("class D0 { public int m(int a, int b) { int t = a + %d; "
      "if (t > b) { t = t - 1; } return t; } }"),
     ("class D1 { public int m(int a, int b) { int t = %d; "
-     "Text u = new Text(); u.trim(); u.put(b); t = t + u.length(); "
-     "while (t > 0) { t = t - a; } "
+     "Text u = new Text(); u.put(b); t = t + u.length(); "
      "for (int i = 0; i < b; i = i + 1) { t = t + i; } return t; } }"),
     ("class D2 { public int m(int a, String s) { int t = s.length() + %d; "
      "map.put(a, s); "
      "try { t = Integer.parseInt(s); } catch (NumberFormatException e) "
      "{ t = a; } return t; } }"),
     ("class D3 { public int m(int a, int b) { int t = %d; "
-     "obj.getValue(); Text v = new Text(); v.getValue(); "
+     "Text v = new Text(); t = t + v.getValue() + obj.getValue(); "
      "while (a > 0) { if (t > b) { break; } else { t = t + a; } a = a - 1; } "
      "return t; } }"),
 ]

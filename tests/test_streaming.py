@@ -211,6 +211,13 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() > n1
     assert out.select("doc_id").distinct().count() == 6
-    # no duplicates per (doc_id, subj, pred, obj)
-    assert out.count() == out.dropDuplicates(
-        ["doc_id", "method_id", "subj", "pred", "obj", "label"]).count()
+    # exactly-once: the streamed total equals a one-shot batch extraction
+    # over the same 6 docs. (A dropDuplicates proxy would be wrong: a
+    # multi-operand infix legitimately emits the same ast_child edge
+    # twice — the reference re-appends the SAME OperatorInfo per extended
+    # operand, PEASTVisitor.java:673 — so identical rows CAN be correct.)
+    from propertygraph_spark.pipeline.extract import extract_docs
+    batch = (extract_docs(spark.read.schema(schema).parquet(src_dir + "/*"),
+                          route=False)
+             .filter("row_kind = 'triple'").count())
+    assert out.count() == batch
