@@ -142,12 +142,21 @@ def _bucket_pairs_chunked(banded: DataFrame, keys: list,
 
     Cold buckets (<= chunk_size members) have exactly one chunk — one
     (0, 0) group, zero replication: the classic single-group path falls
-    out as the special case. The whole routine is ONE exchange (the
-    window's hashpartitioning on the bucket keys; the groupBy's clustering
-    keys are a superset, so it reuses that partitioning), plus in-row
-    Catalyst transforms — the upstream (shingling, signatures) is never
-    recomputed, unlike a bucket-keyed self-join which would plan the
-    whole lineage once per join side."""
+    out as the special case. Two exchanges total: the window's
+    hashpartitioning on the bucket keys, and an EXPLICIT repartition on
+    (bucket keys, lo, hi) before the group agg. The explicit shuffle is
+    load-bearing: without it Catalyst reuses the window's (bucket keys)
+    partitioning for the groupBy (subset rule), which would funnel every
+    chunk-pair group of a hot bucket back into one task — bounded memory
+    but serial expansion. With it, a mega-bucket's ~ (n/chunk_size)^2 / 2
+    groups spread across the cluster. The upstream (shingling,
+    signatures) is never recomputed, unlike a bucket-keyed self-join
+    which would plan the whole lineage once per join side.
+
+    At mega-cluster scale (10^6+ near-identical docs) the PAIR CONTRACT
+    itself is the bottleneck — n^2/2 output rows no matter the plan; the
+    right tool there is exact_duplicates / a cluster-representative pass,
+    and this operator's job is to not fall over on the way."""
     w = Window.partitionBy(*keys)
     wo = w.orderBy("doc_id")
     sized = (banded
@@ -165,7 +174,8 @@ def _bucket_pairs_chunked(banded: DataFrame, keys: list,
                           F.explode(chunk_pairs).alias("pk"))
              .select(*keys, "doc_id", "chunk",
                      F.col("pk.lo").alias("lo"), F.col("pk.hi").alias("hi")))
-    grouped = (keyed.groupBy(*keys, "lo", "hi")
+    grouped = (keyed.repartition(*keys, "lo", "hi")
+               .groupBy(*keys, "lo", "hi")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "chunk")))
                     .alias("members")))
     a_ids = F.transform(

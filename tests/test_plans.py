@@ -98,13 +98,14 @@ def test_minhash_single_signature_pass(docs):
     band — banding is a Generate (explode) after the aggregation, and the
     whole pipeline needs only 3 exchanges: shingle distinct (whose
     (doc_id, shingle) partitioning also satisfies the doc_id signature
-    agg), (band,bucket) grouping, and the final pair count. The chunked
-    pair expansion must NOT add exchanges (its groupBy keys are a
-    superset of the window's partition keys) and must NOT replan the
-    signature aggregation (a bucket-keyed self-join would)."""
+    agg), (band,bucket) windowing, the explicit chunk-pair-group
+    repartition (load-bearing for hot-bucket parallelism — see
+    _bucket_pairs_chunked), and the final pair count. The chunked
+    expansion must NOT replan the signature aggregation (a bucket-keyed
+    self-join would: 3x partial_min)."""
     p = plan(dedup.minhash_lsh_pairs(docs))
     import re
-    assert p.count("hashpartitioning(") <= 3, p
+    assert p.count("hashpartitioning(") <= 4, p
     # formatted mode lists each node twice (tree + details section)
     # shingles, bands, chunk-pair keys, pairs
     assert len(re.findall(r"\(\d+\) Generate", p)) == 4
