@@ -45,6 +45,23 @@ def streaming_event_counts(events: DataFrame,
                     "event_type", "n_events", "sum_value"))
 
 
+def streaming_dedup_docs(docs_stream: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first-seen wins per content digest, with
+    state bounded by the event-time watermark (dropDuplicatesWithinWatermark
+    evicts digests older than the watermark, so state size tracks the
+    duplicate-arrival window instead of corpus history — the only way a
+    dedup stream survives 10^12 docs). Dedup key is the md5 of the text,
+    never the text itself: state stores 16-byte digests.
+
+    Streaming twin of ops.dedup.exact_duplicates' keep-first semantics
+    (input: doc_id, ts event time, text)."""
+    keyed = docs_stream.select(
+        "doc_id", "ts", F.md5("text").alias("content_md5"))
+    return (keyed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_md5"]))
+
+
 def streaming_extract(docs_stream: DataFrame) -> DataFrame:
     """Incremental KG extraction: same fused Arrow kernel as the batch
     pipeline, applied per micro-batch (map-only → no streaming state)."""

@@ -53,6 +53,38 @@ def test_streaming_counts_match_batch(spark, events_path):
     assert got == want
 
 
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate text arriving in a LATER
+    micro-batch (inside the watermark) must still be suppressed; distinct
+    texts all pass. State holds md5 digests only."""
+    from propertygraph_spark.streaming.events import streaming_dedup_docs
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows, "doc_id long, ts string, text string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+
+    write_batch([(1, "2024-01-01 00:00:01", "alpha beta"),
+                 (2, "2024-01-01 00:00:02", "gamma delta")], "f1")
+    write_batch([(3, "2024-01-01 00:00:03", "alpha beta"),   # dup of 1
+                 (4, "2024-01-01 00:00:04", "epsilon")], "f2")
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = run_to_memory(streaming_dedup_docs(stream), "dedup_stream",
+                      output_mode="append")
+    try:
+        got = {r["doc_id"] for r in
+               spark.sql("select * from dedup_stream").collect()}
+    finally:
+        q.stop()
+    assert 3 not in got          # cross-batch duplicate suppressed
+    assert {1, 2, 4} <= got      # distinct texts all pass
+
+
 def test_streaming_extract_incremental(spark, tmp_path):
     from propertygraph_spark.ops.kgdocs import (TEMPLATE_TRIPLE_COUNTS,
                                                 docs_with_spans)
