@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), k=5)
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
     q["ann_ivf_topk"] = lambda s, d: similarity.ann_ivf_topk(_emb(s, d), k=5)
+    q["ann_ivf_nprobe_topk"] = lambda s, d: similarity.ann_ivf_topk(
+        _emb(s, d), k=5, nprobe=2)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
 
@@ -588,6 +590,45 @@ WITH nv AS (
 ), pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {_cos} AS cos_pm
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_pm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_pm DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
+"""
+
+    # multi-probe IVF (nprobe=2): probes are rk<=2 over the SAME quantized
+    # assignment criterion; index vectors keep their rk=1 cell, so no
+    # candidate is generated twice
+    o["ann_ivf_nprobe_topk"] = f"""
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, embedding, nrm,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS seed_rank
+  FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, e.nrm, s.seed_rank,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY CAST(floor(({_qcos}) * 1000000000)
+                                          AS BIGINT) DESC,
+                                     s.seed_rank ASC) AS rk
+  FROM nv e CROSS JOIN seeds s
+), n AS (
+  SELECT vec_id, embedding, nrm, seed_rank AS bucket
+  FROM scored WHERE rk = 1
+), probe AS (
+  SELECT vec_id, embedding, nrm, seed_rank AS cell
+  FROM scored WHERE rk <= 2
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {_cos} AS cos_pm
+  FROM probe a JOIN n b ON b.bucket = a.cell AND a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT vec_id, neighbor_id, cos_pm,
          row_number() OVER (PARTITION BY vec_id

@@ -160,13 +160,8 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     trained quantizer would be); assignment is a map-only numpy pass."""
     import numpy as np
 
-    seeds = (emb.select("vec_id", "embedding",
-                        F.md5(F.col("vec_id").cast("string")).alias("h"))
-             .orderBy("h").limit(n_cells).collect())
-    C = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
-    C = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
     sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast(C)
+    bc = sc.broadcast(_ivf_centroids(emb, n_cells))
 
     from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
                                    LongType, StructField, StructType)
@@ -238,11 +233,119 @@ def _topk_within_bucket(bucketed: DataFrame, k: int) -> DataFrame:
             .groupBy("bucket").applyInPandas(per_bucket, schema))
 
 
-def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8) -> DataFrame:
+def _ivf_centroids(emb: DataFrame, n_cells: int):
+    """Deterministic md5-seeded, L2-normalized centroid matrix (shared by
+    the assign and probe paths so their cell ids agree)."""
+    import numpy as np
+
+    seeds = (emb.select("vec_id", "embedding",
+                        F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h").limit(n_cells).collect())
+    C = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
+    return C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+
+
+def ivf_probe_assign(emb: DataFrame, n_cells: int = 8,
+                     nprobe: int = 2) -> DataFrame:
+    """Query-side multi-probe: each vector lists its top-``nprobe`` cells
+    by quantized cosine (floor(cos*1e9) desc, seed rank asc — the same
+    bit-stable criterion as ivf_assign). One map-only pass; output
+    (vec_id, embedding, cell, probe_rank)."""
+    import numpy as np
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        _ivf_centroids(emb, n_cells))
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+        StructField("cell", IntegerType(), False),
+        StructField("probe_rank", IntegerType(), False),
+    ])
+
+    def probe(it):
+        import pandas as pd
+        cent = bc.value
+        for pdf in it:
+            Q = np.array([list(e) for e in pdf["embedding"]],
+                         dtype=np.float64)
+            Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+            cos_q = np.floor((Qn @ cent.T) * 1_000_000_000)
+            out = []
+            for i in range(len(pdf)):
+                order = np.lexsort((np.arange(cent.shape[0]), -cos_q[i]))
+                for r, c in enumerate(order[:nprobe]):
+                    out.append((pdf["vec_id"].iloc[i],
+                                pdf["embedding"].iloc[i], int(c), r))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "embedding", "cell", "probe_rank"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(probe, schema)
+
+
+def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
+                 nprobe: int = 1) -> DataFrame:
     """Approximate top-k via IVF cells (data-adaptive partitioning; the
     scale path when hyperplane buckets split true neighbors — cells
-    follow the data distribution)."""
-    return _topk_within_bucket(ivf_assign(emb, n_cells), k)
+    follow the data distribution).
+
+    ``nprobe`` is the classic IVF recall/cost knob: queries search their
+    ``nprobe`` nearest cells (index vectors still live in exactly one
+    cell, so no candidate is generated twice). nprobe=1 keeps the
+    symmetric single-shuffle bucket rerank; nprobe>1 unions tagged
+    query-probes with the cell-assigned index and reranks per cell, then
+    takes the global top-k with one window — two shuffles total (cell,
+    then vec_id)."""
+    import numpy as np
+
+    if nprobe <= 1:
+        return _topk_within_bucket(ivf_assign(emb, n_cells), k)
+
+    index = ivf_assign(emb, n_cells).select(
+        F.col("bucket").alias("cell"), "vec_id", "embedding",
+        F.lit(0).alias("is_query"))
+    probes = ivf_probe_assign(emb, n_cells, nprobe).select(
+        "cell", "vec_id", "embedding", F.lit(1).alias("is_query"))
+    tagged = index.unionByName(probes)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("cos_pm", LongType(), False),
+    ])
+
+    def per_cell(pdf):
+        import pandas as pd
+        q = pdf[pdf["is_query"] == 1]
+        c = pdf[pdf["is_query"] == 0]
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos_pm"])
+        Q = np.array([list(e) for e in q["embedding"]], dtype=np.float64)
+        M = np.array([list(e) for e in c["embedding"]], dtype=np.float64)
+        q_ids = q["vec_id"].to_numpy(dtype=np.int64)
+        c_ids = c["vec_id"].to_numpy(dtype=np.int64)
+        cos = (Q @ M.T) / np.outer(np.sqrt((Q * Q).sum(axis=1)),
+                                   np.sqrt((M * M).sum(axis=1)))
+        cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
+        out = []
+        for i in range(len(q_ids)):
+            mask = c_ids != q_ids[i]
+            cand_ids = c_ids[mask]
+            cand = cos_pm[i][mask]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            for j in order:
+                out.append((q_ids[i], cand_ids[j], cand[j]))
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_pm"])
+
+    partial = tagged.groupBy("cell").applyInPandas(per_cell, schema)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_pm"), F.asc("neighbor_id"))
+    return (partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k))
 
 
 def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFrame:

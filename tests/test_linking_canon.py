@@ -108,6 +108,23 @@ def test_ann_recall_vs_brute_force(spark, method, minimum):
     assert recall >= minimum, f"{method} recall={recall:.2f}"
 
 
+def test_ivf_nprobe_improves_recall(spark):
+    """nprobe=2 candidates are a superset of nprobe=1's per query (the
+    rk=1 cell is always probed), so recall vs brute force can only go up."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(200)
+    truth = {(r["vec_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, k=5).collect()}
+    def recall(nprobe):
+        got = {(r["vec_id"], r["neighbor_id"]) for r in
+               similarity.ann_ivf_topk(emb, k=5, n_cells=4,
+                                       nprobe=nprobe).collect()}
+        return len(truth & got) / len(truth)
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.4  # floor against silent breakage
+
+
 def test_transitive_closure_matches_bfs(spark):
     """Distributed semi-naive closure == reference Python BFS."""
     from propertygraph_spark.ops.graph import transitive_closure
