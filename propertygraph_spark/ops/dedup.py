@@ -64,29 +64,57 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold_pm: int = 800) -> DataFrame:
     """Near-duplicate pairs with token-k-gram Jaccard >= threshold (per
-    mille). Inverted-index join: explode shingles, self-join on shingle,
-    count intersections, derive union from per-doc shingle counts.
+    mille). EXACT prefix-filtered all-pairs (Bayardo et al. / PPJoin
+    candidate generation):
 
-    Scale notes: the self-join shuffles on `shingle` — a skewed common
-    shingle blows up df^2, so AQE skew-join splitting stays on. The
-    per-doc count table has ONE ROW PER DOCUMENT — at 10^12 docs it is
-    not broadcastable, so no broadcast hint: the joins ride the doc_a /
-    doc_b shuffle keys and AQE promotes to broadcast only when the
-    runtime size actually fits."""
+    1. global shingle document frequencies; each doc orders its shingles
+       by (df asc, shingle asc) — a global total order, rarest first;
+    2. candidate generation joins only each doc's PREFIX — the first
+       n - ceil(t*n) + 1 shingles. Correctness: if J(a,b) >= t then
+       |inter| >= ceil(t*|a|), and the globally-smallest intersection
+       element must sit inside BOTH prefixes (pigeonhole on the sorted
+       order), so no qualifying pair is missed;
+    3. verification joins the candidates back to per-doc sorted shingle
+       arrays and computes the exact intersection with array_intersect.
+
+    Scale rationale: the naive inverted-index self-join pays df^2 on
+    EVERY shingle — one stopword trigram with df=10^6 is 10^12 candidate
+    rows. Under the df-ascending order, ultra-common shingles fall
+    OUTSIDE almost every prefix, so hot keys vanish from the join while
+    the output stays bit-identical (the oracle runs the naive plan).
+    Per-doc arrays are bounded by document length; nothing is broadcast
+    or collected."""
     sh = _shingles(docs, k)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("n_inter")))
-    ca = counts.select(F.col("doc_id").alias("doc_a"),
-                       F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"),
-                       F.col("n_sh").alias("n_b"))
-    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (sh.join(dfreq, "shingle")
+              .withColumn("pos", F.row_number().over(
+                  w_doc.orderBy("df", "shingle")))
+              .withColumn("n_sh", F.count("*").over(w_doc)))
+    # prefix length p = n - ceil(t*n) + 1, in exact integer arithmetic:
+    # ceil(threshold_pm * n / 1000) = (threshold_pm * n + 999) div 1000
+    ceil_tn = F.floor((F.lit(threshold_pm) * F.col("n_sh") + 999) / 1000)
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1) \
+                   .select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sets_ = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shset"),
+        F.count("*").alias("n_sh"))
+    sa = sets_.select(F.col("doc_id").alias("doc_a"),
+                      F.col("shset").alias("set_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"),
+                      F.col("shset").alias("set_b"),
+                      F.col("n_sh").alias("n_b"))
+    n_inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_inter", n_inter)
             .withColumn(
                 "jaccard_pm",
                 F.floor(F.col("n_inter") * 1000

@@ -81,6 +81,38 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert all(a < b for a, b in pairs)    # canonical ordering
 
 
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """Prefix-filtered all-pairs must equal a naive Python reference on a
+    corpus engineered with partial overlaps around the threshold."""
+    import itertools
+    rng_words = ["w%d" % i for i in range(30)]
+    texts = {}
+    for d in range(24):
+        # sliding windows with varying stride -> graded pairwise overlap
+        lo = (d * 3) % 18
+        texts[d] = " ".join(rng_words[lo:lo + 10] + rng_words[:d % 4])
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string")
+
+    def shingles(t, k=3):
+        toks = t.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    want = {}
+    for x, y in itertools.combinations(sorted(texts), 2):
+        a, b = shingles(texts[x]), shingles(texts[y])
+        if not a or not b:
+            continue
+        inter = len(a & b)
+        jpm = inter * 1000 // len(a | b)
+        if jpm >= 300:
+            want[(x, y)] = (inter, jpm)
+    got = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard_pm"])
+           for r in dedup.ngram_jaccard_pairs(
+               docs, threshold_pm=300).collect()}
+    assert got == want
+
+
 def test_minhash_lsh_candidates(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"]
              for r in dedup.minhash_lsh_pairs(docs).collect()}
