@@ -109,6 +109,14 @@ def extract_document(doc_id: str, source: str,
     idgen = builder.idgen
     node_seen: set = set()
 
+    # class/field declaration mentions (builder seeds; fields are not PE
+    # nodes — projection parity — but their declarations are mentions)
+    for node_id, mention_text, kind, candidate in builder.mention_seeds:
+        mentions.append({
+            "doc_id": doc_id, "method_id": "", "node_id": node_id,
+            "mention": mention_text, "kind": kind, "candidate": candidate,
+        })
+
     def emit_node(method_id: str, pe: PE, graph: str, kind: str) -> None:
         key = (method_id, graph, pe.pe_id)
         if key in node_seen:
@@ -128,6 +136,9 @@ def extract_document(doc_id: str, source: str,
             "pred": pred, "obj": obj, "label": label,
         })
 
+    _PRIMS = frozenset(
+        "boolean byte char short int long float double void var".split())
+
     def emit_mention(method_id: str, pe: PE) -> None:
         if isinstance(pe, ExpressionInfo) and \
                 pe.category == "MethodInvocation" and pe.expressions:
@@ -137,6 +148,44 @@ def extract_document(doc_id: str, source: str,
                 "mention": pe.expressions[0].text,
                 "kind": "call_site",
                 "candidate": pe.api_name or pe.expressions[0].text,
+            })
+        elif isinstance(pe, VariableDeclarationInfo):
+            # params / foreach vars / catch params
+            base = builder._base_type(
+                pe.type_info.text if pe.type_info is not None else "")
+            _emit_var_mention(method_id, pe.pe_id, pe.name or "", base)
+        elif (isinstance(pe, StatementInfo)
+              and pe.category == "VariableDeclaration") or \
+             (isinstance(pe, ExpressionInfo)
+              and pe.category == "VariableDeclarationExpression"):
+            # local declarations build as TypeInfo + fragment expressions
+            tinfo = next((e for e in pe.expressions
+                          if isinstance(e, TypeInfo)), None)
+            base = builder._base_type(tinfo.text) if tinfo is not None else ""
+            for e in pe.expressions:
+                if isinstance(e, ExpressionInfo) \
+                        and e.category == "VariableDeclarationFragment" \
+                        and e.expressions:
+                    _emit_var_mention(method_id, e.pe_id,
+                                      e.expressions[0].text, base)
+
+    def _emit_var_mention(method_id: str, node_id: int, name: str,
+                          base: str) -> None:
+        """north_star mention family "variable declarations": the declared
+        NAME, plus a type_ref for non-primitive declared types
+        (import-qualified — the same resolution apiName uses)."""
+        mentions.append({
+            "doc_id": doc_id, "method_id": method_id,
+            "node_id": node_id, "mention": name,
+            "kind": "var_decl",
+            "candidate": f"{base} {name}" if base else name,
+        })
+        if base and base not in _PRIMS:
+            mentions.append({
+                "doc_id": doc_id, "method_id": method_id,
+                "node_id": node_id, "mention": base,
+                "kind": "type_ref",
+                "candidate": builder.imports.get(base, base),
             })
 
     for ordinal, method in enumerate(methods):

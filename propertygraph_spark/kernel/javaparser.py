@@ -134,10 +134,16 @@ class Parser:
     def parse_compilation_unit(self) -> J:
         types: List[J] = []
         imports: List[str] = []
+        package = ""
         while not self.at_kind("eof"):
             if self.at("package"):
+                self.advance()
+                parts: List[str] = []
                 while not self.at(";") and not self.at_kind("eof"):
-                    self.advance()
+                    t = self.advance()
+                    if t.kind in ("ident", "keyword"):
+                        parts.append(t.value)
+                package = ".".join(parts)
                 self.accept(";")
                 continue
             if self.at("import"):
@@ -172,7 +178,7 @@ class Parser:
                 # stray token; skip to avoid infinite loop
                 self.advance()
         return J("CompilationUnit", 0, len(self.src), types=types,
-                 imports=imports)
+                 imports=imports, package=package)
 
     def skip_to_body_and_discard(self) -> None:
         while not self.at("{") and not self.at_kind("eof"):

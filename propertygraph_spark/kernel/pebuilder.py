@@ -44,6 +44,13 @@ class PEBuilder:
         self.scope_manager = ScopeManager()
         self.methods: List[MethodInfo] = []
         self.imports: dict = {}  # simple name -> fqn (single-type imports)
+        self.package = ""  # set by build() from the compilation unit
+        # class/field declaration mention seeds collected while building:
+        # (node_id, mention, kind, candidate) — north_star mention
+        # families beyond method decls + call sites. Fields stay OUT of
+        # the PE tree (projection parity) but their declarations are
+        # still mentions worth linking.
+        self.mention_seeds: List[tuple] = []
         # declared-type environment: a stack of {var name -> base type}
         # scopes (class fields, method params, block/for/foreach/catch
         # locals). The static stand-in for JDT variable bindings: a call
@@ -103,6 +110,7 @@ class PEBuilder:
 
     def build(self) -> List[MethodInfo]:
         unit = parse_java(self.src)
+        self.package = unit.get("package", "")
         for path in unit.get("imports", []):
             simple = path.rsplit(".", 1)[-1]
             self.imports.setdefault(simple, path)
@@ -113,14 +121,20 @@ class PEBuilder:
     def build_type_declaration(self, j: J) -> ClassInfo:
         """PEASTVisitor.java:177-205 (methods land in self.methods)."""
         cls = ClassInfo(self.idgen, j["name"], self._sl(j), self._el(j))
+        fqn = f"{self.package}.{j['name']}" if self.package else j["name"]
+        self.mention_seeds.append(
+            (cls.pe_id, j["name"], "class_decl", fqn))
         # class-level type scope: field types are visible to every method
         # regardless of declaration order (fields themselves stay dropped
         # from the PE tree — projection P2)
         self._push_env()
         for member in j["body"]:
             if member.t == "FieldDeclaration":
+                base = self._base_type(member["type"]["text"])
                 for name in member["names"]:
                     self._declare_type(name, member["type"]["text"])
+                    self.mention_seeds.append(
+                        (cls.pe_id, name, "field_decl", f"{base}.{name}"))
         text = ["class ", j["name"], "{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":

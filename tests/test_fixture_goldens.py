@@ -28,60 +28,60 @@ GOLDEN = {
                     "cfg_true": 1, "pdg_control_false": 1,
                     "pdg_control_true": 2, "pdg_data": 7,
                     "pdg_execution": 7},
-        "nodes": 72, "mentions": 7},
+        "nodes": 72, "mentions": 16},
     "AmqpAdvisoryTest.java": {
         # no control statements outside the license header -> no branch
         # edges; straight-line code with many calls
         "triples": {"ast_child": 151, "cfg_normal": 22, "pdg_data": 45,
                     "pdg_execution": 25},
-        "nodes": 207, "mentions": 26},
+        "nodes": 207, "mentions": 47},
     "BaseDataMarshaller.java": {
         "triples": {"ast_child": 56, "cfg_false": 2, "cfg_normal": 4,
                     "cfg_true": 2, "pdg_control_false": 3,
                     "pdg_control_true": 5, "pdg_data": 32,
                     "pdg_execution": 9},
-        "nodes": 79, "mentions": 9},
+        "nodes": 79, "mentions": 20},
     "BaseDataStreamMarshallerNew.java": {
         "triples": {"ast_child": 60, "cfg_normal": 3, "cfg_true": 2,
                     "pdg_control_true": 2, "pdg_data": 11,
                     "pdg_execution": 6},
-        "nodes": 79, "mentions": 6},
+        "nodes": 79, "mentions": 19},
     "BaseDataStreamMarshallerOld.java": {
         "triples": {"ast_child": 50, "cfg_normal": 2, "cfg_true": 1,
                     "pdg_control_true": 1, "pdg_data": 8,
                     "pdg_execution": 4},
-        "nodes": 63, "mentions": 5},
+        "nodes": 63, "mentions": 16},
     "EdgeOperation.java": {
         "triples": {"ast_child": 46, "cfg_normal": 3, "pdg_data": 8,
                     "pdg_execution": 4},
-        "nodes": 58, "mentions": 8},
+        "nodes": 58, "mentions": 13},
     "FilenameGuardFilterNew.java": {
         "triples": {"ast_child": 43, "cfg_false": 1, "cfg_normal": 3,
                     "cfg_true": 1, "pdg_control_true": 1, "pdg_data": 11,
                     "pdg_execution": 6},
-        "nodes": 54, "mentions": 8},
+        "nodes": 54, "mentions": 13},
     "FilenameGuardFilterOld.java": {
         "triples": {"ast_child": 37, "cfg_false": 1, "cfg_normal": 2,
                     "cfg_true": 1, "pdg_control_true": 1, "pdg_data": 8,
                     "pdg_execution": 5},
-        "nodes": 46, "mentions": 6},
+        "nodes": 46, "mentions": 11},
     "MyTest.java": {
         # only test5 is uncommented (nested-block shadowing)
         "triples": {"ast_child": 47, "cfg_normal": 2, "pdg_data": 3,
                     "pdg_execution": 3},
-        "nodes": 56, "mentions": 5},
+        "nodes": 56, "mentions": 10},
     "PortfolioPublishServlet.java": {
         "triples": {"ast_child": 217, "cfg_false": 4, "cfg_normal": 18,
                     "cfg_true": 5, "pdg_control_false": 5,
                     "pdg_control_true": 17, "pdg_data": 43,
                     "pdg_execution": 28},
-        "nodes": 267, "mentions": 29},
+        "nodes": 267, "mentions": 48},
     "SqlInjection.java": {
         "triples": {"ast_child": 137, "cfg_false": 2, "cfg_normal": 16,
                     "cfg_true": 2, "pdg_control_false": 1,
                     "pdg_control_true": 6, "pdg_data": 17,
                     "pdg_execution": 21},
-        "nodes": 175, "mentions": 5},
+        "nodes": 175, "mentions": 20},
 }
 
 

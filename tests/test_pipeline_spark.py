@@ -278,7 +278,7 @@ def test_fixture_corpus_pipeline_golden(spark):
         "pdg_control_true": 35, "pdg_control_false": 10,
         "pdg_data": 193, "pdg_execution": 118,
     }
-    assert mentions.count() == 114
+    assert mentions.count() == 233
 
 
 def test_graphs_selection(spark, corpus):
