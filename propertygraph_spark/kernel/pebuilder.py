@@ -839,6 +839,8 @@ class PEBuilder:
             # type; an undeclared identifier is treated as a static type
             # receiver directly.
             recv = receiver_text
+            if recv.startswith("this."):  # explicit field receiver
+                recv = recv[5:]
             if _IDENT_RE.match(recv):
                 declared = self._lookup_type(recv)
                 if declared is not None:

@@ -129,6 +129,19 @@ def test_typed_receiver_api_name():
     assert d["vent"] == "org.acme.io.Pipe.vent()"          # catch param
 
 
+def test_this_field_receiver_api_name():
+    src = (
+        "import org.acme.core.Widget;\n"
+        "class A { Widget field;\n"
+        "  void f() { this.field.frob(); field.spin(); } }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    d = {m["mention"]: m["candidate"] for m in mentions
+         if m["kind"] == "call_site"}
+    assert d["frob"] == "org.acme.core.Widget.frob()"  # this.field
+    assert d["spin"] == "org.acme.core.Widget.spin()"  # bare field
+
+
 def test_unicode_escapes_outside_literals():
     """JLS §3.3 / JDT scanner: escapes decode before lexing — escaped
     identifier and keyword letters produce real graphs, not error rows."""
