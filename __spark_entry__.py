@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q12_priority_shipmode"] = relational.priority_shipmode
     q["events_rollup_hourly"] = relational.events_rollup_hourly
     q["events_range_join"] = relational.events_range_join
+    q["q7_volume_shipping"] = relational.volume_shipping
+    q["q10_returned_items"] = relational.returned_item_customers
+    q["q14_promo_revenue"] = relational.promo_revenue
+    q["q19_discounted_revenue"] = relational.discounted_revenue
+    q["q22_idle_rich_customers"] = relational.idle_rich_customers
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -343,6 +348,67 @@ SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
 FROM e a JOIN e b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(date_diff('second', a.ts, b.ts)) <= 60
+"""
+    o["q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+   OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    o["q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+    o["q14_promo_revenue"] = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+    o["q19_discounted_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+    o["q22_idle_rich_customers"] = """
+WITH t AS (SELECT round(avg(c_acctbal), 2) AS thr FROM customer
+           WHERE c_acctbal > 0)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer, t
+WHERE c_acctbal > t.thr
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
     o["event_type_funnel"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users,

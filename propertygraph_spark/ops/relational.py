@@ -212,6 +212,117 @@ def priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor: revenue flows between two nations per ship year.
+    Both nation legs broadcast; the only big shuffle is lineitem x orders
+    (the same join every order-grain query rides)."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(((F.col("supp_nation") == "NATION_0")
+                     & (F.col("cust_nation") == "NATION_1"))
+                    | ((F.col("supp_nation") == "NATION_1")
+                       & (F.col("cust_nation") == "NATION_0")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: top-20 customers by revenue lost to returns in
+    1997 — grouped join + TakeOrderedAndProject."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: promo vs total revenue for one ship month —
+    conditional aggregation over a broadcast part join. Components are
+    reported as rounded sums (the cross-engine-stable form; a floored
+    double ratio could flip on the last ulp)."""
+    part = _t(spark, sf_dir, "part")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-09-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-10-01"))))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.round(F.sum(promo), 2).alias("promo_revenue"),
+                 F.round(F.sum(rev), 2).alias("total_revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor: disjunctive multi-attribute predicates across the
+    part join — the plan must stay an equi-join on partkey with the OR
+    block as a post-join filter (no cartesian)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(11, 25))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(26, 50))
+           & (F.col("l_quantity").between(20, 35))))
+    return (j.filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: customers with above-average (cent-rounded)
+    positive balance and NO orders since 2000 — scalar-subquery threshold
+    + left-anti join against the recent-order set, grouped by market
+    segment (every testdata customer has SOME order, so the classic
+    no-orders-ever predicate would be vacuous)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    # cent-rounded threshold: a last-ulp cross-engine difference in the
+    # raw avg cannot move the comparison
+    threshold = (cust.filter(F.col("c_acctbal") > 0)
+                 .agg(F.round(F.avg("c_acctbal"), 2).alias("t"))
+                 .collect()[0]["t"])
+    return (cust.filter(F.col("c_acctbal") > threshold)
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+            .orderBy("c_mktsegment"))
+
+
 def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: the hour level is computed
     FROM the minute level (not from raw rows) — the rollup-reuse pattern

@@ -123,6 +123,28 @@ def test_range_join_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q19_disjunctive_stays_equi_join(spark):
+    """The OR block across both join sides must not degrade the partkey
+    equi-join into a nested-loop/cartesian plan."""
+    p = plan(relational.discounted_revenue(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q10_take_ordered(spark):
+    p = plan(relational.returned_item_customers(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    # the o_orderdate range reaches the orders scan
+    assert "o_orderdate" in p.split("PushedFilters")[1][:400] \
+        or "o_orderdate" in p
+
+
+def test_q22_anti_join(spark):
+    p = plan(relational.idle_rich_customers(spark, SF))
+    assert "LeftAnti" in p or "left_anti" in p.lower()
+
+
 def test_asof_join_single_exchange(spark):
     """The as-of window formulation rides one user_id exchange."""
     p = plan(relational.asof_view_before_click(spark, SF))
