@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), threshold_pm=200)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
+    q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_docs(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dupes(
@@ -557,6 +558,33 @@ JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+    # cluster-representative selection: the SAME banded-LSH pair set,
+    # closed transitively with a recursive CTE (independent CC twin),
+    # then min-label per component; singletons keep themselves
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE sig AS ({_minhash_sql()}),
+banded AS ({' UNION ALL '.join(band_buckets)}),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+       CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
     o["dedup_simhash"] = _simhash_sql()
     nib_sel = " UNION ALL ".join(
         f"SELECT doc_id, simhash16, {b} AS band, "

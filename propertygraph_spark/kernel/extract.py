@@ -29,6 +29,9 @@ from .pe import (ClassInfo, ExpressionInfo, MethodInfo, PE, StatementInfo,
                  TypeInfo, VariableDeclarationInfo)
 from .pebuilder import PEBuilder
 
+_PRIMS = frozenset(
+    "boolean byte char short int long float double void var".split())
+
 _CFG_PRED = {("normal", ""): "cfg_normal",
              ("control", "true"): "cfg_true",
              ("control", "false"): "cfg_false",
@@ -135,9 +138,6 @@ def extract_document(doc_id: str, source: str,
             "doc_id": doc_id, "method_id": method_id, "subj": subj,
             "pred": pred, "obj": obj, "label": label,
         })
-
-    _PRIMS = frozenset(
-        "boolean byte char short int long float double void var".split())
 
     def emit_mention(method_id: str, pe: PE) -> None:
         if isinstance(pe, ExpressionInfo) and \

@@ -247,6 +247,31 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
             .agg(F.count("*").alias("n_bands")))
 
 
+def dedup_clusters(docs: DataFrame, k: int = 3,
+                   hot_threshold: int = HOT_BUCKET_THRESHOLD) -> DataFrame:
+    """Cluster-representative selection — the stage that actually SHRINKS
+    a training corpus: MinHash-LSH candidate pairs -> connected components
+    -> per-cluster canonical doc (min doc_id) -> keep flag per document.
+
+    This is the mega-cluster answer the pair operators point at: a
+    boilerplate cluster of n docs costs O(n^2) as pairs but O(n) here
+    (each doc only needs its component label). Returns
+    (doc_id, cluster_id, is_keeper) for EVERY input document
+    (singletons are their own keepers)."""
+    from propertygraph_spark.pipeline.canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(docs, k, hot_threshold) \
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(pairs)
+    return (docs.select("doc_id")
+            .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("cluster_id"))
+            .withColumn("is_keeper",
+                        (F.col("cluster_id") == F.col("doc_id")).cast("int"))
+            .orderBy("doc_id"))
+
+
 def _hexval(c):
     """hex char -> int via ascii arithmetic (identical SQL twin)."""
     return F.ascii(c) - 48 - 39 * (F.ascii(c) >= 97).cast("int")

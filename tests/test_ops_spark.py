@@ -120,6 +120,19 @@ def test_minhash_lsh_candidates(docs):
     assert (0, 4) not in pairs             # unrelated docs don't collide
 
 
+def test_dedup_clusters_keeps_one_per_cluster(spark):
+    """Identical docs collapse into one cluster with the min doc_id as
+    keeper; distinct docs stay their own keepers."""
+    rows = [(1, "same text here"), (5, "same text here"),
+            (9, "same text here"), (2, "unique content alpha"),
+            (3, "unique content beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in dedup.dedup_clusters(docs).collect()}
+    assert out[1] == (1, 1) and out[5] == (1, 0) and out[9] == (1, 0)
+    assert out[2] == (2, 1) and out[3] == (3, 1)
+
+
 def test_simhash_pairs(docs):
     sims = {r["doc_id"]: r["simhash16"] for r in dedup.simhash(docs).collect()}
     assert sims[0] == sims[1]
