@@ -101,3 +101,37 @@ def test_token_soup_never_crashes(pieces):
     src = "\n".join(pieces)
     nodes, triples, mentions, err = extract_document("soup", src)
     assert isinstance(triples, list)
+
+
+# ------------------------------------------------ unicode-escape translation
+
+from propertygraph_spark.kernel.lexer import LexError, translate_unicode_escapes
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="\\"),
+               max_size=200))
+def test_unicode_translate_identity_without_backslash(s):
+    assert translate_unicode_escapes(s) is s or \
+        translate_unicode_escapes(s) == s
+
+
+@given(st.integers(min_value=0x20, max_value=0xFFFF),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=3))
+def test_unicode_translate_escape_forms(cp, n_us, n_bs_pairs):
+    """backslash(2k) + backslash + u{1..3} + 4hex decodes to chr(cp)
+    preceded by k literal backslashes (JLS even-backslash rule)."""
+    esc = "\\" * (2 * n_bs_pairs) + "\\" + "u" * n_us + f"{cp:04x}"
+    out = translate_unicode_escapes("A" + esc + "B")
+    assert out == "A" + "\\" * (2 * n_bs_pairs) + chr(cp) + "B"
+
+
+@given(st.text(alphabet="\\uZ01abq", max_size=24))
+def test_unicode_translate_never_crashes_or_hangs(s):
+    """Arbitrary backslash/u soup: either translates or raises LexError —
+    never another exception, and the fast path stays consistent."""
+    try:
+        out = translate_unicode_escapes(s)
+    except LexError:
+        return
+    assert isinstance(out, str)
