@@ -91,8 +91,17 @@ def cosine_topk(emb: DataFrame, k: int = 5,
         M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
         m_norm = np.sqrt((M * M).sum(axis=1))
         bc = sc.broadcast((ids, M, m_norm))
-        partials.append(queries.mapInPandas(
-            block_pass(bc, with_rank=(n_blocks == 1)), schema))
+        partial = queries.mapInPandas(
+            block_pass(bc, with_rank=(n_blocks == 1)), schema)
+        if n_blocks > 1:
+            # materialize THIS block's partial top-k now (n_queries x k
+            # small rows) so the block broadcast can be released before
+            # the next pass — otherwise every block's broadcast stays
+            # referenced by the lazy union until the final action, and
+            # 200 blocks would pin 200 x block_size on the executors
+            partial = partial.localCheckpoint(eager=True)
+            bc.unpersist()
+        partials.append(partial)
 
     if not partials:  # empty index
         return emb.sparkSession.createDataFrame([], schema)
