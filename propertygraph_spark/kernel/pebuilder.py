@@ -51,6 +51,9 @@ class PEBuilder:
         # the PE tree (projection parity) but their declarations are
         # still mentions worth linking.
         self.mention_seeds: List[tuple] = []
+        # innermost-class field scopes ('this.x' binds to the FIELD even
+        # when a local/param shadows it — JDT field binding semantics)
+        self.class_envs: List[dict] = []
         # declared-type environment: a stack of {var name -> base type}
         # scopes (class fields, method params, block/for/foreach/catch
         # locals). The static stand-in for JDT variable bindings: a call
@@ -128,6 +131,7 @@ class PEBuilder:
         # regardless of declaration order (fields themselves stay dropped
         # from the PE tree — projection P2)
         self._push_env()
+        self.class_envs.append(self.type_env[-1])
         for member in j["body"]:
             if member.t == "FieldDeclaration":
                 base = self._base_type(member["type"]["text"])
@@ -147,6 +151,7 @@ class PEBuilder:
         text.append("}")
         cls.text = "".join(text)
         self._pop_env()
+        self.class_envs.pop()
         return cls
 
     def build_method_declaration(self, j: J) -> Optional[MethodInfo]:
@@ -839,9 +844,15 @@ class PEBuilder:
             # type; an undeclared identifier is treated as a static type
             # receiver directly.
             recv = receiver_text
-            if recv.startswith("this."):  # explicit field receiver
-                recv = recv[5:]
-            if _IDENT_RE.match(recv):
+            if recv.startswith("this."):
+                # 'this.x' explicitly names the innermost class's FIELD —
+                # a shadowing local/param must NOT win (JDT field binding)
+                fld = recv[5:]
+                if _IDENT_RE.match(fld) and self.class_envs:
+                    declared = self.class_envs[-1].get(fld)
+                    if declared is not None:
+                        recv = declared
+            elif _IDENT_RE.match(recv):
                 declared = self._lookup_type(recv)
                 if declared is not None:
                     recv = declared
@@ -900,6 +911,14 @@ class PEBuilder:
     def build_anonymous_class(self, j: J) -> ClassInfo:
         """PEASTVisitor.java:236-257 (methods NOT added to self.methods)."""
         cls = ClassInfo(self.idgen, None, self._sl(j), self._el(j))
+        # anonymous classes get their own field scope: 'this' inside one
+        # is the anonymous instance, so this.x binds to ITS fields
+        self._push_env()
+        self.class_envs.append(self.type_env[-1])
+        for member in j["body"]:
+            if member.t == "FieldDeclaration":
+                for name in member["names"]:
+                    self._declare_type(name, member["type"]["text"])
         text = ["{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -909,6 +928,8 @@ class PEBuilder:
                     text.append(m.text)
         text.append("}")
         cls.text = "".join(text)
+        self._pop_env()
+        self.class_envs.pop()
         return cls
 
     def _ex_ArrayAccess(self, j: J) -> ExpressionInfo:

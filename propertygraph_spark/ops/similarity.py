@@ -18,13 +18,29 @@ from pyspark.sql import DataFrame, functions as F
 N_PLANES = 8
 
 
+def _topk_against(q_ids, cos_pm, c_ids, k):
+    """THE rerank kernel, shared by every exact/ANN variant: per query
+    row, exclude self, order by (-cos_pm, neighbor_id), keep k. Yields
+    (query_id, neighbor_id, cos_pm, rank). Any change to quantization or
+    tie-breaking lives HERE (and in the SQL oracle twins) exactly once."""
+    import numpy as np
+    for qi in range(len(q_ids)):
+        mask = c_ids != q_ids[qi]
+        cand_ids = c_ids[mask]
+        cand = cos_pm[qi][mask]
+        order = np.lexsort((cand_ids, -cand))[:k]
+        for r, j in enumerate(order, start=1):
+            yield (q_ids[qi], cand_ids[j], cand[j], r)
+
+
 def cosine_topk(emb: DataFrame, k: int = 5,
                 index_block_rows: int = 500_000) -> DataFrame:
     """Exact top-k cosine neighbors per vector (brute force baseline).
 
     Executed as a SHARDED block matmul: the index side is split into
-    broadcast-sized blocks of <= ``index_block_rows`` vectors
-    (block = pmod(vec_id, n_blocks)); each pass collects ONE block,
+    broadcast-sized blocks of ~<= ``index_block_rows`` vectors
+    (block = pmod(xxhash64(vec_id), n_blocks) — hash-uniform for any id
+    distribution); each pass collects ONE block,
     broadcasts it, and every Arrow batch of query vectors does one
     numpy/BLAS matmul + lexsort against it, keeping its per-block top-k.
     Global top-k = window rank over the union of per-block partials
@@ -63,17 +79,9 @@ def cosine_topk(emb: DataFrame, k: int = 5,
                 q_norm = np.sqrt((Q * Q).sum(axis=1))
                 cos = (Q @ b_M.T) / np.outer(q_norm, b_norm)
                 cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
-                out = []
-                for qi in range(len(q_ids)):
-                    row = cos_pm[qi]
-                    # exclude self, rank by (-cos_pm, neighbor_id)
-                    mask = b_ids != q_ids[qi]
-                    cand_ids = b_ids[mask]
-                    cand = row[mask]
-                    order = np.lexsort((cand_ids, -cand))[:k]
-                    for r, j in enumerate(order, start=1):
-                        out.append((q_ids[qi], cand_ids[j], cand[j],
-                                    r if with_rank else 0))
+                out = [(q, c, s, r if with_rank else 0)
+                       for q, c, s, r in _topk_against(q_ids, cos_pm,
+                                                       b_ids, k)]
                 yield pd.DataFrame(
                     out, columns=["vec_id", "neighbor_id", "cos_pm", "rnk"])
         return batches
@@ -82,8 +90,11 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     for blk in range(n_blocks):
         block_df = emb.select("vec_id", "embedding")
         if n_blocks > 1:
+            # hash-partition the index: pmod of the RAW id would collapse
+            # structured ids (snowflake ids all ≡ 0 mod n) into one block
+            # and defeat the bounded collect
             block_df = block_df.filter(
-                F.pmod("vec_id", F.lit(n_blocks)) == blk)
+                F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)) == blk)
         rows = block_df.collect()
         if not rows:
             continue
@@ -159,18 +170,22 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5,
     return _topk_within_bucket(lsh_bucket(emb, n_planes), k)
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+def ivf_assign(emb: DataFrame, n_cells: int = 8,
+               centroids=None) -> DataFrame:
     """IVF coarse quantizer with deterministic centroid seeding: the
     n_cells vectors with the smallest md5(vec_id) digests act as
     centroids (content-stable — no random state, reproducible on any
     cluster); every vector is assigned to its max-cosine centroid.
 
     The centroid set is an index artifact (collected + broadcast, like a
-    trained quantizer would be); assignment is a map-only numpy pass."""
+    trained quantizer would be); assignment is a map-only numpy pass.
+    Pass ``centroids`` to share one trained quantizer across passes."""
     import numpy as np
 
+    if centroids is None:
+        centroids = _ivf_centroids(emb, n_cells)
     sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast(_ivf_centroids(emb, n_cells))
+    bc = sc.broadcast(centroids)
 
     from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
                                    LongType, StructField, StructType)
@@ -227,14 +242,7 @@ def _topk_within_bucket(bucketed: DataFrame, k: int) -> DataFrame:
         nrm = np.sqrt((M * M).sum(axis=1))
         cos = (M @ M.T) / np.outer(nrm, nrm)
         cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
-        out = []
-        for qi in range(len(ids)):
-            mask = np.arange(len(ids)) != qi
-            cand_ids = ids[mask]
-            cand = cos_pm[qi][mask]
-            order = np.lexsort((cand_ids, -cand))[:k]
-            for r, j in enumerate(order, start=1):
-                out.append((ids[qi], cand_ids[j], cand[j], r))
+        out = list(_topk_against(ids, cos_pm, ids, k))
         return pd.DataFrame(out, columns=["vec_id", "neighbor_id",
                                           "cos_pm", "rnk"])
 
@@ -255,15 +263,17 @@ def _ivf_centroids(emb: DataFrame, n_cells: int):
 
 
 def ivf_probe_assign(emb: DataFrame, n_cells: int = 8,
-                     nprobe: int = 2) -> DataFrame:
+                     nprobe: int = 2, centroids=None) -> DataFrame:
     """Query-side multi-probe: each vector lists its top-``nprobe`` cells
     by quantized cosine (floor(cos*1e9) desc, seed rank asc — the same
     bit-stable criterion as ivf_assign). One map-only pass; output
-    (vec_id, embedding, cell, probe_rank)."""
+    (vec_id, embedding, cell, probe_rank). Pass ``centroids`` to share
+    one trained quantizer with the assign pass."""
     import numpy as np
 
-    bc = emb.sparkSession.sparkContext.broadcast(
-        _ivf_centroids(emb, n_cells))
+    if centroids is None:
+        centroids = _ivf_centroids(emb, n_cells)
+    bc = emb.sparkSession.sparkContext.broadcast(centroids)
 
     from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
                                    LongType, StructField, StructType)
@@ -312,10 +322,13 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     if nprobe <= 1:
         return _topk_within_bucket(ivf_assign(emb, n_cells), k)
 
-    index = ivf_assign(emb, n_cells).select(
+    # ONE trained quantizer shared by both passes (computing it twice
+    # would run a redundant seed job and ship two broadcasts)
+    C = _ivf_centroids(emb, n_cells)
+    index = ivf_assign(emb, n_cells, centroids=C).select(
         F.col("bucket").alias("cell"), "vec_id", "embedding",
         F.lit(0).alias("is_query"))
-    probes = ivf_probe_assign(emb, n_cells, nprobe).select(
+    probes = ivf_probe_assign(emb, n_cells, nprobe, centroids=C).select(
         "cell", "vec_id", "embedding", F.lit(1).alias("is_query"))
     tagged = index.unionByName(probes)
 
@@ -339,14 +352,8 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
         cos = (Q @ M.T) / np.outer(np.sqrt((Q * Q).sum(axis=1)),
                                    np.sqrt((M * M).sum(axis=1)))
         cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
-        out = []
-        for i in range(len(q_ids)):
-            mask = c_ids != q_ids[i]
-            cand_ids = c_ids[mask]
-            cand = cos_pm[i][mask]
-            order = np.lexsort((cand_ids, -cand))[:k]
-            for j in order:
-                out.append((q_ids[i], cand_ids[j], cand[j]))
+        out = [(qid, cid, s)
+               for qid, cid, s, _r in _topk_against(q_ids, cos_pm, c_ids, k)]
         return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_pm"])
 
     partial = tagged.groupBy("cell").applyInPandas(per_cell, schema)

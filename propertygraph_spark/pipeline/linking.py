@@ -40,8 +40,11 @@ def symbol_rows(n_symbols: int = 2000,
     """Deterministic dictionary rows (fqn, simple_name, sym_kind, weight) —
     pure Python, shared by the Spark dictionary AND the DuckDB oracle
     freezer (ops/kgdocs.linked_oracle_sql), which replays the scoring
-    host-side. Weights are pairwise-distinct (distinct denominators), so
-    best-score selection has no ties to break."""
+    host-side. Weights are pairwise-distinct WITHIN every simple-name
+    group — the only place ties would matter (max_by picks an unspecified
+    row on ties, which would break the replay): the hot/method/twin
+    blocks use name sets or denominator ranges disjoint from the generic
+    pool."""
     rng = random.Random(seed)
     rows: List[Tuple[str, str, str, float]] = []
     for i, name in enumerate(_HOT):
@@ -53,11 +56,13 @@ def symbol_rows(n_symbols: int = 2000,
                      1.0 / (len(rows) + 1)))
     # alias twins under a second class: the same simple name resolvable to
     # two fqns (via typed-receiver evidence), so canonicalization has real
-    # multi-node components to merge. Weight denominators (1000+) are
-    # disjoint from every other block — no score ties within a name group.
+    # multi-node components to merge. Denominators 100000+ sit beyond the
+    # generic pool's range (1/(i+10), i < n_symbols), so these weights are
+    # truly pairwise-distinct from EVERY other entry — score ties would
+    # make max_by order-dependent and break the host-side oracle replay.
     for i, name in enumerate(("trim", "put", "getValue", "length")):
         rows.append((f"org.acme.util.Text.{name}", name, "method",
-                     1.0 / (1000 + i)))
+                     1.0 / (100000 + i)))
     for i in range(n_symbols - len(rows)):
         pkg = rng.choice(_PKGS)
         kind = rng.choice(["class", "method", "field"])

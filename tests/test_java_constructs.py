@@ -132,14 +132,20 @@ def test_typed_receiver_api_name():
 def test_this_field_receiver_api_name():
     src = (
         "import org.acme.core.Widget;\n"
+        "import org.acme.io.Pipe;\n"
         "class A { Widget field;\n"
-        "  void f() { this.field.frob(); field.spin(); } }")
+        "  void f(Pipe field) {\n"
+        "    this.field.frob();\n"   # 'this.' binds the FIELD type
+        "    field.spin();\n"        # bare name: the param shadows
+        "  }\n"
+        "  void g() { field.poke(); } }")
     _, _, mentions, err = extract_document("d", src)
     assert err is None
     d = {m["mention"]: m["candidate"] for m in mentions
          if m["kind"] == "call_site"}
-    assert d["frob"] == "org.acme.core.Widget.frob()"  # this.field
-    assert d["spin"] == "org.acme.core.Widget.spin()"  # bare field
+    assert d["frob"] == "org.acme.core.Widget.frob()"  # field, not param
+    assert d["spin"] == "org.acme.io.Pipe.spin()"      # param shadows
+    assert d["poke"] == "org.acme.core.Widget.poke()"  # bare field
 
 
 def test_unicode_escapes_outside_literals():
