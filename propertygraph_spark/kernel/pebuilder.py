@@ -54,6 +54,11 @@ class PEBuilder:
         # innermost-class field scopes ('this.x' binds to the FIELD even
         # when a local/param shadows it — JDT field binding semantics)
         self.class_envs: List[dict] = []
+        # innermost-class method return types: same-class chained-call
+        # receivers like make().spin() resolve through make()'s declared
+        # return type (the static slice of JDT method bindings reachable
+        # without a classpath)
+        self.method_return_envs: List[dict] = []
         # declared-type environment: a stack of {var name -> base type}
         # scopes (class fields, method params, block/for/foreach/catch
         # locals). The static stand-in for JDT variable bindings: a call
@@ -132,6 +137,7 @@ class PEBuilder:
         # from the PE tree — projection P2)
         self._push_env()
         self.class_envs.append(self.type_env[-1])
+        returns: dict = {}
         for member in j["body"]:
             if member.t == "FieldDeclaration":
                 base = self._base_type(member["type"]["text"])
@@ -139,6 +145,12 @@ class PEBuilder:
                     self._declare_type(name, member["type"]["text"])
                     self.mention_seeds.append(
                         (cls.pe_id, name, "field_decl", f"{base}.{name}"))
+            elif member.t == "MethodDeclaration" \
+                    and member.get("return_type") is not None:
+                rt = self._base_type(member["return_type"]["text"])
+                if rt and rt not in ("void", "var"):
+                    returns[member["name"]] = rt
+        self.method_return_envs.append(returns)
         text = ["class ", j["name"], "{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -152,6 +164,7 @@ class PEBuilder:
         cls.text = "".join(text)
         self._pop_env()
         self.class_envs.pop()
+        self.method_return_envs.pop()
         return cls
 
     def build_method_declaration(self, j: J) -> Optional[MethodInfo]:
@@ -844,18 +857,26 @@ class PEBuilder:
             # type; an undeclared identifier is treated as a static type
             # receiver directly.
             recv = receiver_text
+            resolved = None
             if recv.startswith("this."):
                 # 'this.x' explicitly names the innermost class's FIELD —
                 # a shadowing local/param must NOT win (JDT field binding)
                 fld = recv[5:]
                 if _IDENT_RE.match(fld) and self.class_envs:
-                    declared = self.class_envs[-1].get(fld)
-                    if declared is not None:
-                        recv = declared
+                    resolved = self.class_envs[-1].get(fld)
             elif _IDENT_RE.match(recv):
-                declared = self._lookup_type(recv)
-                if declared is not None:
-                    recv = declared
+                resolved = self._lookup_type(recv)
+            if resolved is None and j["expr"].t == "MethodInvocation" \
+                    and self.method_return_envs:
+                # same-class chained call: make().m() / this.make().m()
+                # resolves through make()'s declared return type
+                inner = j["expr"]
+                inner_recv = inner.get("expr")
+                if inner_recv is None or inner_recv.t == "This":
+                    resolved = self.method_return_envs[-1].get(
+                        inner["name"]["name"])
+            if resolved is not None:
+                recv = resolved
             fqn = self.imports.get(recv, recv)
             e.api_name = fqn + "." + j["name"]["name"] + "()"
         return e
@@ -915,10 +936,17 @@ class PEBuilder:
         # is the anonymous instance, so this.x binds to ITS fields
         self._push_env()
         self.class_envs.append(self.type_env[-1])
+        returns: dict = {}
         for member in j["body"]:
             if member.t == "FieldDeclaration":
                 for name in member["names"]:
                     self._declare_type(name, member["type"]["text"])
+            elif member.t == "MethodDeclaration" \
+                    and member.get("return_type") is not None:
+                rt = self._base_type(member["return_type"]["text"])
+                if rt and rt not in ("void", "var"):
+                    returns[member["name"]] = rt
+        self.method_return_envs.append(returns)
         text = ["{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -930,6 +958,7 @@ class PEBuilder:
         cls.text = "".join(text)
         self._pop_env()
         self.class_envs.pop()
+        self.method_return_envs.pop()
         return cls
 
     def _ex_ArrayAccess(self, j: J) -> ExpressionInfo:

@@ -148,6 +148,23 @@ def test_this_field_receiver_api_name():
     assert d["poke"] == "org.acme.core.Widget.poke()"  # bare field
 
 
+def test_chained_call_receiver_via_return_type():
+    """Same-class chained calls resolve through the callee's declared
+    return type (the static slice of JDT method bindings)."""
+    src = (
+        "import org.acme.core.Widget;\n"
+        "class A { Widget make() { return null; }\n"
+        "  void f() { make().spin(); this.make().poke();\n"
+        "             other().thing(); } }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    d = {m["mention"]: m["candidate"] for m in mentions
+         if m["kind"] == "call_site"}
+    assert d["spin"] == "org.acme.core.Widget.spin()"
+    assert d["poke"] == "org.acme.core.Widget.poke()"
+    assert d["thing"] == "other().thing()"  # unknown callee: unresolved
+
+
 def test_unicode_escapes_outside_literals():
     """JLS §3.3 / JDT scanner: escapes decode before lexing — escaped
     identifier and keyword letters produce real graphs, not error rows."""
