@@ -221,15 +221,11 @@ def _bucket_pairs_chunked(banded: DataFrame, keys: list,
             .select("p.doc_a", "p.doc_b"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
-                      hot_threshold: int = HOT_BUCKET_THRESHOLD) -> DataFrame:
-    """LSH candidate pairs: band the 16-value signature into 4 bands of 4,
-    bucket = md5(concat of band values). Banding is ONE pass over the
+def _minhash_banded(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, band, bucket): band the 16-value signature into 4 bands of
+    4, bucket = md5(concat of band values). Banding is ONE pass over the
     signature table (explode of a literal band array — the signature agg
-    is computed once, not per band); pairs come from chunk-bounded
-    in-bucket expansion (_bucket_pairs_chunked), so the only shuffles are
-    the signature groupBy, the (band, bucket) window, and the final pair
-    groupBy."""
+    is computed once, not per band)."""
     sig = minhash_signatures(docs, k)
     band_arr = F.array(*[
         F.struct(
@@ -239,9 +235,18 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
                                                     (b + 1) * ROWS_PER_BAND)]))
             .alias("bucket"))
         for b in range(N_BANDS)])
-    banded = sig.select("doc_id", F.explode(band_arr).alias("bb")) \
-                .select("doc_id", F.col("bb.band").alias("band"),
-                        F.col("bb.bucket").alias("bucket"))
+    return sig.select("doc_id", F.explode(band_arr).alias("bb")) \
+              .select("doc_id", F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
+                      hot_threshold: int = HOT_BUCKET_THRESHOLD) -> DataFrame:
+    """LSH candidate pairs via chunk-bounded in-bucket expansion
+    (_bucket_pairs_chunked); the only shuffles are the signature groupBy,
+    the (band, bucket) window, the chunk-group repartition and the final
+    pair groupBy."""
+    banded = _minhash_banded(docs, k)
     return (_bucket_pairs_chunked(banded, ["band", "bucket"], hot_threshold)
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_bands")))
@@ -253,15 +258,27 @@ def dedup_clusters(docs: DataFrame, k: int = 3,
     a training corpus: MinHash-LSH candidate pairs -> connected components
     -> per-cluster canonical doc (min doc_id) -> keep flag per document.
 
-    This is the mega-cluster answer the pair operators point at: a
-    boilerplate cluster of n docs costs O(n^2) as pairs but O(n) here
-    (each doc only needs its component label). Returns
+    This is the mega-cluster answer the pair operators point at, and it
+    NEVER materializes pairs: each LSH bucket contributes STAR edges
+    (member -> bucket-min) — n edges per n-member bucket instead of
+    n(n-1)/2 — and stars produce the IDENTICAL connected components
+    (any two co-bucketed docs reach each other through the bucket min,
+    and every star edge is between co-bucketed docs). A 10^6-doc
+    boilerplate cluster costs O(n x bands) total. Returns
     (doc_id, cluster_id, is_keeper) for EVERY input document
-    (singletons are their own keepers)."""
+    (singletons are their own keepers); ``hot_threshold`` is unused here
+    (kept for signature parity with the pair operators)."""
     from propertygraph_spark.pipeline.canonicalize import connected_components
 
-    pairs = minhash_lsh_pairs(docs, k, hot_threshold) \
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    banded = _minhash_banded(docs, k)
+    # window min, not collect_set: a mega-bucket must stream O(n) rows
+    # through its task, never build one giant array row
+    rep = F.min("doc_id").over(Window.partitionBy("band", "bucket"))
+    pairs = (banded.withColumn("rep", rep)
+             .filter(F.col("rep") != F.col("doc_id"))
+             .select(F.col("rep").alias("src"),
+                     F.col("doc_id").alias("dst"))
+             .distinct())
     comp = connected_components(pairs)
     return (docs.select("doc_id")
             .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -133,6 +133,24 @@ def test_dedup_clusters_keeps_one_per_cluster(spark):
     assert out[2] == (2, 1) and out[3] == (3, 1)
 
 
+def test_dedup_clusters_mega_cluster_is_linear(spark):
+    """20k identical docs: the star-edge formulation emits O(n x bands)
+    edges where pairwise would be ~200M x 4 — this finishing in seconds
+    IS the assertion (plus exact component output)."""
+    n = 20_000
+    rows = [(d, "the same boilerplate shard text") for d in range(n)] \
+        + [(n, "different")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dedup_clusters(docs)
+    agg = out.agg(
+        F.count("*").alias("rows"),
+        F.sum("is_keeper").alias("keepers"),
+        F.countDistinct("cluster_id").alias("clusters")).collect()[0]
+    assert agg["rows"] == n + 1
+    assert agg["keepers"] == 2          # cluster rep + the singleton
+    assert agg["clusters"] == 2
+
+
 def test_simhash_pairs(docs):
     sims = {r["doc_id"]: r["simhash16"] for r in dedup.simhash(docs).collect()}
     assert sims[0] == sims[1]
