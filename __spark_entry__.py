@@ -135,6 +135,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_decode_meta"] = lambda s, d: decode_media_meta(
         synthesize_media(_docs(s, d)))
 
+    def _frames(s_, d_):
+        from propertygraph_spark.ops.multimodal import frame_sample
+        return frame_sample(synthesize_media(_docs(s_, d_)))
+
+    q["media_frame_sample"] = _frames
+
+    def _features(s_, d_):
+        from propertygraph_spark.ops.multimodal import feature_extract
+        feats = feature_extract(synthesize_media(_docs(s_, d_)))
+        # byte-exact projection for the oracle: float32 round-trip of
+        # b/255 recovers b under floor(x*255 + 0.5)
+        cols = [F.floor(F.element_at("features", i + 1).cast("double")
+                        * 255 + 0.5).cast("long").alias(f"f{i}")
+                for i in range(8)]
+        return feats.select("doc_id", "media_kind", *cols)
+
+    q["media_features"] = _features
+
     return q
 
 
@@ -808,6 +826,34 @@ SELECT doc_id,
        1 + ({b[0]} * 256 + {b[1]}) % 4096 AS width,
        1 + ({b[2]} * 256 + {b[3]}) % 4096 AS height,
        {b[0]} AS checksum_b0
+FROM m
+"""
+
+    # frame sampling: frame i's first byte = payload byte 8i = hex chars
+    # (16i+1, 16i+2) of md5(text)||md5(doc_id)
+    def _pb(j: int) -> str:
+        c1 = f"substr(h, {2 * j + 1}, 1)"
+        c2 = f"substr(h, {2 * j + 2}, 1)"
+        return f"({hx(c1)} * 16 + {hx(c2)})"
+
+    frame_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS frame_idx, {i * 40} AS ts_ms, 8 AS n_bytes,"
+        f" {_pb(8 * i)} AS checksum_b0 FROM m"
+        for i in range(4))
+    o["media_frame_sample"] = f"""
+WITH m AS (SELECT doc_id, md5(text) || md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents WHERE doc_id % 3 = 2)
+{frame_rows}
+"""
+
+    feat_cols = ", ".join(f"{_pb(i)} AS f{i}" for i in range(8))
+    o["media_features"] = f"""
+WITH m AS (SELECT doc_id, md5(text) || md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_kind,
+       {feat_cols}
 FROM m
 """
     return o

@@ -23,8 +23,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 MEDIA_META_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -76,6 +76,72 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
 
     return media.mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("ts_ms", IntegerType(), False),
+    StructField("n_bytes", IntegerType(), False),
+    StructField("checksum_b0", IntegerType(), False),
+])
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4,
+                 frame_ms: int = 40) -> DataFrame:
+    """Frame sampling for video payloads: each video row explodes into
+    ``n_frames`` fixed-stride frames (FAKE FRAMES — deterministic payload
+    slices standing in for ffmpeg keyframe extraction; the container has
+    no codecs). The Spark shape is the real one: Arrow-batched
+    mapInPandas, one input row -> n output rows, non-video rows dropped
+    at the scan via a pushed filter."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                stride = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    sl = raw[i * stride:(i + 1) * stride]
+                    if not sl:
+                        break
+                    rows.append((doc_id, i, i * frame_ms, len(sl), sl[0]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return (media.filter(F.col("media_kind") == "video")
+            .select("doc_id", "payload")
+            .mapInPandas(batches, FRAME_SCHEMA))
+
+
+N_FEATURE_DIMS = 8
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("media_kind", StringType(), False),
+    StructField("features", ArrayType(FloatType()), False),
+])
+
+
+def feature_extract(media: DataFrame,
+                    dims: int = N_FEATURE_DIMS) -> DataFrame:
+    """Feature extraction over binary payloads (FAKE FEATURES — byte
+    values / 255 standing in for a CLIP/wav2vec forward pass; swap the
+    body for the model call, the schema and batch shape stay). Output
+    feeds the similarity suite directly: (doc_id, media_kind,
+    features: array<float>)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, kind, payload in zip(
+                    pdf["doc_id"], pdf["media_kind"], pdf["payload"]):
+                raw = bytes(payload)
+                feats = [raw[i % len(raw)] / 255.0 for i in range(dims)]
+                rows.append((doc_id, kind, feats))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_kind", "features"])
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def resize_stub(media: DataFrame, target_w: int = 224,

@@ -201,6 +201,30 @@ def test_media_decode_roundtrip(docs):
                for r in resized)
 
 
+def test_frame_sample_and_features(docs):
+    from propertygraph_spark.ops.multimodal import (feature_extract,
+                                                    frame_sample)
+    media = synthesize_media(docs)
+    frames = frame_sample(media).collect()
+    vids = {r["doc_id"] for r in frames}
+    assert vids == {2, 5}                       # doc_id % 3 == 2
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        assert [r["frame_idx"] for r in sorted(
+            rows, key=lambda x: x["frame_idx"])] == [0, 1, 2, 3]
+        assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in rows)
+        assert all(r["n_bytes"] == 8 for r in rows)
+    feats = {r["doc_id"]: r["features"]
+             for r in feature_extract(media).collect()}
+    assert set(feats) == {0, 1, 2, 3, 4, 5}
+    assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v)
+               for v in feats.values())
+    # identical text + id -> identical features; distinct docs differ
+    assert feats[0] != feats[4]
+
+
 def test_kgdocs_roundtrip_and_counts(spark, docs):
     rt = kgdocs.spans_roundtrip(docs)
     rows = rt.filter(F.col("doc_id") == "0").orderBy("seq").collect()
