@@ -96,6 +96,36 @@ class PEBuilder:
                 return t
         return None
 
+    def _enter_class_scope(self, body, seed_node_id: Optional[int]) -> None:
+        """Shared class/anonymous-class entry: push a field scope +
+        method-return table from the member list (fields visible to every
+        method regardless of order; same-class chained calls resolve via
+        return types). ``seed_node_id`` set -> field_decl mention seeds
+        are emitted (named classes only)."""
+        self._push_env()
+        self.class_envs.append(self.type_env[-1])
+        returns: dict = {}
+        for member in body:
+            if member.t == "FieldDeclaration":
+                base = self._base_type(member["type"]["text"])
+                for name in member["names"]:
+                    self._declare_type(name, member["type"]["text"])
+                    if seed_node_id is not None:
+                        self.mention_seeds.append(
+                            (seed_node_id, name, "field_decl",
+                             f"{base}.{name}"))
+            elif member.t == "MethodDeclaration" \
+                    and member.get("return_type") is not None:
+                rt = self._base_type(member["return_type"]["text"])
+                if rt and rt not in ("void", "var"):
+                    returns[member["name"]] = rt
+        self.method_return_envs.append(returns)
+
+    def _exit_class_scope(self) -> None:
+        self._pop_env()
+        self.class_envs.pop()
+        self.method_return_envs.pop()
+
     # ---------------------------------------------------------- line rules
 
     def _sl(self, j: J) -> int:
@@ -135,22 +165,7 @@ class PEBuilder:
         # class-level type scope: field types are visible to every method
         # regardless of declaration order (fields themselves stay dropped
         # from the PE tree — projection P2)
-        self._push_env()
-        self.class_envs.append(self.type_env[-1])
-        returns: dict = {}
-        for member in j["body"]:
-            if member.t == "FieldDeclaration":
-                base = self._base_type(member["type"]["text"])
-                for name in member["names"]:
-                    self._declare_type(name, member["type"]["text"])
-                    self.mention_seeds.append(
-                        (cls.pe_id, name, "field_decl", f"{base}.{name}"))
-            elif member.t == "MethodDeclaration" \
-                    and member.get("return_type") is not None:
-                rt = self._base_type(member["return_type"]["text"])
-                if rt and rt not in ("void", "var"):
-                    returns[member["name"]] = rt
-        self.method_return_envs.append(returns)
+        self._enter_class_scope(j["body"], seed_node_id=cls.pe_id)
         text = ["class ", j["name"], "{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -162,9 +177,7 @@ class PEBuilder:
                     text.append(NL)
         text.append("}")
         cls.text = "".join(text)
-        self._pop_env()
-        self.class_envs.pop()
-        self.method_return_envs.pop()
+        self._exit_class_scope()
         return cls
 
     def build_method_declaration(self, j: J) -> Optional[MethodInfo]:
@@ -860,8 +873,12 @@ class PEBuilder:
             resolved = None
             if recv.startswith("this."):
                 # 'this.x' explicitly names the innermost class's FIELD —
-                # a shadowing local/param must NOT win (JDT field binding)
+                # a shadowing local/param must NOT win (JDT field binding).
+                # Unresolvable field receivers (inherited fields, chains)
+                # still NORMALIZE away the 'this.' prefix so candidate
+                # strings keep the historical 'x.m()' form.
                 fld = recv[5:]
+                recv = fld
                 if _IDENT_RE.match(fld) and self.class_envs:
                     resolved = self.class_envs[-1].get(fld)
             elif _IDENT_RE.match(recv):
@@ -934,19 +951,8 @@ class PEBuilder:
         cls = ClassInfo(self.idgen, None, self._sl(j), self._el(j))
         # anonymous classes get their own field scope: 'this' inside one
         # is the anonymous instance, so this.x binds to ITS fields
-        self._push_env()
-        self.class_envs.append(self.type_env[-1])
-        returns: dict = {}
-        for member in j["body"]:
-            if member.t == "FieldDeclaration":
-                for name in member["names"]:
-                    self._declare_type(name, member["type"]["text"])
-            elif member.t == "MethodDeclaration" \
-                    and member.get("return_type") is not None:
-                rt = self._base_type(member["return_type"]["text"])
-                if rt and rt not in ("void", "var"):
-                    returns[member["name"]] = rt
-        self.method_return_envs.append(returns)
+        # (no mention seeds: anonymous classes have no stable class name)
+        self._enter_class_scope(j["body"], seed_node_id=None)
         text = ["{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -956,9 +962,7 @@ class PEBuilder:
                     text.append(m.text)
         text.append("}")
         cls.text = "".join(text)
-        self._pop_env()
-        self.class_envs.pop()
-        self.method_return_envs.pop()
+        self._exit_class_scope()
         return cls
 
     def _ex_ArrayAccess(self, j: J) -> ExpressionInfo:

@@ -93,8 +93,9 @@ def frame_sample(media: DataFrame, n_frames: int = 4,
     ``n_frames`` fixed-stride frames (FAKE FRAMES — deterministic payload
     slices standing in for ffmpeg keyframe extraction; the container has
     no codecs). The Spark shape is the real one: Arrow-batched
-    mapInPandas, one input row -> n output rows, non-video rows dropped
-    at the scan via a pushed filter."""
+    mapInPandas, one input row -> n output rows, non-video rows filtered
+    out before the mapInPandas stage (media_kind is a derived column, so
+    the filter runs post-projection, not as a scan pushdown)."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -136,7 +137,10 @@ def feature_extract(media: DataFrame,
             for doc_id, kind, payload in zip(
                     pdf["doc_id"], pdf["media_kind"], pdf["payload"]):
                 raw = bytes(payload)
-                feats = [raw[i % len(raw)] / 255.0 for i in range(dims)]
+                # empty payload (e.g. from an upstream decode failure)
+                # -> zero vector, never a worker-killing ZeroDivisionError
+                feats = [raw[i % len(raw)] / 255.0 for i in range(dims)] \
+                    if raw else [0.0] * dims
                 rows.append((doc_id, kind, feats))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "media_kind", "features"])

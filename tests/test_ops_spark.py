@@ -225,6 +225,17 @@ def test_frame_sample_and_features(docs):
     assert feats[0] != feats[4]
 
 
+def test_feature_extract_empty_payload_safe(spark):
+    from propertygraph_spark.ops.multimodal import feature_extract
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"")), (2, "image", bytearray(b"\x80"))],
+        "doc_id long, media_kind string, payload binary")
+    out = {r["doc_id"]: list(r["features"])
+           for r in feature_extract(media).collect()}
+    assert out[1] == [0.0] * 8          # empty payload -> zero vector
+    assert all(abs(x - 128 / 255) < 1e-6 for x in out[2])
+
+
 def test_kgdocs_roundtrip_and_counts(spark, docs):
     rt = kgdocs.spans_roundtrip(docs)
     rows = rt.filter(F.col("doc_id") == "0").orderBy("seq").collect()
