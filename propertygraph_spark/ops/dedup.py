@@ -95,11 +95,17 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     # ceil(threshold_pm * n / 1000) = (threshold_pm * n + 999) div 1000
     ceil_tn = F.floor((F.lit(threshold_pm) * F.col("n_sh") + 999) / 1000)
     prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1) \
-                   .select("doc_id", "shingle")
+                   .select("doc_id", "shingle", "n_sh")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # length filter (exact): J(a,b) >= t forces t <= |a|/|b| <= 1/t —
+    # integer arithmetic, prunes candidates before the array verification
+    len_ok = ((F.col("b.n_sh") * 1000 >= F.lit(threshold_pm)
+               * F.col("a.n_sh"))
+              & (F.col("a.n_sh") * 1000 >= F.lit(threshold_pm)
+                 * F.col("b.n_sh")))
     cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
