@@ -153,6 +153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = _features
 
+    # --- dataset assembly (split + sequence packing) ---
+    from propertygraph_spark.ops.dataset import pack_sequences, split_assign
+    q["dataset_split"] = lambda s, d: split_assign(_docs(s, d))
+    q["dataset_pack"] = lambda s, d: pack_sequences(_docs(s, d))
+
     return q
 
 
@@ -844,6 +849,40 @@ FROM m
 WITH m AS (SELECT doc_id, md5(text) || md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents WHERE doc_id % 3 = 2)
 {frame_rows}
+"""
+
+    # dataset split: same first-8-hex-chars-of-md5 arithmetic
+    hex_val = " + ".join(
+        f"CAST({hx(f'substr(h8, {i + 1}, 1)')} AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    o["dataset_split"] = f"""
+WITH m AS (SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+           FROM documents),
+b AS (SELECT doc_id, CAST(({hex_val}) % 1000 AS BIGINT) AS bucket_pm
+      FROM m)
+SELECT doc_id,
+       CASE WHEN bucket_pm < 50 THEN 'test'
+            WHEN bucket_pm < 100 THEN 'val'
+            ELSE 'train' END AS split,
+       bucket_pm
+FROM b
+"""
+    o["dataset_pack"] = f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(cb // 256 AS BIGINT) AS bin_id,
+       CAST(cb % 256 AS BIGINT) AS offset_in_bin
+FROM c
 """
 
     feat_cols = ", ".join(f"{_pb(i)} AS f{i}" for i in range(8))
