@@ -871,14 +871,18 @@ class PEBuilder:
             # receiver directly.
             recv = receiver_text
             resolved = None
+            this_field = False
             if recv.startswith("this."):
                 # 'this.x' explicitly names the innermost class's FIELD —
                 # a shadowing local/param must NOT win (JDT field binding).
                 # Unresolvable field receivers (inherited fields, chains)
                 # still NORMALIZE away the 'this.' prefix so candidate
-                # strings keep the historical 'x.m()' form.
+                # strings keep the historical 'x.m()' form — but they are
+                # FIELD accesses, so they must never fall through to the
+                # import table as if they were static type receivers.
                 fld = recv[5:]
                 recv = fld
+                this_field = True
                 if _IDENT_RE.match(fld) and self.class_envs:
                     resolved = self.class_envs[-1].get(fld)
             elif _IDENT_RE.match(recv):
@@ -894,7 +898,10 @@ class PEBuilder:
                         inner["name"]["name"])
             if resolved is not None:
                 recv = resolved
-            fqn = self.imports.get(recv, recv)
+            if this_field and resolved is None:
+                fqn = recv  # unresolved field access: no import lookup
+            else:
+                fqn = self.imports.get(recv, recv)
             e.api_name = fqn + "." + j["name"]["name"] + "()"
         return e
 

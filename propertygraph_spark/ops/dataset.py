@@ -8,9 +8,9 @@
   ~budget-token bins by cumulative token count (the streaming
   approximation of greedy packing used by pretraining pipelines: bins
   are filled in doc order; a doc larger than the budget gets bins to
-  itself). Expressed as ONE ordered window cumsum; at 100 TB the global
-  order-by becomes a per-shard pack (partition by corpus shard, same
-  window inside each shard) — the operator takes the partition columns.
+  itself). Expressed as ONE ordered window cumsum; ``shard_by=...``
+  packs per shard in parallel (the corpus-scale path — the global
+  default is a single-partition sort for oracle-scale data only).
 """
 
 from __future__ import annotations
@@ -37,19 +37,27 @@ def split_assign(docs: DataFrame, val_pm: int = 50,
                        bucket.cast("long").alias("bucket_pm"))
 
 
-def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
-    """(doc_id, n_tokens, bin_id, offset_in_bin): documents packed into
-    ~``budget``-token bins in doc_id order. bin_id = floor(exclusive
-    cumulative tokens / budget) — the standard streaming packing: bin
-    boundaries land wherever the running total crosses a budget multiple,
-    so bins hold ~budget tokens (an oversized doc spans bins by itself).
-    ONE window cumsum; no Python."""
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    d = docs.select("doc_id",
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   shard_by: list | None = None) -> DataFrame:
+    """(doc_id, n_tokens, bin_id, offset_in_bin [, *shard_by]): documents
+    packed into ~``budget``-token bins in doc_id order. bin_id =
+    floor(exclusive cumulative tokens / budget) — the standard streaming
+    packing: bin boundaries land wherever the running total crosses a
+    budget multiple, so bins hold ~budget tokens (an oversized doc spans
+    bins by itself). ONE window cumsum; no Python.
+
+    ``shard_by=None`` packs GLOBALLY — a single-partition sort, correct
+    only at driver-friendly scale (the oracle path). At corpus scale pass
+    the shard columns (e.g. ["split"] or a bucket column): each shard
+    packs independently in parallel and bin_id is per-shard."""
+    base = Window.partitionBy(*shard_by) if shard_by else Window
+    w = base.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cols = ["doc_id"] + list(shard_by or [])
+    d = docs.select(*cols,
                     F.size(tokens_col()).cast("long").alias("n_tokens"))
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (d.withColumn("cum_before", cum_before)
-            .select("doc_id", "n_tokens",
+            .select(*cols, "n_tokens",
                     F.floor(F.col("cum_before") / budget).cast("long")
                     .alias("bin_id"),
                     F.pmod(F.col("cum_before"), F.lit(budget)).cast("long")

@@ -56,8 +56,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
     that library is not in this container. The fake derives (width,
     height, checksum_b0) from the first payload bytes so the Spark-side
-    plumbing is fully testable and oracle-checkable.
-    """
+    plumbing is fully testable and oracle-checkable. A truncated/empty
+    payload (upstream decode failure) yields (0, 0, first-byte-or-0)
+    instead of killing the Python worker with an IndexError."""
+    if len(payload) < 4:
+        return 0, 0, (payload[0] if payload else 0)
     width = 1 + (payload[0] * 256 + payload[1]) % 4096
     height = 1 + (payload[2] * 256 + payload[3]) % 4096
     return width, height, payload[0]

@@ -26,12 +26,14 @@ def test_split_matches_md5_reference(docs):
         assert pm == want_pm
         want = "test" if pm < 50 else ("val" if pm < 100 else "train")
         assert split == want
-    # all three splits present and train dominates at these rates
+    # all three splits actually present on this fixture (deterministic:
+    # md5 buckets of doc_ids 0..199 hit all three ranges) and train
+    # dominates at 5%/5% rates
     by = {}
     for s, _ in out.values():
         by[s] = by.get(s, 0) + 1
-    assert by.get("train", 0) > by.get("val", 0) >= 0
-    assert set(by) <= {"train", "val", "test"}
+    assert set(by) == {"train", "val", "test"}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
 
 
 def test_split_is_stable_under_repartition(docs):
@@ -60,3 +62,23 @@ def test_pack_sequences_bins_respect_budget(docs):
     assert all(v <= budget + max_doc for v in per_bin.values())
     # bins are dense from 0
     assert set(per_bin) == set(range(max(per_bin) + 1))
+
+
+def test_pack_sequences_per_shard(docs):
+    """shard_by packs each shard independently (the corpus-scale path):
+    per-shard results equal a global pack of that shard's docs alone."""
+    sharded = split_assign(docs).join(docs, "doc_id") \
+        .select("doc_id", "text", "split")
+    out = pack_sequences(sharded, budget=16, shard_by=["split"]).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["split"], []).append(r)
+    assert len(by_shard) == 3
+    import pyspark.sql.functions as F  # noqa: N812
+    for shard, rows in by_shard.items():
+        solo = {r["doc_id"]: (r["bin_id"], r["offset_in_bin"])
+                for r in pack_sequences(
+                    sharded.filter(F.col("split") == shard),
+                    budget=16).collect()}
+        got = {r["doc_id"]: (r["bin_id"], r["offset_in_bin"]) for r in rows}
+        assert got == solo
