@@ -156,7 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- dataset assembly (split + sequence packing) ---
     from propertygraph_spark.ops.dataset import pack_sequences, split_assign
     q["dataset_split"] = lambda s, d: split_assign(_docs(s, d))
-    q["dataset_pack"] = lambda s, d: pack_sequences(_docs(s, d))
+    q["dataset_pack"] = lambda s, d: pack_sequences(_docs(s, d),
+                                                    allow_global=True)
 
     return q
 

@@ -285,8 +285,16 @@ class Parser:
         name = self.advance().value
         if self.at("<"):
             self.parse_type_arguments()  # type parameters, rendered away
+        superclass = None
         while not self.at("{") and not self.at_kind("eof"):
-            self.advance()  # extends/implements/permits clauses
+            tok = self.advance()  # extends/implements/permits clauses
+            if tok.value == "extends" and kw == "class" and superclass is None:
+                # capture the single superclass name (same-unit extends
+                # chains feed inherited-receiver apiName resolution); the
+                # interface extends-list stays skipped
+                typ = self.try_parse_type()
+                if typ is not None:
+                    superclass = typ["text"]
         body: List[J] = []
         self.expect("{")
         while not self.at("}") and not self.at_kind("eof"):
@@ -295,7 +303,7 @@ class Parser:
                 body.append(member)
         end_tok = self.expect("}")
         return J("TypeDeclaration", start, end_tok.end, name=name, kind=kw,
-                 modifiers=mods, body=body)
+                 modifiers=mods, body=body, superclass=superclass)
 
     def parse_class_member(self, class_name: str) -> Optional[J]:
         """Returns MethodDeclaration or nested TypeDeclaration (both kept in

@@ -28,6 +28,20 @@ import re
 
 _IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*\Z")
 
+# java.lang types a JDT binding would qualify implicitly (JLS §7.3: every
+# compilation unit imports java.lang.*). Only the hot, unambiguous names —
+# an application class reusing one of these would be shadowed by an
+# explicit import or a same-unit declaration, both checked first.
+_JAVA_LANG = frozenset((
+    "String Object Integer Long Double Float Short Byte Character Boolean "
+    "Math System Thread Runtime StringBuilder StringBuffer Class Enum "
+    "Number Void Iterable Comparable CharSequence Runnable Process "
+    "ProcessBuilder Exception RuntimeException Error Throwable "
+    "IllegalArgumentException IllegalStateException NullPointerException "
+    "IndexOutOfBoundsException ArithmeticException ClassCastException "
+    "NumberFormatException UnsupportedOperationException "
+    "InterruptedException CloneNotSupportedException").split())
+
 
 class PEBuilder:
     def __init__(self, source: str):
@@ -44,6 +58,10 @@ class PEBuilder:
         self.scope_manager = ScopeManager()
         self.methods: List[MethodInfo] = []
         self.imports: dict = {}  # simple name -> fqn (single-type imports)
+        # every TypeDeclaration in this compilation unit (incl. nested),
+        # by simple name: extends-chain receiver resolution + same-unit
+        # static-receiver package qualification
+        self.unit_types: dict = {}
         self.package = ""  # set by build() from the compilation unit
         # class/field declaration mention seeds collected while building:
         # (node_id, mention, kind, candidate) — north_star mention
@@ -96,12 +114,20 @@ class PEBuilder:
                 return t
         return None
 
-    def _enter_class_scope(self, body, seed_node_id: Optional[int]) -> None:
+    def _enter_class_scope(self, body, seed_node_id: Optional[int],
+                           superclass: Optional[str] = None) -> None:
         """Shared class/anonymous-class entry: push a field scope +
         method-return table from the member list (fields visible to every
         method regardless of order; same-class chained calls resolve via
         return types). ``seed_node_id`` set -> field_decl mention seeds
-        are emitted (named classes only)."""
+        are emitted (named classes only).
+
+        ``superclass`` walks the same-compilation-unit extends chain
+        (JDT bindings resolve inherited receivers, ExpressionInfo.java:
+        66-70; without a classpath only same-file ancestors are visible):
+        ancestor fields/return types are added where the subclass doesn't
+        shadow them. Inherited members emit NO mention seeds — they are
+        not declarations of this class."""
         self._push_env()
         self.class_envs.append(self.type_env[-1])
         returns: dict = {}
@@ -119,6 +145,30 @@ class PEBuilder:
                 rt = self._base_type(member["return_type"]["text"])
                 if rt and rt not in ("void", "var"):
                     returns[member["name"]] = rt
+        env = self.type_env[-1]
+        seen: set = set()
+        sup = superclass
+        while sup is not None:
+            base = self._base_type(sup)
+            if base in seen:
+                break  # malformed cycle: never loop
+            seen.add(base)
+            td = self.unit_types.get(base)
+            if td is None:
+                break  # ancestor not in this compilation unit
+            for member in td["body"]:
+                if member.t == "FieldDeclaration":
+                    for name in member["names"]:
+                        if name not in env:
+                            env[name] = self._base_type(
+                                member["type"]["text"])
+                elif member.t == "MethodDeclaration" \
+                        and member.get("return_type") is not None:
+                    rt = self._base_type(member["return_type"]["text"])
+                    if rt and rt not in ("void", "var") \
+                            and member["name"] not in returns:
+                        returns[member["name"]] = rt
+            sup = td.get("superclass")
         self.method_return_envs.append(returns)
 
     def _exit_class_scope(self) -> None:
@@ -152,6 +202,14 @@ class PEBuilder:
         for path in unit.get("imports", []):
             simple = path.rsplit(".", 1)[-1]
             self.imports.setdefault(simple, path)
+
+        def scan(tds):
+            for td in tds:
+                if td.t != "TypeDeclaration":
+                    continue
+                self.unit_types.setdefault(td["name"], td)
+                scan(m for m in td["body"] if m.t == "TypeDeclaration")
+        scan(unit["types"])
         for td in unit["types"]:
             self.build_type_declaration(td)
         return self.methods
@@ -165,7 +223,8 @@ class PEBuilder:
         # class-level type scope: field types are visible to every method
         # regardless of declaration order (fields themselves stay dropped
         # from the PE tree — projection P2)
-        self._enter_class_scope(j["body"], seed_node_id=cls.pe_id)
+        self._enter_class_scope(j["body"], seed_node_id=cls.pe_id,
+                                superclass=j.get("superclass"))
         text = ["class ", j["name"], "{", NL]
         for member in j["body"]:
             if member.t == "MethodDeclaration":
@@ -538,12 +597,17 @@ class PEBuilder:
             text.append(cond.text)
         text.append(") {")
         text.append(NL)
+        # Java scoping: a local declared inside a switch case is visible
+        # only until the switch ends — scope the env like Block/For/Catch
+        # so declared-type receiver resolution can't see it afterwards.
+        self._push_env()
         for s in j["statements"]:
             sub = self.build_statement(s, st)
             if sub is not None:
                 st.add_statement(sub)
                 text.append(sub.text)
                 text.append(NL)
+        self._pop_env()
         st.text = "".join(text)
         return st
 
@@ -901,9 +965,26 @@ class PEBuilder:
             if this_field and resolved is None:
                 fqn = recv  # unresolved field access: no import lookup
             else:
-                fqn = self.imports.get(recv, recv)
+                fqn = self._qualify_type(recv)
             e.api_name = fqn + "." + j["name"]["name"] + "()"
         return e
+
+    def _qualify_type(self, recv: str) -> str:
+        """Static stand-in for JDT type-binding qualification: single-type
+        imports first; then a type declared in THIS compilation unit gets
+        the unit's package (JLS §7.4.2 — same-package types resolve
+        without an import); then unimported hot JRE names qualify as
+        java.lang.* (JLS §7.3 — java.lang is implicitly imported, and
+        JDT bindings always report the qualified name). Everything else
+        keeps the simple name (no classpath exists to resolve it)."""
+        fqn = self.imports.get(recv)
+        if fqn is not None:
+            return fqn
+        if recv in self.unit_types:
+            return f"{self.package}.{recv}" if self.package else recv
+        if recv in _JAVA_LANG:
+            return "java.lang." + recv
+        return recv
 
     def _ex_SuperMethodInvocation(self, j: J) -> ExpressionInfo:
         e = self._new_expr(j, "SuperMethodInvocation")

@@ -38,7 +38,8 @@ def split_assign(docs: DataFrame, val_pm: int = 50,
 
 
 def pack_sequences(docs: DataFrame, budget: int = 256,
-                   shard_by: list | None = None) -> DataFrame:
+                   shard_by: list | None = None,
+                   allow_global: bool = False) -> DataFrame:
     """(doc_id, n_tokens, bin_id, offset_in_bin [, *shard_by]): documents
     packed into ~``budget``-token bins in doc_id order. bin_id =
     floor(exclusive cumulative tokens / budget) — the standard streaming
@@ -46,10 +47,18 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
     budget multiple, so bins hold ~budget tokens (an oversized doc spans
     bins by itself). ONE window cumsum; no Python.
 
-    ``shard_by=None`` packs GLOBALLY — a single-partition sort, correct
-    only at driver-friendly scale (the oracle path). At corpus scale pass
-    the shard columns (e.g. ["split"] or a bucket column): each shard
-    packs independently in parallel and bin_id is per-shard."""
+    SAFE BY DEFAULT: without ``shard_by`` a global pack is a
+    single-partition sort — every row through ONE task, a silent
+    scale-killer at corpus size — so it must be opted into explicitly
+    with ``allow_global=True`` (the oracle/driver-friendly path). At
+    corpus scale pass the shard columns (e.g. ["split"] or a bucket
+    column): each shard packs independently in parallel and bin_id is
+    per-shard."""
+    if not shard_by and not allow_global:
+        raise ValueError(
+            "pack_sequences without shard_by is a global single-partition "
+            "sort; pass shard_by=[...] (corpus-scale path) or opt in "
+            "explicitly with allow_global=True (small data only)")
     base = Window.partitionBy(*shard_by) if shard_by else Window
     w = base.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     cols = ["doc_id"] + list(shard_by or [])

@@ -301,6 +301,8 @@ def _linked_constants() -> dict:
 def linked_oracle_sql() -> str:
     values = [f"({tpl}, '{m}', '{fqn}', {spm}, {c})"
               for (tpl, m, fqn, spm), c in sorted(_linked_constants().items())]
+    if not values:  # empty VALUES is a DuckDB syntax error — fail loudly
+        raise RuntimeError("frozen linked-occurrence multiset is empty")
     return f"""
 WITH tplcount AS (
   SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
@@ -321,6 +323,8 @@ def canonical_oracle_sql() -> str:
     pairs = sorted({(tpl, m, fqn)
                     for (tpl, m, fqn, _spm) in _linked_constants()})
     values = ", ".join(f"({tpl}, '{m}', '{fqn}')" for tpl, m, fqn in pairs)
+    if not values:  # empty VALUES is a DuckDB syntax error — fail loudly
+        raise RuntimeError("frozen linked-occurrence multiset is empty")
     return f"""
 WITH RECURSIVE tpls AS (
   SELECT DISTINCT doc_id % 4 AS tpl FROM documents

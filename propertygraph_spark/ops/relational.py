@@ -364,12 +364,22 @@ def events_range_join(spark: SparkSession, sf_dir: str,
     sec = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     binned = ev.withColumn("bin", F.floor(sec / F.lit(window_sec)))
-    a = binned.alias("a")
+    # The bin MUST be an equi-join key, not a post-match predicate: a
+    # user_id-only join materializes every same-user pair (O(n_user^2)
+    # per user — one never-finishing join group for a 10^6-event user at
+    # corpus scale) and filters after the fact. Instead explode the probe
+    # side to its three candidate bins and equi-join on (user_id, bin).
+    # The exploded values {bin-1, bin, bin+1} are pairwise distinct and
+    # the build side's bin is a single value, so each candidate pair
+    # matches EXACTLY once — no double-count, no dedup pass needed.
+    a = (binned
+         .withColumn("bin", F.explode(F.array(
+             F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)))
+         .alias("a"))
     b = binned.alias("b")
     diff = F.expr("timestampdiff(SECOND, a.ts, b.ts)")
     return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-                   & (F.col("b.bin") >= F.col("a.bin") - 1)
-                   & (F.col("b.bin") <= F.col("a.bin") + 1)
+                   & (F.col("a.bin") == F.col("b.bin"))
                    & (F.col("a.event_id") < F.col("b.event_id")))
             .withColumn("gap_sec", diff)
             .filter(F.abs(F.col("gap_sec")) <= window_sec)

@@ -86,8 +86,19 @@ def cosine_topk(emb: DataFrame, k: int = 5,
                     out, columns=["vec_id", "neighbor_id", "cos_pm", "rnk"])
         return batches
 
-    partials = []
-    for blk in range(n_blocks):
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_pm"), F.asc("neighbor_id"))
+
+    def reduce_topk(parts):
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        return (allp.drop("rnk")
+                .withColumn("rnk", F.row_number().over(w).cast("long"))
+                .filter(F.col("rnk") <= k))
+
+    def load_block(blk):
         block_df = emb.select("vec_id", "embedding")
         if n_blocks > 1:
             # hash-partition the index: pmod of the RAW id would collapse
@@ -95,39 +106,56 @@ def cosine_topk(emb: DataFrame, k: int = 5,
             # and defeat the bounded collect
             block_df = block_df.filter(
                 F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)) == blk)
-        rows = block_df.collect()
-        if not rows:
-            continue
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
-        m_norm = np.sqrt((M * M).sum(axis=1))
-        bc = sc.broadcast((ids, M, m_norm))
-        partial = queries.mapInPandas(
-            block_pass(bc, with_rank=(n_blocks == 1)), schema)
-        if n_blocks > 1:
-            # materialize THIS block's partial top-k now (n_queries x k
-            # small rows) so the block broadcast can be released before
-            # the next pass — otherwise every block's broadcast stays
-            # referenced by the lazy union until the final action, and
-            # 200 blocks would pin 200 x block_size on the executors
-            partial = partial.localCheckpoint(eager=True)
-            bc.unpersist()
-        partials.append(partial)
+        return block_df.collect()
+
+    # one-ahead prefetch: block i+1's collect job runs on a side thread
+    # while block i's matmul pass runs — the Spark scheduler interleaves
+    # the two jobs' tasks, so the driver-side collect latency hides
+    # behind the compute pass instead of serializing with it. Still at
+    # most TWO blocks resident driver-side (current + prefetched).
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
+    partials = []
+    try:
+        nxt = pool.submit(load_block, 0)
+        for blk in range(n_blocks):
+            rows = nxt.result()
+            if blk + 1 < n_blocks:
+                nxt = pool.submit(load_block, blk + 1)
+            if not rows:
+                continue
+            ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+            M = np.array([list(r["embedding"]) for r in rows],
+                         dtype=np.float64)
+            m_norm = np.sqrt((M * M).sum(axis=1))
+            bc = sc.broadcast((ids, M, m_norm))
+            partial = queries.mapInPandas(
+                block_pass(bc, with_rank=(n_blocks == 1)), schema)
+            if n_blocks > 1:
+                # materialize THIS block's partial top-k now (n_queries x
+                # k small rows) so the block broadcast can be released
+                # before the next pass — otherwise every block's broadcast
+                # stays referenced by the lazy union until the final
+                # action, and 200 blocks would pin 200 x block_size on
+                # the executors
+                partial = partial.localCheckpoint(eager=True)
+                bc.unpersist()
+            partials.append(partial)
+            if len(partials) >= 8:
+                # running top-k compaction: fold the accumulated partials
+                # back to n_queries x k rows every 8 blocks, so the final
+                # reduction reads O(n_queries x k x 8) rows instead of
+                # n_queries x k x n_blocks (10^9-row window at 200 blocks)
+                partials = [reduce_topk(partials)
+                            .localCheckpoint(eager=True)]
+    finally:
+        pool.shutdown(wait=False)
 
     if not partials:  # empty index
         return emb.sparkSession.createDataFrame([], schema)
     if n_blocks == 1:
         return partials[0]
-
-    from pyspark.sql.window import Window
-    allp = partials[0]
-    for p in partials[1:]:
-        allp = allp.unionByName(p)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_pm"), F.asc("neighbor_id"))
-    return (allp.drop("rnk")
-            .withColumn("rnk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rnk") <= k))
+    return reduce_topk(partials)
 
 
 def plane_signs(j: int, dims: int) -> list:

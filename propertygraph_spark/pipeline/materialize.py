@@ -172,18 +172,13 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
         # dynamic overwrite only replaces (row_kind, bucket) partitions
         # PRESENT in the new data: a row_kind that vanished from a dirty
         # bucket (e.g. its only malformed doc got fixed -> no error rows)
-        # would otherwise survive as phantom rows. Drop every existing
-        # partition of each dirty bucket first, so the overwrite rebuilds
-        # the bucket from nothing.
-        if os.path.isdir(path):
-            import shutil
-            for kind_dir in os.listdir(path):
-                if not kind_dir.startswith("row_kind="):
-                    continue
-                for b in dirty:
-                    stale = os.path.join(path, kind_dir, f"bucket={b}")
-                    if os.path.isdir(stale):
-                        shutil.rmtree(stale)
+        # would otherwise survive as phantom rows. Snapshot the new data's
+        # partition set (one cheap agg over the checkpointed union), write,
+        # and purge phantoms AFTER the write succeeds — deleting first
+        # would destroy the old buckets if the write job fails, leaving a
+        # reader of the output with silently missing partitions.
+        new_parts = {(r["row_kind"], int(r["bucket"])) for r in
+                     content.select("row_kind", "bucket").distinct().collect()}
         with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -193,6 +188,16 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            with_mode)
+        import shutil
+        for kind_dir in os.listdir(path):
+            if not kind_dir.startswith("row_kind="):
+                continue
+            kind = kind_dir.split("=", 1)[1]
+            for b in dirty:
+                if (kind, b) not in new_parts:
+                    stale = os.path.join(path, kind_dir, f"bucket={b}")
+                    if os.path.isdir(stale):
+                        shutil.rmtree(stale)
         metrics.write.mode("append").parquet(os.path.join(path, "_runmetrics"))
     for b in removed:
         import shutil

@@ -46,7 +46,8 @@ def test_split_is_stable_under_repartition(docs):
 
 def test_pack_sequences_bins_respect_budget(docs):
     budget = 16
-    rows = sorted(pack_sequences(docs, budget=budget).collect(),
+    rows = sorted(pack_sequences(docs, budget=budget,
+                                 allow_global=True).collect(),
                   key=lambda r: r["doc_id"])
     # exclusive cumsum invariants: offset = cum_before % budget,
     # bins advance monotonically, every bin's token total is within
@@ -64,6 +65,13 @@ def test_pack_sequences_bins_respect_budget(docs):
     assert set(per_bin) == set(range(max(per_bin) + 1))
 
 
+def test_pack_sequences_global_requires_opt_in(docs):
+    """The no-shard default is a single-partition sort — a silent
+    scale-killer — so it must refuse unless explicitly opted into."""
+    with pytest.raises(ValueError, match="shard_by"):
+        pack_sequences(docs, budget=16)
+
+
 def test_pack_sequences_per_shard(docs):
     """shard_by packs each shard independently (the corpus-scale path):
     per-shard results equal a global pack of that shard's docs alone."""
@@ -79,6 +87,6 @@ def test_pack_sequences_per_shard(docs):
         solo = {r["doc_id"]: (r["bin_id"], r["offset_in_bin"])
                 for r in pack_sequences(
                     sharded.filter(F.col("split") == shard),
-                    budget=16).collect()}
+                    budget=16, allow_global=True).collect()}
         got = {r["doc_id"]: (r["bin_id"], r["offset_in_bin"]) for r in rows}
         assert got == solo

@@ -86,8 +86,9 @@ def test_import_qualified_candidates():
     assert cands["newKeySet"] == \
         "java.util.concurrent.ConcurrentHashMap.newKeySet()"
     # a declared receiver resolves through its TYPE (String param) —
-    # java.lang types carry no import entry, so the simple name stands
-    assert cands["trim"] == "String.trim()"
+    # java.lang is implicitly imported (JLS §7.3), so hot JRE names
+    # qualify like JDT bindings would
+    assert cands["trim"] == "java.lang.String.trim()"
 
 
 def test_typed_receiver_api_name():
@@ -146,6 +147,81 @@ def test_this_field_receiver_api_name():
     assert d["frob"] == "org.acme.core.Widget.frob()"  # field, not param
     assert d["spin"] == "org.acme.io.Pipe.spin()"      # param shadows
     assert d["poke"] == "org.acme.core.Widget.poke()"  # bare field
+
+
+def test_inherited_receiver_via_same_unit_extends_chain():
+    """JDT bindings resolve receivers declared in a superclass
+    (ExpressionInfo.java:66-70); without a classpath the static twin
+    walks the extends chain WITHIN the compilation unit: inherited
+    fields and inherited method return types resolve, subclass
+    declarations shadow, and out-of-unit ancestors stay unresolved."""
+    src = (
+        "import org.acme.core.Widget;\n"
+        "import org.acme.io.Pipe;\n"
+        "class Base extends Missing { Widget w;\n"
+        "  Widget make() { return null; } }\n"
+        "class Mid extends Base { }\n"
+        "class A extends Mid {\n"
+        "  Pipe w;\n"  # shadows Base.w
+        "  void f() {\n"
+        "    w.flush();\n"          # own field wins over inherited
+        "    this.w.vent();\n"      # 'this.' also binds the OWN field
+        "    make().spin();\n"      # inherited return type through Mid
+        "  }\n"
+        "}\n"
+        "class B extends Base { void g() { w.frob(); } }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    d = {m["mention"]: m["candidate"] for m in mentions
+         if m["kind"] == "call_site"}
+    assert d["flush"] == "org.acme.io.Pipe.flush()"
+    assert d["vent"] == "org.acme.io.Pipe.vent()"
+    assert d["spin"] == "org.acme.core.Widget.spin()"
+    assert d["frob"] == "org.acme.core.Widget.frob()"
+
+
+def test_java_lang_implicit_and_same_unit_qualification():
+    """Unimported hot JRE receivers qualify as java.lang.* (JLS §7.3);
+    a static receiver naming a same-unit class gets the unit's package
+    (JLS §7.4.2); an explicit import of a colliding name wins; unknown
+    receivers keep the simple name."""
+    src = (
+        "package com.x;\n"
+        "import org.other.Thread;\n"
+        "class Helper { }\n"
+        "class A { void f(String s) {\n"
+        "    Integer.parseInt(s);\n"
+        "    s.trim();\n"
+        "    Thread.sleep();\n"      # import beats java.lang
+        "    Helper.go();\n"         # same-unit -> package-qualified
+        "    Unknown.run();\n"
+        "} }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    d = {m["mention"]: m["candidate"] for m in mentions
+         if m["kind"] == "call_site"}
+    assert d["parseInt"] == "java.lang.Integer.parseInt()"
+    assert d["trim"] == "java.lang.String.trim()"
+    assert d["sleep"] == "org.other.Thread.sleep()"
+    assert d["go"] == "com.x.Helper.go()"
+    assert d["run"] == "Unknown.run()"
+
+
+def test_switch_case_local_scope_pops():
+    """A local declared inside a switch case must NOT resolve receivers
+    after the switch ends (Java scoping; ADVICE r2)."""
+    src = (
+        "import org.acme.io.Pipe;\n"
+        "class A { void f(int k) {\n"
+        "    switch (k) { case 1: Pipe p = open(); p.flush(); }\n"
+        "    p.leak();\n"  # p out of scope: stays unresolved
+        "} }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    d = {m["mention"]: m["candidate"] for m in mentions
+         if m["kind"] == "call_site"}
+    assert d["flush"] == "org.acme.io.Pipe.flush()"
+    assert d["leak"] == "p.leak()"
 
 
 def test_chained_call_receiver_via_return_type():

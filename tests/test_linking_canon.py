@@ -75,6 +75,34 @@ def test_salted_join_matches_broadcast(spark):
     assert "nosuch" not in linked
 
 
+def test_host_scorer_matches_spark_scorer(spark):
+    """ops/kgdocs._host_best_link replays pipeline.linking scoring in a
+    second language; the linked/canonical oracles depend on the two being
+    bit-identical. Run BOTH over every frozen template occurrence and
+    assert identical (fqn, score) — a future edit to either side now
+    fails loudly instead of silently breaking the oracles."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_LINK_OCCURRENCES,
+                                                _host_best_link)
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    occs = [(f"t{tpl}", "m0", i, mention, kind, candidate)
+            for tpl, lst in TEMPLATE_LINK_OCCURRENCES.items()
+            for i, (mention, kind, candidate) in enumerate(lst)]
+    assert occs, "frozen occurrence multiset is empty"
+    mentions = spark.createDataFrame(
+        occs, "doc_id string, method_id string, node_id long,"
+              " mention string, kind string, candidate string")
+    got = {(r["doc_id"], r["node_id"]): (r["fqn"], r["score"])
+           for r in link_mentions(
+               mentions, symbol_dictionary(spark)).collect()}
+    want = {}
+    for doc_id, _m, node_id, mention, _kind, candidate in occs:
+        best = _host_best_link(mention, candidate, rows)
+        if best is not None:
+            want[(doc_id, node_id)] = best
+    assert got == want
+
+
 def test_canonicalize_merges_shared_mentions(spark):
     linked = spark.createDataFrame(
         [("size", "java.util.List.size"), ("size", "java.util.Map.size"),

@@ -123,6 +123,25 @@ def test_range_join_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_range_join_bin_is_equi_key(spark):
+    """bin must be a JOIN KEY, not a post-match filter: a user_id-only
+    key materializes O(n_user^2) pairs per user before filtering (a
+    10^6-event user = one never-finishing join group at corpus scale).
+    Both join-key lists must pair user_id WITH bin — whether the plan
+    broadcasts (small SF) or shuffles (hashpartitioning would then
+    cluster on (user_id, bin))."""
+    import re
+    p = plan(relational.events_range_join(spark, SF))
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", p)
+    assert keys, p
+    for s in keys:
+        assert "user_id" in s and "bin" in s, (s, p)
+    # exploding to bin-1..bin+1 must appear as a Generate on ONE side
+    assert re.search(r"explode\(array\(", p), p
+    # the exact window predicate survives as the join condition
+    assert "Join condition" in p and "abs(" in p
+
+
 def test_q19_disjunctive_stays_equi_join(spark):
     """The OR block across both join sides must not degrade the partkey
     equi-join into a nested-loop/cartesian plan."""
