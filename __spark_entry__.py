@@ -77,6 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q14_promo_revenue"] = relational.promo_revenue
     q["q19_discounted_revenue"] = relational.discounted_revenue
     q["q22_idle_rich_customers"] = relational.idle_rich_customers
+    q["q9_nation_year_revenue"] = relational.nation_year_revenue
+    q["q13_order_counts"] = relational.customer_order_counts
+    q["q16_supplier_parts"] = relational.supplier_part_counts
+    q["q18_large_orders"] = relational.large_quantity_orders
+    q["q11_important_parts"] = relational.important_part_values
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -158,6 +163,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_split"] = lambda s, d: split_assign(_docs(s, d))
     q["dataset_pack"] = lambda s, d: pack_sequences(_docs(s, d),
                                                     allow_global=True)
+
+    def _pack_sharded(s_, d_):
+        base = _docs(s_, d_)
+        sharded = split_assign(base).select("doc_id", "split") \
+            .join(base, "doc_id")
+        return pack_sequences(sharded, shard_by=["split"]) \
+            .orderBy("split", "doc_id")
+
+    q["dataset_pack_sharded"] = _pack_sharded
 
     return q
 
@@ -388,6 +402,60 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
    OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    o["q9_nation_year_revenue"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    o["q13_order_counts"] = """
+WITH counts AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM counts GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+    o["q16_supplier_parts"] = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+    o["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 150)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+    o["q11_important_parts"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+              AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(value_cents) AS t FROM per_part)
+SELECT l_partkey, value_cents
+FROM per_part, tot
+WHERE value_cents > t * 1000 // 1000000
+ORDER BY value_cents DESC, l_partkey
 """
     o["q10_returned_items"] = """
 SELECT c_custkey, c_name, n_name,
@@ -869,6 +937,29 @@ SELECT doc_id,
             ELSE 'train' END AS split,
        bucket_pm
 FROM b
+"""
+    o["dataset_pack_sharded"] = f"""
+WITH m AS (SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+           FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN CAST(({hex_val}) % 1000 AS BIGINT) < 50 THEN 'test'
+                  WHEN CAST(({hex_val}) % 1000 AS BIGINT) < 100 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM m),
+t AS (SELECT d.doc_id, s.split,
+             CAST(len({_sql_tokens('d.text')}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN s ON d.doc_id = s.doc_id),
+c AS (SELECT doc_id, split, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY split ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM t)
+SELECT doc_id, split, n_tokens,
+       CAST(cb // 256 AS BIGINT) AS bin_id,
+       CAST(cb % 256 AS BIGINT) AS offset_in_bin
+FROM c
 """
     o["dataset_pack"] = f"""
 WITH t AS (SELECT doc_id,

@@ -120,6 +120,16 @@ def main() -> None:
         "q19_discounted_revenue": lambda: relational.discounted_revenue(
             spark, sf_dir),
         "q22_idle_rich": lambda: relational.idle_rich_customers(spark, sf_dir),
+        "q9_nation_year": lambda: relational.nation_year_revenue(
+            spark, sf_dir),
+        "q13_order_counts": lambda: relational.customer_order_counts(
+            spark, sf_dir),
+        "q16_supplier_parts": lambda: relational.supplier_part_counts(
+            spark, sf_dir),
+        "q18_large_orders": lambda: relational.large_quantity_orders(
+            spark, sf_dir),
+        "q11_important_parts": lambda: relational.important_part_values(
+            spark, sf_dir),
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs(spark, sf_dir), threshold_pm=200),
         "dedup_clusters": lambda: dedup.dedup_clusters(docs(spark, sf_dir)),
@@ -148,6 +158,139 @@ def main() -> None:
                                 docs_fingerprint=f"bench-{sf}")
     results["pipeline_full"] = round(time.monotonic() - t0, 3)
     extras["pipeline_triples"] = pipe_metrics["total"]
+
+    # --- skew evidence (VERDICT r2 #2): a deterministic boilerplate-
+    #     skewed corpus (hot docs share one of 2 exact texts -> mega LSH
+    #     buckets / stopword-heavy shingles). Recorded as extras so the
+    #     headline/extended totals stay diffable round-over-round. ---
+    def skewed(docs_df, hot_pm: int, templates: int = 2):
+        boiler = F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog lorem "
+                  "ipsum dolor sit amet consectetur adipiscing elit tpl "),
+            (F.col("doc_id") % templates).cast("string"))
+        hot = F.pmod(F.col("doc_id"), F.lit(1000)) < hot_pm
+        return docs_df.withColumn(
+            "text", F.when(hot, boiler).otherwise(F.col("text")))
+
+    def timed(build):
+        t0 = time.monotonic()
+        _noop(build())
+        return round(time.monotonic() - t0, 3)
+
+    skew = {}
+    # ONE boilerplate template -> 4 mega buckets (one per band) of ~3000
+    # docs each at sf0.1. Chunked (chunk 256 -> ~312 balanced tasks) vs
+    # one-task-per-bucket (4 serial 4.5M-pair expansions on a 32-core
+    # host): same pair set either way.
+    sk01 = skewed(docs(spark, sf_dir), hot_pm=150, templates=1)
+    skew["minhash_lsh_skew_chunked_sec"] = timed(
+        lambda: dedup.minhash_lsh_pairs(sk01, hot_threshold=256))
+    skew["minhash_lsh_skew_one_task_per_bucket_sec"] = timed(
+        lambda: dedup.minhash_lsh_pairs(sk01, hot_threshold=10**9))
+    # cluster-representative dedup never materializes pairs: the same
+    # mega-cluster corpus in star-edge time
+    skew["dedup_clusters_skew_sec"] = timed(
+        lambda: dedup.dedup_clusters(sk01))
+    # bounded-memory evidence for the chunking: the unchunked path
+    # collect_lists each bucket into ONE row (the mega-bucket OOM risk);
+    # the chunked path's expansion groups are bounded by 2*chunk_size
+    # regardless of bucket size
+    from propertygraph_spark.ops.dedup import _minhash_banded
+    max_bucket = (_minhash_banded(sk01).groupBy("band", "bucket")
+                  .count().agg(F.max("count")).collect()[0][0])
+    skew["max_bucket_members"] = int(max_bucket)
+    skew["chunked_group_bound"] = 2 * 256
+    # prefix filter on/off (exact same output). The filter's win case is
+    # a COMMON PHRASE shared by many non-duplicate docs (stopword-style
+    # df^2 with zero true pairs): append one boilerplate sentence to 50%
+    # of sf0.01 docs. Wall times at this size are overhead-dominated, so
+    # ALSO record the scale-independent number: candidate pairs each
+    # plan's shingle join generates (naive pays sum C(df,2) on the
+    # shared shingles; df-ascending prefixes drop them).
+    docs001 = spark.read.parquet(
+        f"{os.path.dirname(sf_dir.rstrip('/'))}/sf0.01/documents.parquet")
+    suffix = F.lit(" the quick brown fox jumps over the lazy dog lorem"
+                   " ipsum dolor sit amet consectetur adipiscing elit")
+    sk001 = docs001.withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+               F.concat(F.col("text"), suffix)).otherwise(F.col("text")))
+    skew["ngram_prefix_on_sf001_sec"] = timed(
+        lambda: dedup.ngram_jaccard_pairs(sk001, threshold_pm=800))
+    skew["ngram_prefix_off_sf001_sec"] = timed(
+        lambda: dedup.ngram_jaccard_pairs(sk001, threshold_pm=800,
+                                          prefix_filter=False))
+    pc, nc = dedup.ngram_candidate_counts(sk001, threshold_pm=800)
+    skew["ngram_prefix_candidates"] = pc
+    skew["ngram_naive_candidates"] = nc
+    skew["ngram_candidate_reduction"] = round(nc / pc, 1) if pc else None
+    extras["skew_evidence"] = skew
+
+    # --- scale evidence: the heavy dedup ops at 1x vs 2x documents
+    #     (deterministic replication; replicas get distinct texts via an
+    #     id-salted suffix so the 2x corpus isn't one giant duplicate
+    #     class) — near-linear ratios back the asymptotic claims
+    #     (a quadratic op would scale ~4x) ---
+    scale = {}
+    d1 = docs(spark, sf_dir)
+    d2 = (d1.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(1))))
+          .withColumn("doc_id", F.col("doc_id") * 2 + F.col("r"))
+          .withColumn("text", F.concat(F.col("text"), F.lit(" salt"),
+                                       F.col("doc_id").cast("string")))
+          .drop("r"))
+    for nm, fn in (
+            ("minhash_lsh", lambda d: dedup.minhash_lsh_pairs(d)),
+            ("dedup_clusters", lambda d: dedup.dedup_clusters(d)),
+            ("ngram_jaccard", lambda d: dedup.ngram_jaccard_pairs(
+                d, threshold_pm=200))):
+        s1 = timed(lambda: fn(d1))
+        s2 = timed(lambda: fn(d2))
+        scale[f"{nm}_1x_sec"] = s1
+        scale[f"{nm}_2x_sec"] = s2
+        scale[f"{nm}_2x_over_1x"] = round(s2 / s1, 2) if s1 else None
+    extras["scale_evidence"] = scale
+
+    # --- streaming throughput (VERDICT r2 #7): docs/s over a file-source
+    #     replay of the pre-materialized corpus (8 micro-batches) ---
+    from propertygraph_spark.streaming.events import (run_to_memory,
+                                                      streaming_dedup_docs,
+                                                      streaming_extract)
+    stream_src = (spark.readStream.schema(src.schema)
+                  .option("maxFilesPerTrigger", 8).parquet(corpus))
+    t0 = time.monotonic()
+    q = run_to_memory(streaming_extract(stream_src), "bench_sx",
+                      timeout_sec=600.0)
+    sx_sec = time.monotonic() - t0
+    sx_rows = spark.table("bench_sx").count()
+    q.stop()
+    spark.catalog.dropTempView("bench_sx")
+    # dedup stream input: (doc_id, ts, text) — ts synthesized from doc_id
+    ddocs = "/tmp/bench_stream_docs.parquet"
+    shutil.rmtree(ddocs, ignore_errors=True)
+    (_replicated_docs(spark, sf_dir)
+     .select("doc_id",
+             F.expr("timestamp_seconds(1700000000 + doc_id)").alias("ts"),
+             "text")
+     .repartition(32).write.mode("overwrite").parquet(ddocs))
+    dd_schema = spark.read.parquet(ddocs).schema
+    dd_stream = (spark.readStream.schema(dd_schema)
+                 .option("maxFilesPerTrigger", 8).parquet(ddocs))
+    t0 = time.monotonic()
+    q = run_to_memory(streaming_dedup_docs(dd_stream), "bench_sd",
+                      timeout_sec=600.0)
+    sd_sec = time.monotonic() - t0
+    sd_rows = spark.table("bench_sd").count()
+    q.stop()
+    spark.catalog.dropTempView("bench_sd")
+    extras["streaming_evidence"] = {
+        "extract_docs": n_docs, "extract_sec": round(sx_sec, 3),
+        "extract_docs_per_sec": round(n_docs / sx_sec, 1),
+        "extract_rows": sx_rows,
+        "dedup_docs_per_sec": round(
+            spark.read.parquet(ddocs).count() / sd_sec, 1),
+        "dedup_sec": round(sd_sec, 3), "dedup_rows_out": sd_rows,
+    }
+
 
     total = round(sum(results.values()), 3)
     out = {

@@ -62,7 +62,8 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
-                        threshold_pm: int = 800) -> DataFrame:
+                        threshold_pm: int = 800,
+                        prefix_filter: bool = True) -> DataFrame:
     """Near-duplicate pairs with token-k-gram Jaccard >= threshold (per
     mille). EXACT prefix-filtered all-pairs (Bayardo et al. / PPJoin
     candidate generation):
@@ -83,18 +84,28 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     OUTSIDE almost every prefix, so hot keys vanish from the join while
     the output stays bit-identical (the oracle runs the naive plan).
     Per-doc arrays are bounded by document length; nothing is broadcast
-    or collected."""
+    or collected.
+
+    ``prefix_filter=False`` disables the prefix + length pruning (full
+    inverted-index join) — the naive plan the oracle runs, kept ONLY as
+    the measured baseline for the bench's skew evidence; outputs are
+    bit-identical either way (tested)."""
     sh = _shingles(docs, k)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_doc = Window.partitionBy("doc_id")
-    ranked = (sh.join(dfreq, "shingle")
-              .withColumn("pos", F.row_number().over(
-                  w_doc.orderBy("df", "shingle")))
-              .withColumn("n_sh", F.count("*").over(w_doc)))
-    # prefix length p = n - ceil(t*n) + 1, in exact integer arithmetic:
-    # ceil(threshold_pm * n / 1000) = (threshold_pm * n + 999) div 1000
-    ceil_tn = F.floor((F.lit(threshold_pm) * F.col("n_sh") + 999) / 1000)
-    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1) \
+    if prefix_filter:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        w_doc = Window.partitionBy("doc_id")
+        ranked = (sh.join(dfreq, "shingle")
+                  .withColumn("pos", F.row_number().over(
+                      w_doc.orderBy("df", "shingle")))
+                  .withColumn("n_sh", F.count("*").over(w_doc)))
+        # prefix length p = n - ceil(t*n) + 1, exact integer arithmetic:
+        # ceil(threshold_pm * n / 1000) = (threshold_pm*n + 999) div 1000
+        ceil_tn = F.floor((F.lit(threshold_pm) * F.col("n_sh") + 999) / 1000)
+        prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1) \
+                       .select("doc_id", "shingle", "n_sh")
+    else:
+        w_doc = Window.partitionBy("doc_id")
+        prefix = sh.withColumn("n_sh", F.count("*").over(w_doc)) \
                    .select("doc_id", "shingle", "n_sh")
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -103,7 +114,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     len_ok = ((F.col("b.n_sh") * 1000 >= F.lit(threshold_pm)
                * F.col("a.n_sh"))
               & (F.col("a.n_sh") * 1000 >= F.lit(threshold_pm)
-                 * F.col("b.n_sh")))
+                 * F.col("b.n_sh"))) if prefix_filter else F.lit(True)
     cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
             .select(F.col("a.doc_id").alias("doc_a"),
@@ -128,6 +139,31 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                 .cast("long"))
             .filter(F.col("jaccard_pm") >= threshold_pm)
             .select("doc_a", "doc_b", "n_inter", "jaccard_pm"))
+
+
+def ngram_candidate_counts(docs: DataFrame, k: int = 3,
+                           threshold_pm: int = 800) -> tuple:
+    """(prefix_candidates, naive_candidates): how many doc pairs each
+    plan's shingle join GENERATES (sum over join keys of C(df, 2)) —
+    the scale-independent evidence for the prefix filter: the naive
+    inverted-index join pays df^2 on every shingle while the df-ascending
+    prefix drops ultra-common shingles from almost every prefix. Computed
+    as aggregations only (no join is executed)."""
+    sh = _shingles(docs, k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    naive = dfreq.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                      .cast("long").alias("c")).collect()[0]["c"] or 0
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (sh.join(dfreq, "shingle")
+              .withColumn("pos", F.row_number().over(
+                  w_doc.orderBy("df", "shingle")))
+              .withColumn("n_sh", F.count("*").over(w_doc)))
+    ceil_tn = F.floor((F.lit(threshold_pm) * F.col("n_sh") + 999) / 1000)
+    pref = (ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
+            .groupBy("shingle").agg(F.count("*").alias("df")))
+    prefix = pref.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                      .cast("long").alias("c")).collect()[0]["c"] or 0
+    return int(prefix), int(naive)
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:

@@ -387,3 +387,99 @@ def events_range_join(spark: SparkSession, sf_dir: str,
                     F.col("a.event_id").alias("event_a"),
                     F.col("b.event_id").alias("event_b"),
                     F.col("gap_sec").cast("long").alias("gap_sec")))
+
+
+def nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor (no partsupp table in this corpus, so revenue
+    stands in for profit): revenue per supplier nation per order year.
+    Dims broadcast; the one big shuffle is lineitem x orders."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("nation", "o_year"))
+
+
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 flavor: distribution of per-customer order counts,
+    INCLUDING zero-order customers (left join; count(o_orderkey) counts
+    matches only). The priority filter stands in for Q13's comment
+    exclusion."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+    counts = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: distinct suppliers per (brand, type, size) over
+    the observed lineitem part-supplier pairs (no partsupp table),
+    excluding negative-balance suppliers via LEFT ANTI join (the NOT IN
+    complaints-subquery stand-in)."""
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (pairs.join(F.broadcast(part),
+                       pairs.l_partkey == part.p_partkey)
+            .filter(F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+            .join(F.broadcast(bad),
+                  pairs.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str,
+                          min_qty: int = 150) -> DataFrame:
+    """TPC-H Q18 flavor: orders whose total quantity exceeds min_qty —
+    the HAVING subquery becomes a pre-aggregated semi side joined back to
+    orders/customer; TakeOrdered caps the result. Quantities are integral
+    doubles, so the sum is exact in any order (cast to long)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity")).cast("long").alias("total_qty"))
+           .filter(F.col("total_qty") > min_qty))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_totalprice"), "total_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+def important_part_values(spark: SparkSession, sf_dir: str,
+                          threshold_ppm: int = 1000) -> DataFrame:
+    """TPC-H Q11 flavor (no partsupp: lineitem revenue stands in for
+    stock value): parts whose revenue exceeds threshold_ppm parts-per-
+    million of the corpus total. Values are integer CENTS (round(x*100))
+    so the scalar threshold comparison is exact-integer on both engines —
+    a floored double share could flip on the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.round(F.sum(rev) * 100).cast("long")
+                     .alias("value_cents")))
+    total = per_part.agg(F.sum("value_cents").alias("t")) \
+                    .collect()[0]["t"] or 0
+    cutoff = total * threshold_ppm // 1_000_000
+    return (per_part.filter(F.col("value_cents") > cutoff)
+            .orderBy(F.desc("value_cents"), F.asc("l_partkey")))

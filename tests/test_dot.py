@@ -52,3 +52,38 @@ def test_ast_dot_format(tables):
     # identity-tuple labels: (content,Category,startLine,endLine)
     assert ",Method,1,1)" in dot
     assert '" -> "' in dot
+
+
+# ------------------------------------------------ frozen golden DOT files
+
+import os
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_dot")
+FIXTURE = "FilenameGuardFilterOld.java"
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    with open(f"/root/reference/testcase/{FIXTURE}") as f:
+        src = f.read()
+    docs = spark.createDataFrame([(FIXTURE, [("code", src, "", 0)])],
+                                 DOCS_SCHEMA)
+    union = extract_docs(docs, route=False)
+    nodes, triples, _, errors = split_union(union)
+    assert errors.count() == 0
+    return nodes.cache(), triples.cache()
+
+
+@pytest.mark.parametrize("kind,fmt", [("ast", ast_dot), ("cfg", cfg_dot),
+                                      ("pdg", pdg_dot)])
+def test_golden_dot_byte_identical(fixture_tables, kind, fmt):
+    """One frozen DOT per graph kind for the PARITY.md hand-verified
+    fixture — the full sink output (cluster scheme Common.java:23-35,
+    node/edge grammar SaveCFG.java:70-170, SavePDG.java:72-149,
+    ASTtoDOT.java:42-46) is byte-stable, not just smoke-valid. The CFG
+    golden encodes exactly the 4 hand-verified edges of PARITY.md."""
+    nodes, triples = fixture_tables
+    got = fmt(nodes, triples, FIXTURE) + "\n"
+    with open(os.path.join(GOLDEN_DIR, f"FilenameGuardFilterOld_{kind}.dot")) as f:
+        want = f.read()
+    assert got == want

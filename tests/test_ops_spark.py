@@ -111,6 +111,11 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
            for r in dedup.ngram_jaccard_pairs(
                docs, threshold_pm=300).collect()}
     assert got == want
+    # the naive inverted-index plan (bench baseline) is bit-identical
+    naive = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard_pm"])
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, threshold_pm=300, prefix_filter=False).collect()}
+    assert naive == want
 
 
 def test_minhash_lsh_candidates(docs):

@@ -170,3 +170,42 @@ def test_asof_join_single_exchange(spark):
     p = plan(relational.asof_view_before_click(spark, SF))
     assert p.count("hashpartitioning(user_id") == 1
     assert "CartesianProduct" not in p
+
+
+def test_q18_take_ordered_no_cartesian(spark):
+    """The HAVING side pre-aggregates before joining back; the final
+    top-100 must plan as TakeOrderedAndProject, and the customer dim
+    broadcasts."""
+    p = plan(relational.large_quantity_orders(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q16_anti_join_broadcasts(spark):
+    """The negative-balance exclusion plans as a broadcast anti join;
+    the size IN-list reaches the part scan as a pushed filter."""
+    p = plan(relational.supplier_part_counts(spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "In(p_size" in p  # pushed to the part parquet scan
+
+
+def test_q9_dims_broadcast(spark):
+    """supplier + nation broadcast; the only shuffle-joined pair is
+    lineitem x orders."""
+    import re
+    p = plan(relational.nation_year_revenue(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    # partial aggregation before the final group exchange
+    assert re.search(r"HashAggregate .*partial", p, re.S) or \
+        "partial_sum" in p
+
+
+def test_q13_left_join_preserves_zero_customers(spark):
+    """The left join must not degrade to inner (zero-order customers are
+    the point of Q13)."""
+    p = plan(relational.customer_order_counts(spark, SF))
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
