@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda s, d: text.language_id(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     q["text_ttr"] = lambda s, d: text.type_token_ratio(_docs(s, d))
+    q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_docs(s, d))
+    q["text_contamination"] = lambda s, d: text.contamination_check(
+        _docs(s, d))
+    q["text_repetition"] = lambda s, d: text.repetition_ratio(_docs(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -119,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), k=5, nprobe=2)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
+    q["emb_matryoshka"] = lambda s, d: similarity.matryoshka_truncate(
+        _emb(s, d))
 
     # cross-modal profile: text-quality signals joined to the doc's
     # embedding norm (documents.doc_id == embeddings.vec_id in the
@@ -593,6 +599,64 @@ SELECT doc_id, n AS n_tokens,
             ELSE 0 END AS ttr_pm
 FROM b
 """
+    # PII scrub: same three patterns, same replacement order, 'g' flag
+    # (DuckDB replaces only the first match by default)
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _url = "https?://[^\\s]+"
+    _num = "[0-9]{7,}"
+    o["text_pii_scrub"] = """
+WITH s AS (SELECT doc_id, text,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '""" + _email + """', '<EMAIL>', 'g'),
+      '""" + _url + """', '<URL>', 'g'),
+      '""" + _num + """', '<NUM>', 'g') AS scrubbed
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '""" + _email + """')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '""" + _url + """')) AS BIGINT)
+    AS n_urls,
+  CAST(len(regexp_extract_all(text, '""" + _num + """')) AS BIGINT)
+    AS n_long_numbers,
+  md5(scrubbed) AS scrubbed_md5,
+  CAST(len(scrubbed) AS BIGINT) AS scrubbed_len
+FROM s
+"""
+    o["text_contamination"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 4, 0)),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4]))) AS shingle
+  FROM t)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+    o["text_repetition"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+           AS shingle
+       FROM t),
+per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+               CAST(max(c) AS BIGINT) AS max_repeat
+        FROM per GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.max_repeat, 0) AS max_repeat,
+       CASE WHEN coalesce(a.n_ngrams, 0) > 0
+            THEN CAST(a.max_repeat * 1000 // a.n_ngrams AS BIGINT)
+            ELSE 0 END AS repetition_pm
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
     o["text_fingerprint"] = f"""
 WITH t AS (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents),
 e AS (SELECT doc_id, toks,
@@ -844,6 +908,21 @@ WITH n AS (
   FROM pairs
 )
 SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
+"""
+    o["emb_matryoshka"] = """
+WITH s AS (SELECT vec_id,
+  list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_e,
+  list_sum(list_transform(embedding[1:8],
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS trunc_e
+  FROM embeddings)
+SELECT vec_id, CAST(8 AS BIGINT) AS dims_kept,
+       CAST(floor(sqrt(full_e) * 1000000) AS BIGINT) AS norm_full_pm,
+       CAST(floor(sqrt(trunc_e) * 1000000) AS BIGINT) AS norm_trunc_pm,
+       CASE WHEN full_e > 0
+            THEN CAST(floor(trunc_e * 1000 / full_e) AS BIGINT)
+            ELSE 0 END AS energy_kept_pm
+FROM s
 """
     o["emb_quantize_int8"] = """
 WITH s AS (

@@ -472,3 +472,26 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
                 .alias("code_abs_sum"),
                 F.array_max("codes").alias("code_max"),
                 F.array_min("codes").alias("code_min")))
+
+
+def matryoshka_truncate(emb: DataFrame, dims: int = 8) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first ``dims``
+    dimensions and report how much L2 energy survives (per-mille) plus
+    both norms as per-micro integers. Pure Catalyst sequential folds
+    (F.aggregate == DuckDB list_sum-of-list_transform fold order, the
+    cross-engine-stable float form); map-only at any scale — the
+    downstream ANN ops run unchanged on the truncated column."""
+    v2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    full = v2(F.col("embedding"))
+    trunc = v2(F.slice("embedding", 1, dims))
+    return emb.select(
+        "vec_id",
+        F.lit(dims).cast("long").alias("dims_kept"),
+        F.floor(F.sqrt(full) * 1_000_000).cast("long")
+        .alias("norm_full_pm"),
+        F.floor(F.sqrt(trunc) * 1_000_000).cast("long")
+        .alias("norm_trunc_pm"),
+        F.when(full > 0, F.floor(trunc * 1000 / full)).otherwise(0)
+        .cast("long").alias("energy_kept_pm"))

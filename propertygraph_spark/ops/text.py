@@ -150,3 +150,85 @@ def type_token_ratio(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
         F.when(n > 0, F.floor(F.size(F.array_distinct("toks")) * 1000 / n))
         .otherwise(0).cast("long").alias("ttr_pm"))
+
+
+# PII patterns shared with the SQL oracle (RE2/Java-regex common subset:
+# no backrefs, no lookaround). Replacement order is fixed (email -> url
+# -> long digit runs) and identical on both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_NUM_RE = r"[0-9]{7,}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII scrubbing pass: emails, URLs and long digit runs replaced by
+    typed placeholders; per-doc redaction counts + md5 of the scrubbed
+    text (full-string equality proof without shipping the text). Pure
+    Catalyst regexp ops — map-only at any scale; patterns restricted to
+    the Java-regex/RE2 common subset so the DuckDB twin is exact."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE, "<URL>"),
+        PII_NUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_URL_RE))
+        .cast("long").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(PII_NUM_RE))
+        .cast("long").alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"))
+
+
+def _shingle_arr(k: int) -> Column:
+    toks = tokens_col()
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                   for j in range(k)]))
+
+
+def contamination_check(docs: DataFrame, k: int = 5,
+                        eval_mod: int = 97) -> DataFrame:
+    """Benchmark-contamination scan: documents whose token k-grams appear
+    in the held-out eval slice (doc_id % eval_mod == 0 — the stand-in
+    for a real benchmark suite). The eval n-gram set is SMALL relative
+    to the corpus, so it broadcasts; the train side is a map-side hash
+    probe — no big shuffle at 100 TB. Returns every contaminated train
+    doc with its overlapping-n-gram count."""
+    sh = F.explode(F.array_distinct(_shingle_arr(k))).alias("shingle")
+    eval_sh = (docs.filter(F.col("doc_id") % eval_mod == 0)
+               .select(sh).distinct())
+    train = (docs.filter(F.col("doc_id") % eval_mod != 0)
+             .select("doc_id", sh))
+    return (train.join(F.broadcast(eval_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_ngrams"))
+            .orderBy("doc_id"))
+
+
+def repetition_ratio(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Boilerplate/spam signal: how dominant is the single most repeated
+    token k-gram in each document (per-mille of all its k-grams).
+    Integer arithmetic; docs with fewer than k tokens report 0."""
+    d = docs.select("doc_id", _shingle_arr(k).alias("sh"))
+    exploded = d.select("doc_id", F.size("sh").alias("n_sh"),
+                        F.explode_outer("sh").alias("shingle"))
+    per = (exploded.groupBy("doc_id", "n_sh", "shingle")
+           .agg(F.count("*").alias("c")))
+    return (per.groupBy("doc_id", "n_sh")
+            .agg(F.max(F.when(F.col("shingle").isNotNull(), F.col("c"))
+                       .otherwise(0)).alias("max_rep"))
+            .select("doc_id",
+                    F.col("n_sh").cast("long").alias("n_ngrams"),
+                    F.col("max_rep").cast("long").alias("max_repeat"),
+                    F.when(F.col("n_sh") > 0,
+                           F.floor(F.col("max_rep") * 1000 / F.col("n_sh")))
+                    .otherwise(0).cast("long").alias("repetition_pm"))
+            .orderBy("doc_id"))

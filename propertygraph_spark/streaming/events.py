@@ -138,3 +138,69 @@ def streaming_user_sessions(events: DataFrame,
             .applyInPandasWithState(
                 fn, SESSION_OUTPUT_DDL, SESSION_STATE_DDL,
                 "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def streaming_near_dedup(docs_stream: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming NEAR-duplicate filtering via MinHash-LSH buckets:
+    each doc explodes to its 4 (band, bucket) keys (the same banding as
+    ops.dedup._minhash_banded — stateless, map-only) and
+    dropDuplicatesWithinWatermark keeps the FIRST doc per bucket. A doc
+    surviving in >= 1 bucket is that bucket's arrival-order
+    representative — the streaming twin of ops.dedup.dedup_clusters'
+    star representatives (batch picks min doc_id per bucket; streaming
+    picks first arrival; both keep exactly one rep per bucket, so exact
+    duplicates beyond the first are ALWAYS dropped). State per bucket is
+    one 16-byte digest + timestamp, watermark-evicted — the only state
+    shape that survives 10^12 docs.
+
+    Input: (doc_id, ts, text). Output: the surviving (doc_id, ts, band,
+    bucket) rows; distinct doc_ids = the keeper set."""
+    from propertygraph_spark.ops.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
+    from propertygraph_spark.ops.text import _shingle_arr
+
+    # the banding over a STREAMING frame: minhash_signatures groupBys
+    # (batch-only), so compute the identical signature MAP-ONLY per row —
+    # permutation i's min over the shingle ARRAY (array_min == the
+    # batch's F.min over exploded shingles; duplicates can't change a
+    # min). Docs with < k tokens have no shingles in the batch path and
+    # are excluded there too.
+    sh_arr = _shingle_arr(3)
+
+    def _perm(i):
+        # NB: a default-arg lambda would become a 2-arg callable and
+        # PySpark's transform() would pass the ELEMENT INDEX into it
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig_cols = [F.array_min(F.transform(sh_arr, _perm(i))).alias(f"h{i}")
+                for i in range(N_MINHASH)]
+    sig = (docs_stream.select("doc_id", "ts", *sig_cols)
+           .filter(F.col("h0").isNotNull()))
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{i}")
+                                     for i in range(b * ROWS_PER_BAND,
+                                                    (b + 1) * ROWS_PER_BAND)]))
+            .alias("bucket"))
+        for b in range(N_BANDS)])
+    banded = (sig.select("doc_id", "ts", F.explode(band_arr).alias("bb"))
+              .select("doc_id", "ts", F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+    return (banded.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["band", "bucket"]))
+
+
+def streaming_contamination(docs_stream: DataFrame,
+                            eval_docs: DataFrame, k: int = 5) -> DataFrame:
+    """Stream-static broadcast probe: incoming docs checked against a
+    STATIC eval-set n-gram dictionary (stream-static joins need no
+    state; the eval side broadcasts). The streaming twin of
+    ops.text.contamination_check."""
+    from propertygraph_spark.ops.text import _shingle_arr
+    sh = F.explode(F.array_distinct(_shingle_arr(k))).alias("shingle")
+    eval_sh = eval_docs.select(sh).distinct()
+    return (docs_stream.select("doc_id", sh)
+            .join(F.broadcast(eval_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_ngrams")))

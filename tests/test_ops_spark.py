@@ -373,3 +373,66 @@ def test_quantize_int8(emb):
     # every vector's max |code| is exactly 127 (symmetric scaling)
     assert all(max(r["code_max"], -r["code_min"]) == 127
                for r in out.values())
+
+
+def test_pii_scrub_patterns(spark):
+    from propertygraph_spark.ops.text import pii_scrub
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b+c@example.org or visit https://x.io/p?q=1 "
+             "ref 12345678 ok"),
+         (2, "no pii here 123"),
+         (3, "two mails x@y.co z@w.io and 99999999999")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_urls"],
+            out[1]["n_long_numbers"]) == (1, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_urls"],
+            out[2]["n_long_numbers"]) == (0, 0, 0)
+    assert (out[3]["n_emails"], out[3]["n_long_numbers"]) == (2, 1)
+    import hashlib
+    want = "mail me at <EMAIL> or visit <URL> ref <NUM> ok"
+    assert out[1]["scrubbed_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert out[1]["scrubbed_len"] == len(want)
+
+
+def test_contamination_check_finds_eval_overlap(spark):
+    from propertygraph_spark.ops.text import contamination_check
+    # doc 0 is "eval" (0 % 97 == 0); doc 1 shares its 5-gram, doc 2 not
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(0, shared + " zeta"), (1, "x " + shared + " y"),
+         (2, "totally different words here now")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_contaminated_ngrams"]
+           for r in contamination_check(docs).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out  # inner join: clean docs drop
+    assert 0 not in out  # eval docs are not scanned
+
+
+def test_repetition_ratio_detects_boilerplate(spark):
+    from propertygraph_spark.ops.text import repetition_ratio
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),   # one dominant trigram
+         (2, "all words here are different ok"),
+         (3, "a b")],                            # < k tokens -> zeros
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_ratio(docs).collect()}
+    assert out[1]["n_ngrams"] == 4 and out[1]["max_repeat"] == 4
+    assert out[1]["repetition_pm"] == 1000
+    assert out[2]["max_repeat"] == 1
+    assert out[3]["n_ngrams"] == 0 and out[3]["repetition_pm"] == 0
+
+
+def test_matryoshka_truncate_energy(spark):
+    from propertygraph_spark.ops.similarity import matryoshka_truncate
+    # 16-dim vector: first 8 dims carry 1.0 each, rest 0 -> full energy 8,
+    # truncated energy 8 -> 1000 per-mille kept; second vector splits
+    rows = [(1, [1.0] * 8 + [0.0] * 8), (2, [1.0] * 16), (3, [0.0] * 16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in matryoshka_truncate(emb, dims=8).collect()}
+    assert out[1]["energy_kept_pm"] == 1000
+    assert out[2]["energy_kept_pm"] == 500
+    assert out[3]["energy_kept_pm"] == 0
+    assert out[2]["norm_full_pm"] == 4_000_000  # sqrt(16) = 4
+    assert out[2]["norm_trunc_pm"] == int(8 ** 0.5 * 1_000_000)

@@ -253,3 +253,69 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
                           route=False)
              .filter("row_kind = 'triple'").count())
     assert out.count() == batch
+
+
+def test_streaming_near_dedup_matches_batch_banding(spark, tmp_path):
+    """Streaming LSH near-dedup: (1) the map-only streaming signature
+    equals the batch groupBy signature (same (band, bucket) per doc);
+    (2) cross-batch exact duplicates are suppressed in every bucket;
+    (3) the keeper per bucket is the FIRST arrival."""
+    from propertygraph_spark.ops.dedup import _minhash_banded
+    from propertygraph_spark.streaming.events import streaming_near_dedup
+    src = str(tmp_path / "nd_in")
+    os.makedirs(src)
+    rows1 = [(1, "2024-01-01 00:00:01", "the quick brown fox jumps high"),
+             (2, "2024-01-01 00:00:02", "completely different text body here")]
+    rows2 = [(3, "2024-01-01 00:00:03", "the quick brown fox jumps high"),
+             (4, "2024-01-01 00:00:04", "yet another unrelated document text")]
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, "doc_id long, ts string, text string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(f"{src}/{name}")
+
+    write_batch(rows1, "f1")
+    write_batch(rows2, "f2")
+    stream = (spark.readStream.schema("doc_id long, ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = run_to_memory(streaming_near_dedup(stream), "near_dedup",
+                      output_mode="append")
+    try:
+        got = [(r["doc_id"], r["band"], r["bucket"]) for r in
+               spark.sql("select * from near_dedup").collect()]
+    finally:
+        q.stop()
+    # streaming banding == batch banding for the surviving docs
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, _ts, t in rows1 + rows2], "doc_id long, text string")
+    batch = {(r["doc_id"], r["band"], r["bucket"])
+             for r in _minhash_banded(all_docs).collect()}
+    assert set(got) <= batch
+    keepers = {d for d, _b, _k in got}
+    assert 3 not in keepers           # exact dup of doc 1, later arrival
+    assert {1, 2, 4} == keepers       # one rep per bucket, first arrival
+    # every bucket of every keeper survived exactly once
+    assert len(got) == len(set(got))
+
+
+def test_streaming_contamination_stream_static_join(spark, tmp_path):
+    from propertygraph_spark.streaming.events import streaming_contamination
+    src = str(tmp_path / "ct_in")
+    os.makedirs(src)
+    shared = "alpha beta gamma delta epsilon"
+    spark.createDataFrame(
+        [(1, "x " + shared + " y"), (2, "clean words only in this doc")],
+        "doc_id long, text string").coalesce(1).write.parquet(f"{src}/f1")
+    eval_docs = spark.createDataFrame(
+        [(100, shared + " zeta")], "doc_id long, text string")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = run_to_memory(streaming_contamination(stream, eval_docs),
+                      "contam", output_mode="complete")
+    try:
+        got = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
+               spark.sql("select * from contam").collect()}
+    finally:
+        q.stop()
+    assert got.get(1, 0) >= 1
+    assert 2 not in got
