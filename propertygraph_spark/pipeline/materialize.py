@@ -74,6 +74,46 @@ def _data_files(path: str) -> list:
     return files
 
 
+def _append_snapshot(path: str, operation: str, fp: str,
+                     summary: dict) -> dict:
+    """Iceberg-flavor commit log: append-only ``_snapshots.json`` beside
+    the data, each entry linked to its parent — the audit/lineage slice
+    of Iceberg's snapshot metadata (which commit produced what, from
+    which input fingerprint, touching which partitions). Data files of
+    superseded snapshots are NOT retained (overwrite reclaims them — the
+    documented substitution for a real Iceberg table; no Iceberg runtime
+    jar in this sandbox), so this is commit lineage, not data time
+    travel."""
+    log_file = os.path.join(path, "_snapshots.json")
+    history: list = []
+    try:
+        with open(log_file) as f:
+            history = json.load(f)
+    except (OSError, ValueError):
+        pass
+    snap = {
+        "snapshot_id": fingerprint(fp, len(history), operation),
+        "parent_id": history[-1]["snapshot_id"] if history else None,
+        "sequence_number": len(history),
+        "operation": operation,
+        "fingerprint": fp,
+        "committed_at": time.time(),
+        **summary,
+    }
+    history.append(snap)
+    with open(log_file, "w") as f:
+        json.dump(history, f)
+    return snap
+
+
+def snapshot_history(path: str) -> list:
+    try:
+        with open(os.path.join(path, "_snapshots.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return []
+
+
 def write_stage(df: DataFrame, path: str, fp: str,
                 partition_by: Optional[list] = None,
                 spark: Optional[SparkSession] = None) -> DataFrame:
@@ -100,6 +140,10 @@ def write_stage(df: DataFrame, path: str, fp: str,
                    "total_rows": sum(x["rows"] for x in files),
                    "total_bytes": sum(x["bytes"] for x in files),
                    "data_files": files}, f)
+    _append_snapshot(path, "overwrite", fp, {
+        "total_rows": sum(x["rows"] for x in files),
+        "total_bytes": sum(x["bytes"] for x in files),
+        "n_data_files": len(files)})
     return spark.read.parquet(path)
 
 
@@ -208,6 +252,10 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
     os.makedirs(path, exist_ok=True)
     with open(manifest_file, "w") as f:
         json.dump({str(k): v for k, v in current.items()}, f)
+    if dirty or removed:
+        _append_snapshot(path, "dynamic-overwrite", content_state, {
+            "dirty_buckets": dirty, "removed_buckets": removed,
+            "n_buckets": n_buckets})
     has_data = any(d.startswith("row_kind=") for d in os.listdir(path))
     if not has_data:
         # empty corpus (or all docs removed): no partition dirs to read

@@ -289,3 +289,41 @@ def test_graphs_selection(spark, corpus):
     assert errors.count() == 0
     preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
     assert preds and all(p.startswith("cfg_") for p in preds)
+
+
+def test_snapshot_lineage_log(spark, tmp_path):
+    """Iceberg-flavor commit lineage: each committing run appends one
+    snapshot entry with parent linkage and the touched buckets; a no-op
+    rerun commits nothing."""
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    from propertygraph_spark.pipeline.materialize import (extract_incremental,
+                                                          snapshot_history)
+
+    def mk(doc_texts):
+        return spark.createDataFrame(
+            [(d, [("code", t, "", 0)]) for d, t in doc_texts.items()],
+            DOCS_SCHEMA)
+
+    texts = {f"doc{i}": f"class C{i} {{ int m(int a) {{ return a + {i}; }} }}"
+             for i in range(6)}
+    out = str(tmp_path / "snap")
+    extract_incremental(spark, mk(texts), out, n_buckets=4)
+    h1 = snapshot_history(out)
+    assert len(h1) == 1
+    assert h1[0]["parent_id"] is None
+    assert h1[0]["operation"] == "dynamic-overwrite"
+    assert h1[0]["dirty_buckets"]  # first run: everything dirty
+
+    # no-op rerun: no new snapshot
+    extract_incremental(spark, mk(texts), out, n_buckets=4)
+    assert len(snapshot_history(out)) == 1
+
+    # edit one doc: exactly one new snapshot, linked to its parent,
+    # recording only the dirty bucket(s)
+    texts["doc3"] = "class C3 { int m(int a) { return a - 99; } }"
+    extract_incremental(spark, mk(texts), out, n_buckets=4)
+    h2 = snapshot_history(out)
+    assert len(h2) == 2
+    assert h2[1]["parent_id"] == h1[0]["snapshot_id"]
+    assert 0 < len(h2[1]["dirty_buckets"]) < 4
+    assert h2[1]["sequence_number"] == 1
