@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q16_supplier_parts"] = relational.supplier_part_counts
     q["q18_large_orders"] = relational.large_quantity_orders
     q["q11_important_parts"] = relational.important_part_values
+    q["events_percentiles"] = relational.event_value_percentiles
+    q["events_user_sketch"] = relational.event_user_sketch
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -93,6 +95,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_contamination"] = lambda s, d: text.contamination_check(
         _docs(s, d))
     q["text_repetition"] = lambda s, d: text.repetition_ratio(_docs(s, d))
+    # the synthetic corpus has a tiny clean vocabulary (no typos), which
+    # would make the fuzzy query vacuously empty — seed deterministic
+    # typo variants (mirrored exactly in the oracle SQL): every doc
+    # carries the base token, every 7th a substitution, every 11th an
+    # insertion
+    def _docs_with_typos(s_, d_):
+        base = _docs(s_, d_)
+        extra = F.concat(
+            F.lit(" sparkbenchword"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" sparkbenchwurd"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" sparkbenchwords"))
+            .otherwise(F.lit("")))
+        return base.withColumn("text", F.concat(F.col("text"), extra))
+
+    q["text_fuzzy_vocab"] = lambda s, d: text.vocab_fuzzy_pairs(
+        _docs_with_typos(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -409,6 +428,36 @@ WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
    OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+    o["events_percentiles"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(quantile_cont(value, 0.5) * 1000) AS BIGINT)
+         AS p50_milli,
+       CAST(floor(quantile_cont(value, 0.9) * 1000) AS BIGINT)
+         AS p90_milli,
+       CAST(floor(quantile_cont(value, 0.99) * 1000) AS BIGINT)
+         AS p99_milli
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    # 12-hex-char (48-bit) decode via the same ascii arithmetic used by
+    # dataset_split (DuckDB has no conv())
+    hv12 = " + ".join(
+        "CAST(" + _sql_hexval(
+            f"substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12))
+    o["events_user_sketch"] = f"""
+WITH h AS (SELECT event_type, user_id, ({hv12}) AS hl FROM events),
+per AS (SELECT event_type, user_id,
+               48 - (CASE WHEN hl > 0
+                          THEN CAST(floor(log2(hl)) AS BIGINT) + 1
+                          ELSE 0 END) AS lead_zeros
+        FROM h)
+SELECT event_type,
+       CAST(max(lead_zeros) AS BIGINT) AS max_lead_zeros,
+       CAST(power(2, max(lead_zeros) + 1) AS BIGINT) AS fm_estimate,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+FROM per GROUP BY event_type ORDER BY event_type
+"""
     o["q9_nation_year_revenue"] = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -656,6 +705,22 @@ SELECT d.doc_id,
             THEN CAST(a.max_repeat * 1000 // a.n_ngrams AS BIGINT)
             ELSE 0 END AS repetition_pm
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+    o["text_fuzzy_vocab"] = f"""
+WITH aug AS (SELECT doc_id,
+                    text || ' sparkbenchword'
+                         || CASE WHEN doc_id % 7 = 0
+                                 THEN ' sparkbenchwurd' ELSE '' END
+                         || CASE WHEN doc_id % 11 = 0
+                                 THEN ' sparkbenchwords' ELSE '' END
+                      AS text
+             FROM documents),
+tok AS (SELECT unnest({_sql_tokens()}) AS t FROM aug),
+v AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+      HAVING count(*) >= 3 AND len(t) BETWEEN 8 AND 20)
+SELECT a.t AS token_a, b.t AS token_b, a.c AS count_a, b.c AS count_b
+FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+ORDER BY token_a, token_b
 """
     o["text_fingerprint"] = f"""
 WITH t AS (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents),

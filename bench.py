@@ -139,6 +139,15 @@ def main() -> None:
             synthesize_media(docs(spark, sf_dir))),
         "media_features": lambda: feature_extract(
             synthesize_media(docs(spark, sf_dir))),
+        "text_pii_scrub": lambda: text.pii_scrub(docs(spark, sf_dir)),
+        "text_contamination": lambda: text.contamination_check(
+            docs(spark, sf_dir)),
+        "text_repetition": lambda: text.repetition_ratio(
+            docs(spark, sf_dir)),
+        "text_fuzzy_vocab": lambda: text.vocab_fuzzy_pairs(
+            docs(spark, sf_dir)),
+        "emb_matryoshka": lambda: similarity.matryoshka_truncate(
+            emb(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

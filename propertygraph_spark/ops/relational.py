@@ -483,3 +483,56 @@ def important_part_values(spark: SparkSession, sf_dir: str,
     cutoff = total * threshold_ppm // 1_000_000
     return (per_part.filter(F.col("value_cents") > cutoff)
             .orderBy(F.desc("value_cents"), F.asc("l_partkey")))
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type — EXACT percentile with
+    linear interpolation (identical definition in DuckDB quantile_cont),
+    reported in integer millis so cross-engine float tails can't flip
+    the hash. Exact percentiles shuffle each group's values once; at
+    corpus scale the approx path is approx_percentile (same plan shape,
+    no oracle twin — deliberately not the checked query)."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9),
+                                         F.lit(0.99)))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.floor(F.element_at(pcts, 1) * 1000).cast("long")
+                 .alias("p50_milli"),
+                 F.floor(F.element_at(pcts, 2) * 1000).cast("long")
+                 .alias("p90_milli"),
+                 F.floor(F.element_at(pcts, 3) * 1000).cast("long")
+                 .alias("p99_milli"))
+            .orderBy("event_type"))
+
+
+def event_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user sketch per event_type: Flajolet-Martin style with
+    md5 — estimate = 2^(1 + max leading-zero-bits of md5(user_id)) —
+    computed DETERMINISTICALLY so the DuckDB twin matches bit-for-bit
+    (unlike HLL/approx_count_distinct whose registers are
+    implementation-defined). One max-aggregation per group — the sketch
+    costs O(1) state per (event_type) at any scale; the exact distinct
+    count is reported alongside as the quality reference (itself a
+    shuffle — the thing the sketch avoids at 10^12 rows)."""
+    ev = _t(spark, sf_dir, "events")
+    # 48-bit hash: first 12 hex chars of md5. 48 bits fits a signed long
+    # (no ANSI overflow) and every value < 2^53 is an exact double, so
+    # floor(log2(h)) is bit-stable on both engines. significant_bits =
+    # floor(log2(h)) + 1 (h > 0); leading zeros within 48 bits.
+    h_long = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 12), 16, 10).cast("long")
+    d = ev.select("event_type", h_long.alias("hl"), "user_id")
+    sig_bits = F.when(F.col("hl") > 0,
+                      F.floor(F.log2("hl")) + 1).otherwise(0)
+    per = d.withColumn("lead_zeros", (F.lit(48) - sig_bits).cast("long"))
+    return (per.groupBy("event_type")
+            .agg(F.max("lead_zeros").alias("max_lead_zeros"),
+                 F.countDistinct("user_id").alias("exact_distinct"))
+            .withColumn(
+                "fm_estimate",
+                F.pow(F.lit(2.0),
+                      F.col("max_lead_zeros") + 1).cast("long"))
+            .select("event_type", "max_lead_zeros", "fm_estimate",
+                    "exact_distinct")
+            .orderBy("event_type"))

@@ -436,3 +436,49 @@ def test_matryoshka_truncate_energy(spark):
     assert out[3]["energy_kept_pm"] == 0
     assert out[2]["norm_full_pm"] == 4_000_000  # sqrt(16) = 4
     assert out[2]["norm_trunc_pm"] == int(8 ** 0.5 * 1_000_000)
+
+
+def test_vocab_fuzzy_pairs_symspell_complete(spark):
+    """Deletion-neighborhood join must find ALL distance<=1 pairs
+    (substitution, insertion, deletion) and nothing farther."""
+    from propertygraph_spark.ops.text import vocab_fuzzy_pairs
+    words = {
+        "benchmark": 3, "benchmark": 3,  # noqa: F601
+        "benchmarc": 3,   # substitution of benchmark
+        "benchmarks": 3,  # insertion
+        "benchmar": 3,    # deletion
+        "completely": 3, "cxmpletely": 3,  # substitution pair
+        "unrelatedword": 3,
+        "rare_token_x": 1,  # below min_count: excluded
+    }
+    rows = [(i, " ".join(w for w, c in words.items() for _ in range(c)))
+            for i in range(1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["token_a"], r["token_b"])
+           for r in vocab_fuzzy_pairs(docs, min_count=3).collect()}
+    assert ("benchmarc", "benchmark") in got
+    assert ("benchmark", "benchmarks") in got
+    assert ("benchmar", "benchmark") in got
+    assert ("completely", "cxmpletely") in got
+    assert not any("unrelatedword" in p for pair in got for p in pair)
+    assert not any("rare_token_x" in pair for pair in got)
+    # exhaustive cross-check vs brute force levenshtein
+    import itertools
+
+    def lev(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(min(prev[i] + 1, cur[-1] + 1,
+                               prev[i - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = [w for w, c in words.items() if c >= 3 and 8 <= len(w) <= 20]
+    want = {tuple(sorted((x, y)))
+            for x, y in itertools.combinations(sorted(set(vocab)), 2)
+            if lev(x, y) <= 1}
+    assert got == want
