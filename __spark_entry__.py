@@ -198,6 +198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_pack_sharded"] = _pack_sharded
 
+    from propertygraph_spark.ops.dataset import (sample_balanced,
+                                                 sample_stratified)
+    q["dataset_sample_stratified"] = lambda s, d: sample_stratified(
+        _docs(s, d))
+    q["dataset_sample_balanced"] = lambda s, d: sample_balanced(_docs(s, d))
+
     return q
 
 
@@ -1081,6 +1087,27 @@ SELECT doc_id,
             ELSE 'train' END AS split,
        bucket_pm
 FROM b
+"""
+    o["dataset_sample_stratified"] = f"""
+WITH m AS (SELECT doc_id, lang,
+                  substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS h8
+           FROM documents)
+SELECT doc_id, lang AS stratum,
+       CAST(({hex_val}) % 1000 AS BIGINT) AS sample_pm
+FROM m WHERE CAST(({hex_val}) % 1000 AS BIGINT) < 250
+ORDER BY doc_id
+"""
+    o["dataset_sample_balanced"] = """
+WITH h AS (SELECT doc_id, lang,
+                  md5('bal|' || CAST(doc_id AS VARCHAR)) AS hv
+           FROM documents),
+r AS (SELECT doc_id, lang AS stratum,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+               AS rk
+      FROM h)
+SELECT doc_id, stratum, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 50 ORDER BY stratum, rk
 """
     o["dataset_pack_sharded"] = f"""
 WITH m AS (SELECT doc_id,

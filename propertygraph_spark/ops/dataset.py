@@ -71,3 +71,39 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
                     .alias("bin_id"),
                     F.pmod(F.col("cum_before"), F.lit(budget)).cast("long")
                     .alias("offset_in_bin")))
+
+
+def sample_stratified(docs: DataFrame, strata: str = "lang",
+                      rate_pm: int = 250) -> DataFrame:
+    """Deterministic stratified sampling: keep ~rate_pm per-mille of each
+    stratum, membership decided by the doc's md5 per-mille bucket (the
+    split_assign arithmetic) — a pure function of doc_id: map-only, no
+    shuffle, stable across runs/engines/cluster sizes, and composable
+    with split_assign (independent choice of hash salt via the 'smp|'
+    prefix). Returns the kept rows with their stratum + bucket."""
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 8)
+    bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(1000))
+    return (docs.select("doc_id", F.col(strata).alias("stratum"),
+                        bucket.cast("long").alias("sample_pm"))
+            .filter(F.col("sample_pm") < rate_pm)
+            .orderBy("doc_id"))
+
+
+def sample_balanced(docs: DataFrame, strata: str = "lang",
+                    per_stratum: int = 50) -> DataFrame:
+    """Balanced quota sampling: exactly min(N, |stratum|) docs per
+    stratum, chosen by deterministic hash order (md5 of doc_id) — the
+    standard fix for a skewed source/language mix. One window rank per
+    stratum key; strata are the partition keys, so the shuffle is by
+    stratum (salt the stratum if one holds most of the corpus and N is
+    huge — for quota sampling N is small, so per-stratum top-N uses the
+    rank's partial sort)."""
+    h = F.md5(F.concat(F.lit("bal|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (docs.select("doc_id", F.col(strata).alias("stratum"),
+                        h.alias("h"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= per_stratum)
+            .select("doc_id", "stratum", F.col("rk").cast("long").alias("rk"))
+            .orderBy("stratum", "rk"))

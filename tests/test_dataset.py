@@ -90,3 +90,32 @@ def test_pack_sequences_per_shard(docs):
                     budget=16, allow_global=True).collect()}
         got = {r["doc_id"]: (r["bin_id"], r["offset_in_bin"]) for r in rows}
         assert got == solo
+
+
+def test_sample_stratified_is_deterministic_hash_filter(docs):
+    import hashlib
+    from propertygraph_spark.ops.dataset import sample_stratified
+    d = docs.withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    out = {r["doc_id"]: r["sample_pm"]
+           for r in sample_stratified(d, rate_pm=400).collect()}
+    for i in range(200):
+        pm = int(hashlib.md5(f"smp|{i}".encode()).hexdigest()[:8], 16) % 1000
+        assert (i in out) == (pm < 400)
+        if i in out:
+            assert out[i] == pm
+
+
+def test_sample_balanced_quota_per_stratum(docs):
+    from propertygraph_spark.ops.dataset import sample_balanced
+    d = docs.withColumn("lang", (F.col("doc_id") % 4).cast("string"))
+    out = sample_balanced(d, per_stratum=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], []).append(r["rk"])
+    assert set(by) == {"0", "1", "2", "3"}
+    for ranks in by.values():
+        assert sorted(ranks) == list(range(1, 11))
+    # deterministic: same result on a different partitioning
+    again = sample_balanced(d.repartition(7), per_stratum=10).collect()
+    assert sorted((r["doc_id"], r["rk"]) for r in out) == \
+           sorted((r["doc_id"], r["rk"]) for r in again)
