@@ -466,7 +466,8 @@ FROM per GROUP BY event_type ORDER BY event_type
 """
     o["q9_nation_year_revenue"] = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_x10000,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -509,8 +510,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     o["q11_important_parts"] = """
 WITH per_part AS (
   SELECT l_partkey,
-         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
-              AS BIGINT) AS value_cents
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem GROUP BY l_partkey),
 tot AS (SELECT sum(value_cents) AS t FROM per_part)
 SELECT l_partkey, value_cents

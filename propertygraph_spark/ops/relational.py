@@ -397,15 +397,20 @@ def nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # per-ITEM integer scaling (not round(sum, 2)): each item's revenue
+    # double is bit-identical on both engines, so its rounding is too,
+    # and the integer sum is then exact in ANY aggregation order — a
+    # round(sum) would sit one ulp from a boundary when partial-agg
+    # order differs (observed at sf0.001: ...590.075 flipping .07/.08)
+    rev_item = F.round((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))) * 10000).cast("long")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation),
                   supp.s_nationkey == nation.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").alias("o_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"),
+            .agg(F.sum(rev_item).alias("revenue_x10000"),
                  F.count("*").alias("n_items"))
             .orderBy("nation", "o_year"))
 
@@ -474,10 +479,13 @@ def important_part_values(spark: SparkSession, sf_dir: str,
     so the scalar threshold comparison is exact-integer on both engines —
     a floored double share could flip on the last ulp."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # per-item cent rounding BEFORE the sum: identical per-item doubles
+    # round identically on both engines; the integer sum is then exact
+    # in any aggregation order (round-after-sum flips on ulp boundaries)
+    rev_item = F.round((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))) * 100).cast("long")
     per_part = (li.groupBy("l_partkey")
-                .agg(F.round(F.sum(rev) * 100).cast("long")
-                     .alias("value_cents")))
+                .agg(F.sum(rev_item).alias("value_cents")))
     total = per_part.agg(F.sum("value_cents").alias("t")) \
                     .collect()[0]["t"] or 0
     cutoff = total * threshold_ppm // 1_000_000
