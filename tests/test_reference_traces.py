@@ -209,3 +209,46 @@ def test_portfolio_matches_reference_trace():
     assert enter == Counter({("pdg_execution", "3-3", ""): 1,
                              ("pdg_data", "2-2", "request"): 1,
                              ("pdg_data", "2-2", "response"): 1})
+
+
+# --------------------------------------------------- EdgeOperation.java
+# Third rule-derived fixture: `this.` field assignment chains + chained
+# receivers + the args-carry-no-defs rule. Derivation notes:
+# - `this.source` lhs: FieldAccess with This base -> single-entry alias
+#   map {this.source} (getVariableNameAliases, TREAT_NON_LOCAL branch);
+#   DEF stays `this.source` (already this-prefixed, no re-aliasing).
+# - `source.checkPermission(...)`: receiver `source` is undeclared and
+#   lowercase -> statement-level this-aliasing to `this.source` with
+#   aliases {source, this.source}; "checkPermission" matches no
+#   heuristic list -> MAY_DEF -> self-loop + no kill.
+# - ARGUMENTS of a call contribute NO defs (the MethodInvocation def
+#   case processes only the qualifier, ExpressionInfo.java:331-363), so
+#   `sourceJobName.trim()` inside the arg list yields no MAY_DEF of
+#   sourceJobName — initially mis-derived as L3/L4 self-loops; the
+#   reference drops them. Uses DO pass through (param -> L3/L4 edges).
+# - Jenkins/Permission/AbstractProject: uppercase-initial -> never
+#   this-aliased (StatementInfo.java:289); getInstance/getItemByFullName
+#   are NO_DEF (get prefix) -> no DFS from them.
+
+EDGE_CFG = mk("cfg_normal", [(3, 4, ""), (4, 5, ""), (5, 6, "")])
+
+EDGE_DATA = mk("pdg_data", [
+    (2, 3, "sourceJobName"), (2, 4, "targetJobName"),
+    (3, 5, "this.source"), (4, 6, "this.target"),
+    (5, 5, "this.source"), (6, 6, "this.target"),
+])
+
+
+def test_edgeoperation_matches_reference_trace():
+    edges, enter = edge_spans("EdgeOperation.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == EDGE_CFG
+    assert fam(edges, "pdg_data") == EDGE_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") == Counter()
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in EDGE_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "3-3", ""): 1,
+                             ("pdg_data", "2-2", "sourceJobName"): 1,
+                             ("pdg_data", "2-2", "targetJobName"): 1})
