@@ -209,3 +209,23 @@ def test_q13_left_join_preserves_zero_customers(spark):
     p = plan(relational.customer_order_counts(spark, SF))
     assert "LeftOuter" in p
     assert "CartesianProduct" not in p
+
+
+def test_contamination_broadcasts_eval_set(spark, docs):
+    """The eval n-gram side must broadcast (map-side probe at 100 TB);
+    only the doc scan's text column is read."""
+    from propertygraph_spark.ops import text as text_ops
+    p = plan(text_ops.contamination_check(docs))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_fuzzy_vocab_equi_join_on_deletion_keys(spark, docs):
+    """SymSpell candidates come from an equi-join on deletion keys —
+    never a nested-loop cross join of the vocabulary."""
+    from propertygraph_spark.ops import text as text_ops
+    p = plan(text_ops.vocab_fuzzy_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # levenshtein verification happens AFTER the candidate join
+    assert "levenshtein" in p
