@@ -252,3 +252,42 @@ def test_edgeoperation_matches_reference_trace():
     assert enter == Counter({("pdg_execution", "3-3", ""): 1,
                              ("pdg_data", "2-2", "sourceJobName"): 1,
                              ("pdg_data", "2-2", "targetJobName"): 1})
+
+
+# --------------------------------------------------------- MyTest.java
+# Fourth rule-derived fixture (test5 is the only uncommented method):
+# nested bare blocks + variable shadowing. Key rules:
+# - A bare Block statement is ONE statement node (SimpleBlock): the CFG
+#   treats it as a plain statement — the nested statements do NOT
+#   become individual CFG nodes; the block node carries the AGGREGATED
+#   defs/uses of its contents (StatementInfo.java:367-435 union).
+# - The block node therefore both defs x (inner `int x = 2`,
+#   inner-inner `x = 3`) and uses x (three printlns) -> data self-loop.
+# - param x: the Enter->param edge is unconditional (PDG.java:262-266),
+#   but the param's reach DFS stops at `x = 1` (exact DEF, no use
+#   before it) -> no param->statement data edges.
+# - `x = 1` (param scope) reaches the BLOCK's x uses by name matching —
+#   matchName is name/alias-based, scopes are not consulted
+#   (PDG.java:371-377), and the inner DECLARE_AND_DEF would not kill
+#   anyway (only exact DEF kills, PDG.java:417).
+
+MYTEST_CFG = mk("cfg_normal", [(56, 58, ""), (58, "59-67", "")])
+
+MYTEST_DATA = mk("pdg_data", [
+    (58, "59-67", "x"),
+    ("59-67", "59-67", "x"),
+])
+
+
+def test_mytest_matches_reference_trace():
+    edges, enter = edge_spans("MyTest.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == MYTEST_CFG
+    assert fam(edges, "pdg_data") == MYTEST_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") == Counter()
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in MYTEST_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "56-56", ""): 1,
+                             ("pdg_data", "55-55", "x"): 1})
