@@ -135,3 +135,55 @@ def test_unicode_translate_never_crashes_or_hangs(s):
     except LexError:
         return
     assert isinstance(out, str)
+
+
+def test_pii_scrub_fixed_point_and_bounds(spark):
+    """One batched check over adversarial strings: scrubbing is a fixed
+    point (re-scrubbing the scrubbed text changes nothing — placeholders
+    match no pattern), counts are non-negative, and weird unicode never
+    crashes the Catalyst regexes."""
+    import random
+    from propertygraph_spark.ops.text import pii_scrub
+    rng = random.Random(99)
+    pieces = ["a@b.co", "http://x.y/z?a=1", "12345678", "normal words",
+              "é世界", "@@", "...", "a.b@", "https://",
+              "\\", '"', "'", "\n", "\t", "9" * 30, "x@y." ,
+              "mailto:a.b+c@d-e.org extra"]
+    rows = [(i, " ".join(rng.choice(pieces)
+                         for _ in range(rng.randrange(0, 12))))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    first = pii_scrub(docs).collect()
+    assert all(r["n_emails"] >= 0 and r["n_urls"] >= 0
+               and r["n_long_numbers"] >= 0 for r in first)
+    # rebuild docs from scrubbed text via the same transformation chain
+    from propertygraph_spark.ops.text import (PII_EMAIL_RE, PII_NUM_RE,
+                                              PII_URL_RE)
+    import pyspark.sql.functions as F  # noqa: N812
+    scrubbed = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+                PII_URL_RE, "<URL>"),
+            PII_NUM_RE, "<NUM>").alias("text"))
+    second = {r["doc_id"]: r for r in pii_scrub(scrubbed).collect()}
+    for r in first:
+        s = second[r["doc_id"]]
+        assert (s["n_emails"], s["n_urls"], s["n_long_numbers"]) == (0, 0, 0)
+        assert s["scrubbed_md5"] == r["scrubbed_md5"]
+
+
+def test_repetition_and_quality_bounds_on_random_text(spark):
+    import random
+    from propertygraph_spark.ops.text import repetition_ratio
+    rng = random.Random(7)
+    rows = [(i, " ".join(rng.choice(["a", "b", "lorem", "x1", ""])
+                         for _ in range(rng.randrange(0, 20))))
+            for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_ratio(docs).collect()
+    assert len(out) == 150
+    for r in out:
+        assert 0 <= r["repetition_pm"] <= 1000
+        assert r["max_repeat"] <= r["n_ngrams"]
