@@ -482,3 +482,15 @@ def test_vocab_fuzzy_pairs_symspell_complete(spark):
             for x, y in itertools.combinations(sorted(set(vocab)), 2)
             if lev(x, y) <= 1}
     assert got == want
+
+
+def test_embedding_near_dupes_finds_identical_vectors(emb):
+    """Identical/near-identical vectors pair up above the threshold;
+    orthogonal vectors never do."""
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos_pm"]
+             for r in similarity.embedding_near_dupes(
+                 emb, threshold_pm=900_000).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 900_000
+    assert all(a < b for a, b in pairs)       # canonical ordering
+    assert (0, 2) not in pairs                # orthogonal
+    assert (0, 3) not in pairs                # opposite
