@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fuzzy_vocab"] = lambda s, d: text.vocab_fuzzy_pairs(
         _docs_with_typos(s, d))
+    q["text_winnow"] = lambda s, d: text.winnow_fingerprint(_docs(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -728,6 +729,29 @@ v AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
 SELECT a.t AS token_a, b.t AS token_b, a.c AS count_a, b.c AS count_b
 FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
 ORDER BY token_a, token_b
+"""
+    o["text_winnow"] = f"""
+WITH t AS (SELECT doc_id,
+    list_transform(
+      list_transform(
+        generate_series(1, greatest(len({_sql_tokens()}) - 2, 0)),
+        i -> concat_ws(' ', {_sql_tokens()}[i], {_sql_tokens()}[i+1],
+                       {_sql_tokens()}[i+2])),
+      s -> md5(s)) AS hs
+  FROM documents),
+b AS (SELECT doc_id, len(hs) AS n,
+        CASE WHEN len(hs) >= 4 THEN
+               list_transform(generate_series(1, len(hs) - 3),
+                              i -> list_min(hs[i:i+3]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS mins
+      FROM t),
+s AS (SELECT doc_id, n, list_sort(list_distinct(mins)) AS sel FROM b)
+SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_fingerprints,
+       CASE WHEN len(sel) > 0
+            THEN md5(array_to_string(sel, '|')) END AS fingerprint_md5,
+       CAST(n AS BIGINT) AS n_ngrams
+FROM s
 """
     o["text_fingerprint"] = f"""
 WITH t AS (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents),

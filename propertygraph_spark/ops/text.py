@@ -274,3 +274,31 @@ def vocab_fuzzy_pairs(docs: DataFrame, min_count: int = 3,
             .distinct()
             .filter(F.levenshtein("token_a", "token_b") <= 1)
             .orderBy("token_a", "token_b"))
+
+
+def winnow_fingerprint(docs: DataFrame, k: int = 3,
+                       w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5 each
+    token k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's MINIMUM — the classic rolling-hash document fingerprint
+    whose selected set is position-robust (any two docs sharing a long
+    enough substring share a fingerprint). Returns the per-doc distinct
+    fingerprint set size and the md5 digest of the sorted set (compact
+    equality handle). Pure Catalyst array ops — map-only at any scale."""
+    sh_hash = F.transform(_shingle_arr(k), F.md5)
+    d = docs.select("doc_id", sh_hash.alias("hs"))
+    n = F.size("hs")
+    win_idx = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)) \
+               .otherwise(F.when(n > 0, F.array(F.lit(1)))
+                          .otherwise(F.array().cast("array<int>")))
+    # per window: min of the w hashes (short docs: one window of all)
+    mins = F.transform(
+        win_idx,
+        lambda i: F.array_min(F.slice("hs", i, F.least(F.lit(w), n))))
+    sel = F.array_sort(F.array_distinct(mins))
+    return d.select(
+        "doc_id",
+        F.size(sel).cast("long").alias("n_fingerprints"),
+        F.when(F.size(sel) > 0, F.md5(F.array_join(sel, "|")))
+        .alias("fingerprint_md5"),
+        n.cast("long").alias("n_ngrams"))

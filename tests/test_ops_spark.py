@@ -494,3 +494,44 @@ def test_embedding_near_dupes_finds_identical_vectors(emb):
     assert all(a < b for a, b in pairs)       # canonical ordering
     assert (0, 2) not in pairs                # orthogonal
     assert (0, 3) not in pairs                # opposite
+
+
+def test_winnow_fingerprint_matches_reference_python(spark):
+    """Winnowing mins recomputed in plain Python (hash k-grams, window
+    minima, distinct+sort) must match the Catalyst formulation; docs
+    sharing a long substring share fingerprints."""
+    import hashlib
+    rows = [(1, "a b c d e f g h i j"),
+            (2, "z z a b c d e f g h i j"),   # shares a long substring
+            (3, "q r"),                        # < k tokens: no ngrams
+            (4, "m n o p")]                    # n < w: single window
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.winnow_fingerprint(docs, k=3, w=4).collect()}
+
+    def ref(txt, k=3, w=4):
+        toks = txt.split()
+        hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+              for i in range(len(toks) - k + 1)]
+        if not hs:
+            return [], 0
+        if len(hs) < w:
+            mins = [min(hs)]
+        else:
+            mins = [min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+        return sorted(set(mins)), len(hs)
+
+    for d, txt in rows:
+        sel, n = ref(txt)
+        assert out[d]["n_ngrams"] == n
+        assert out[d]["n_fingerprints"] == len(sel)
+        if sel:
+            want = hashlib.md5("|".join(sel).encode()).hexdigest()
+            assert out[d]["fingerprint_md5"] == want
+        else:
+            assert out[d]["fingerprint_md5"] is None
+    # shared-substring guarantee: doc1 and doc2 share >= w+k-1 tokens ->
+    # at least one common selected fingerprint
+    s1, _ = ref(rows[0][1])
+    s2, _ = ref(rows[1][1])
+    assert set(s1) & set(s2)
