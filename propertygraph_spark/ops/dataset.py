@@ -91,19 +91,29 @@ def sample_stratified(docs: DataFrame, strata: str = "lang",
 
 
 def sample_balanced(docs: DataFrame, strata: str = "lang",
-                    per_stratum: int = 50) -> DataFrame:
+                    per_stratum: int = 50,
+                    pre_partitions: int = 64) -> DataFrame:
     """Balanced quota sampling: exactly min(N, |stratum|) docs per
     stratum, chosen by deterministic hash order (md5 of doc_id) — the
-    standard fix for a skewed source/language mix. One window rank per
-    stratum key; strata are the partition keys, so the shuffle is by
-    stratum (salt the stratum if one holds most of the corpus and N is
-    huge — for quota sampling N is small, so per-stratum top-N uses the
-    rank's partial sort)."""
+    standard fix for a skewed source/language mix.
+
+    TWO-PHASE top-N so a mega-stratum never funnels through one task
+    (a single Window.partitionBy(stratum) would put a 10^11-doc stratum
+    in ONE sort): phase 1 ranks within (stratum, hash-sub-partition) and
+    keeps N per sub-partition — every sub-group is a bounded share of
+    the stratum; phase 2 ranks the surviving pre_partitions x N rows per
+    stratum (tiny). Winners are identical: the global top-N by (h,
+    doc_id) are each top-N within their own sub-partition."""
     h = F.md5(F.concat(F.lit("bal|"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
-    return (docs.select("doc_id", F.col(strata).alias("stratum"),
+    keyed = docs.select("doc_id", F.col(strata).alias("stratum"),
                         h.alias("h"))
-            .withColumn("rk", F.row_number().over(w))
+    sub = F.pmod(F.xxhash64("doc_id"), F.lit(pre_partitions))
+    w1 = Window.partitionBy("stratum", "sub").orderBy("h", "doc_id")
+    pre = (keyed.withColumn("sub", sub)
+           .withColumn("prk", F.row_number().over(w1))
+           .filter(F.col("prk") <= per_stratum))
+    w2 = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (pre.withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= per_stratum)
             .select("doc_id", "stratum", F.col("rk").cast("long").alias("rk"))
             .orderBy("stratum", "rk"))

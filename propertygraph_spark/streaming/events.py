@@ -196,11 +196,25 @@ def streaming_contamination(docs_stream: DataFrame,
     """Stream-static broadcast probe: incoming docs checked against a
     STATIC eval-set n-gram dictionary (stream-static joins need no
     state; the eval side broadcasts). The streaming twin of
-    ops.text.contamination_check."""
+    ops.text.contamination_check.
+
+    STATELESS by design: the per-doc overlap count is computed INSIDE
+    the row (size of the intersection between the doc's distinct
+    k-grams and the broadcast eval set — an array_intersect against a
+    literal-free broadcast join would need a doc_id-keyed streaming
+    aggregation whose state grows with every doc ever seen; counting
+    within the row keeps the query append-mode and state-free at
+    10^12 docs). Emits only contaminated docs. The eval set rides in a
+    single broadcast array row — fine for benchmark suites (10^5-10^6
+    n-grams); for larger dictionaries use the batch join
+    (ops.text.contamination_check) or shard the eval set."""
     from propertygraph_spark.ops.text import _shingle_arr
     sh = F.explode(F.array_distinct(_shingle_arr(k))).alias("shingle")
-    eval_sh = eval_docs.select(sh).distinct()
-    return (docs_stream.select("doc_id", sh)
-            .join(F.broadcast(eval_sh), "shingle")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_contaminated_ngrams")))
+    eval_sh = eval_docs.select(sh).distinct() \
+        .groupBy().agg(F.collect_set("shingle").alias("eval_set"))
+    n_hit = F.size(F.array_intersect(
+        F.array_distinct(_shingle_arr(k)), F.col("eval_set")))
+    return (docs_stream.crossJoin(F.broadcast(eval_sh))
+            .select("doc_id",
+                    n_hit.cast("long").alias("n_contaminated_ngrams"))
+            .filter(F.col("n_contaminated_ngrams") > 0))

@@ -14,6 +14,7 @@ import io
 import pytest
 
 from propertygraph_spark.ops import dedup, relational, text
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
 
@@ -229,3 +230,18 @@ def test_fuzzy_vocab_equi_join_on_deletion_keys(spark, docs):
     assert "BroadcastNestedLoopJoin" not in p
     # levenshtein verification happens AFTER the candidate join
     assert "levenshtein" in p
+
+
+def test_sample_balanced_two_phase_windows(spark, docs):
+    """Quota sampling must rank in (stratum, sub-partition) FIRST — a
+    single stratum-keyed window would funnel a mega-stratum through one
+    task. Both exchanges must appear, sub-keyed before stratum-keyed."""
+    from propertygraph_spark.ops.dataset import sample_balanced
+    d = docs.withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    p = plan(sample_balanced(d, per_stratum=5))
+    import re
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    two_key = [s for s in keys if "stratum" in s and "sub" in s]
+    one_key = [s for s in keys if "stratum" in s and "sub" not in s]
+    assert two_key, p  # phase-1 sub-partitioned exchange present
+    assert one_key, p  # phase-2 per-stratum exchange present

@@ -310,12 +310,13 @@ def test_streaming_contamination_stream_static_join(spark, tmp_path):
         [(100, shared + " zeta")], "doc_id long, text string")
     stream = (spark.readStream.schema("doc_id long, text string")
               .parquet(src + "/*"))
+    # stateless append mode — no per-doc streaming aggregation state
     q = run_to_memory(streaming_contamination(stream, eval_docs),
-                      "contam", output_mode="complete")
+                      "contam", output_mode="append")
     try:
         got = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
                spark.sql("select * from contam").collect()}
     finally:
         q.stop()
     assert got.get(1, 0) >= 1
-    assert 2 not in got
+    assert 2 not in got  # clean docs are not emitted at all
