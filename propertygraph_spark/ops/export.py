@@ -60,10 +60,15 @@ def export_training_set(docs: DataFrame, out_dir: str,
     packed = pack_sequences(sharded, budget=budget, shard_by=["split"])
 
     # 5. final table: text + packing layout, partitioned by split
+    # cluster by (split, hash-sub): every task writes into exactly one
+    # split dir (no tasks x dirs small-file explosion) while each split
+    # still writes in parallel — repartition("split") alone would push
+    # a whole split through ONE task at corpus scale
     out = (packed.join(sharded.select("doc_id", "text"), "doc_id")
            .select("doc_id", "split", "n_tokens", "bin_id",
                    "offset_in_bin", "text")
-           .repartition("split"))
+           .repartition(F.col("split"),
+                        F.pmod(F.xxhash64("doc_id"), F.lit(32))))
     data_dir = os.path.join(out_dir, "data")
     fp = fingerprint("export", n_input, min_quality, budget)
     write_stage(out, data_dir, fp, partition_by=["split"])
