@@ -291,3 +291,52 @@ def test_mytest_matches_reference_trace():
     assert fam(edges, "pdg_execution") == want_exec
     assert enter == Counter({("pdg_execution", "56-56", ""): 1,
                              ("pdg_data", "55-55", "x"): 1})
+
+
+# --------------------------------- BaseDataStreamMarshallerOld.java
+# Sixth rule-derived fixture: try/catch with returns + heuristics over
+# static receivers. Derivation notes:
+# - Try body chains L5->L6->L7 (return = exit); catch builds standalone
+#   (L8 cond -true-> L9) with NO edge from the body (CFG.java:414-447);
+#   execution mirrors ALL CFG edges including the catch's.
+# - Class.forName: receiver `Class` is a SimpleName variable shape;
+#   "forName" matches no heuristic list -> MAY_DEF Class -> self-loop
+#   at L5 (L5 also USEs Class via the VDF rhs promotion). Uppercase ->
+#   never this-aliased.
+# - clazz.getConstructor -> NO_DEF clazz (get prefix): excluded from
+#   the >=MAY_DEF def set, so it neither spawns a DFS nor kills the
+#   L5 clazz def -> L5->L6 (clazz) only.
+# - constructor.newInstance as the RETURN expression (not an arg) ->
+#   MAY_DEF constructor -> L7 self-loop; param `message` used inside
+#   the arg array -> uses pass through args -> param->L7 edge.
+# - NOTHING flows into the catch: L9 uses className/message but the
+#   catch is CFG-unreachable from enter, and the leftover pass
+#   (PDG.java:285-292) re-runs dependence only FROM unreachable nodes'
+#   own defs (here: `e`, which L9 never uses) -> zero data edges into
+#   or out of the catch body.
+
+BDSM_CFG = (mk("cfg_normal", [(5, 6, ""), (6, 7, "")])
+            + mk("cfg_true", [(8, 9, "")]))
+
+BDSM_DATA = mk("pdg_data", [
+    (5, 5, "Class"), (5, 6, "clazz"),
+    (6, 7, "constructor"), (7, 7, "constructor"),
+])
+
+BDSM_PARAM_DATA = mk("pdg_data", [(3, 5, "className"), (3, 7, "message")])
+
+
+def test_marshaller_old_matches_reference_trace():
+    edges, enter = edge_spans("BaseDataStreamMarshallerOld.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == BDSM_CFG
+    assert fam(edges, "pdg_data") == BDSM_DATA + BDSM_PARAM_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") \
+        == mk("pdg_control_true", [(8, 9, "")])
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in BDSM_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "5-5", ""): 1,
+                             ("pdg_data", "3-3", "className"): 1,
+                             ("pdg_data", "3-3", "message"): 1})
