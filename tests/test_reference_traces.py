@@ -340,3 +340,161 @@ def test_marshaller_old_matches_reference_trace():
     assert enter == Counter({("pdg_execution", "5-5", ""): 1,
                              ("pdg_data", "3-3", "className"): 1,
                              ("pdg_data", "3-3", "message"): 1})
+
+
+# ------------------------------------------- FilenameGuardFilterNew.java
+# Seventh rule-derived fixture: the New guard variant adds a 4-call
+# chained reassignment. Derivation notes:
+# - L4 `guarded = FileSystems.getDefault().getPath(guarded).normalize()
+#   .toString()`: Assignment -> exact DEF guarded (kills). RHS def chain
+#   (ExpressionInfo.java:331-363): toString (exact NO_DEF list) has a
+#   non-variable qualifier -> forwards defs unpromoted; normalize (no
+#   heuristic match -> MAY_DEF) PROMOTES its qualifier's defs to MAY_DEF;
+#   getPath/getDefault (get prefix, NO_DEF) forward; base FileSystems is
+#   a variable -> VarDef(FileSystems, NO_DEF) -> promoted once through
+#   normalize => L4 MAY_DEFs FileSystems (uppercase, never this-aliased).
+# - L4 defs iterate name-ordered: FileSystems < guarded, so the
+#   (L4,L4) self-loop goes to FileSystems; guarded's self-loop (L4 both
+#   defs and uses guarded via the getPath argument) is TreeSet-REJECTED
+#   (PDGEdge compareTo ignores the variable).
+# - L3's guarded def is killed by L4's exact DEF -> no (3,6)/(3,8)
+#   guarded edges; filename's MAY_DEF at L3 doesn't kill the param def.
+
+GUARDNEW_CFG = (mk("cfg_normal", [(3, 4, ""), (4, 5, ""), (6, 8, "")])
+                + mk("cfg_true", [(5, 6, "")])
+                + mk("cfg_false", [(5, 8, "")]))
+
+GUARDNEW_DATA = mk("pdg_data", [
+    (2, 3, "filename"), (2, 6, "filename"),
+    (3, 3, "filename"), (3, 6, "filename"), (3, 4, "guarded"),
+    (4, 4, "FileSystems"), (4, 6, "guarded"), (4, 8, "guarded"),
+    (5, 5, "LOG"), (5, 6, "LOG"),
+])
+
+
+def test_guard_new_matches_reference_trace():
+    edges, enter = edge_spans("FilenameGuardFilterNew.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == GUARDNEW_CFG
+    assert fam(edges, "pdg_data") == GUARDNEW_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") \
+        == mk("pdg_control_true", [(5, 6, "")])
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in GUARDNEW_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "3-3", ""): 1,
+                             ("pdg_data", "2-2", "filename"): 1})
+
+
+# --------------------------------- BaseDataStreamMarshallerNew.java
+# Eighth rule-derived fixture: the New marshaller variant adds a second
+# statement in the try body and a SECOND catch clause. Derivation notes:
+# - Multi-catch: each catch CFG is built standalone
+#   (CFG.java:436-447); with no finally, the pseudo finally node is
+#   removed -> NO edges between body and catches, and none BETWEEN the
+#   two catches. Execution mirrors all CFG edges.
+# - L6 `OpenWireUtil.validateIsThrowable(clazz)`: "validateIsThrowable"
+#   matches no heuristic -> MAY_DEF OpenWireUtil (uppercase, never
+#   this-aliased) -> L6 self-loop; clazz is an ARGUMENT -> no def,
+#   uses pass through -> (5,6)/(5,7) clazz from the L5 decl.
+# - forName's extra args (false, BaseDataStreamMarshaller.class
+#   .getClassLoader()) contribute NO defs (args aren't the qualifier)
+#   and no def of those names exists -> no new edges vs the Old trace.
+# - Catch 1 defs e (cond node) and L10 `return e` USES it: the leftover
+#   pass re-runs dependence from unreachable nodes' own defs
+#   (PDG.java:285-292) -> (9,10,e). Catch 2's e is never used (L12 uses
+#   className/message, both defined only at reachable nodes) -> nothing
+#   flows into L12.
+
+BDSMNEW_CFG = (mk("cfg_normal", [(5, 6, ""), (6, 7, ""), (7, 8, "")])
+               + mk("cfg_true", [(9, 10, ""), (11, 12, "")]))
+
+BDSMNEW_DATA = mk("pdg_data", [
+    (3, 5, "className"), (3, 8, "message"),
+    (5, 5, "Class"), (5, 6, "clazz"), (5, 7, "clazz"),
+    (6, 6, "OpenWireUtil"),
+    (7, 8, "constructor"), (8, 8, "constructor"),
+    (9, 10, "e"),
+])
+
+
+def test_marshaller_new_matches_reference_trace():
+    edges, enter = edge_spans("BaseDataStreamMarshallerNew.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == BDSMNEW_CFG
+    assert fam(edges, "pdg_data") == BDSMNEW_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") \
+        == mk("pdg_control_true", [(9, 10, ""), (11, 12, "")])
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in BDSMNEW_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "5-5", ""): 1,
+                             ("pdg_data", "3-3", "className"): 1,
+                             ("pdg_data", "3-3", "message"): 1})
+
+
+# --------------------------------------------- BaseDataMarshaller.java
+# Ninth rule-derived fixture: nested if/else where EVERY branch returns
+# (no join edges), a 2-line method signature (param nodes on different
+# lines), and a set-prefix exact-DEF kill mid-branch. Derivation notes:
+# - Params: wireFormat/dataIn sit on signature line 2, bs on line 3 —
+#   param nodes span their own declaration line.
+# - L8 `wireFormat.setInUnmarshallCache(index, object)`: set prefix ->
+#   exact DEF wireFormat -> KILLS the param's and L4's/L7's wireFormat
+#   defs on the then-then path (but L9 doesn't use wireFormat, so the
+#   kill's only visible effect is the edge DFS stopping).
+# - L7 defs iterate name-ordered: object < wireFormat, so (7,8) goes to
+#   object and the wireFormat edge into L8 is TreeSet-REJECTED;
+#   wireFormat keeps only its L7 self-loop.
+# - readShort/readBoolean/tightUnmarshalNestedObject match no heuristic
+#   -> MAY_DEF receivers (self-loops at 4,5,6,11,15);
+#   getFromUnmarshallCache (get prefix) -> NO_DEF -> L12 has no defs.
+# - Control: branch blocks' top-level statements get true/false edges
+#   from their owner condition; the nested if contributes its condition
+#   node only ((4,5) true), then fans out itself.
+
+BDM_CFG = (mk("cfg_normal", [(6, 7, ""), (7, 8, ""), (8, 9, ""),
+                             (11, 12, "")])
+           + mk("cfg_true", [(4, 5, ""), (5, 6, "")])
+           + mk("cfg_false", [(4, 15, ""), (5, 11, "")]))
+
+BDM_DATA = mk("pdg_data", [
+    # params (wireFormat L2, dataIn L2, bs L3)
+    (2, 4, "wireFormat"), (2, 7, "wireFormat"), (2, 8, "wireFormat"),
+    (2, 12, "wireFormat"), (2, 15, "wireFormat"),
+    (2, 6, "dataIn"), (2, 7, "dataIn"), (2, 11, "dataIn"),
+    (2, 15, "dataIn"),
+    (3, 5, "bs"), (3, 7, "bs"), (3, 15, "bs"),
+    # body
+    (4, 4, "wireFormat"), (4, 7, "wireFormat"), (4, 8, "wireFormat"),
+    (4, 12, "wireFormat"), (4, 15, "wireFormat"),
+    (5, 5, "bs"), (5, 7, "bs"),
+    (6, 6, "dataIn"), (6, 7, "dataIn"), (6, 8, "index"),
+    (7, 7, "wireFormat"), (7, 8, "object"), (7, 9, "object"),
+    (8, 8, "wireFormat"),
+    (11, 11, "dataIn"), (11, 12, "index"),
+    (15, 15, "wireFormat"),
+])
+
+BDM_CTRL = (mk("pdg_control_true", [(4, 5, ""), (5, 6, ""), (5, 7, ""),
+                                    (5, 8, ""), (5, 9, "")])
+            + mk("pdg_control_false", [(4, 15, ""), (5, 11, ""),
+                                       (5, 12, "")]))
+
+
+def test_base_marshaller_matches_reference_trace():
+    edges, enter = edge_spans("BaseDataMarshaller.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == BDM_CFG
+    assert fam(edges, "pdg_data") == BDM_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") == BDM_CTRL
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in BDM_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "4-4", ""): 1,
+                             ("pdg_data", "2-2", "wireFormat"): 1,
+                             ("pdg_data", "2-2", "dataIn"): 1,
+                             ("pdg_data", "3-3", "bs"): 1})
