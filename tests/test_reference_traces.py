@@ -498,3 +498,133 @@ def test_base_marshaller_matches_reference_trace():
                              ("pdg_data", "2-2", "wireFormat"): 1,
                              ("pdg_data", "2-2", "dataIn"): 1,
                              ("pdg_data", "3-3", "bs"): 1})
+
+
+# --------------------------------------------- ActiveMQMapMessage.java
+# Tenth rule-derived fixture: ternary, lambda exclusion, and a local
+# shadowing a field. Derivation notes:
+# - L20 `final Map<String,Object> map = content != null ?
+#   deserialize(content) : null`: the local DECLAREs map, so later uses
+#   never this-alias despite the same-named FIELD (L14) — fields are
+#   only reached via the undeclared-lowercase fallback
+#   (StatementInfo.java:286-298). Trinomial forwards subexpression defs
+#   (default case); deserialize/storeContent/getContent have NO
+#   qualifier -> the MethodInvocation def case requires one -> no defs.
+# - L24 `if (map != null && !map.isEmpty())` is ONE condition node;
+#   isEmpty is exact NO_DEF -> the condition has no >=MAY_DEF defs.
+# - L25 `map.replaceAll((k, v) -> ...)`: "replaceAll" matches no
+#   heuristic (replace/replaceAll not in the lists; `remove` prefix
+#   doesn't match) -> MAY_DEF map -> self-loop; the LAMBDA argument is
+#   excluded wholesale (P3): k/v/UTF8Buffer contribute nothing.
+# - Param asType is never used -> Enter->param only, no param edges.
+# - Field initializers (L12, L14) are not methods -> no nodes at all.
+
+AMQMM_CFG = (mk("cfg_normal", [(18, 19, ""), (19, 20, ""), (20, 24, ""),
+                               (25, 26, "")])
+             + mk("cfg_true", [(24, 25, "")])
+             + mk("cfg_false", [(24, 28, "")]))
+
+AMQMM_DATA = mk("pdg_data", [
+    (19, 20, "content"),
+    (20, 24, "map"), (20, 25, "map"), (20, 26, "map"),
+    (25, 25, "map"), (25, 26, "map"),
+])
+
+AMQMM_CTRL = (mk("pdg_control_true", [(24, 25, ""), (24, 26, "")])
+              + mk("pdg_control_false", [(24, 28, "")]))
+
+
+def test_activemq_matches_reference_trace():
+    edges, enter = edge_spans("ActiveMQMapMessage.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == AMQMM_CFG
+    assert fam(edges, "pdg_data") == AMQMM_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") == AMQMM_CTRL
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in AMQMM_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "18-18", ""): 1,
+                             ("pdg_data", "17-17", "asType"): 1})
+
+
+# --------------------------------------------- AmqpAdvisoryTest.java
+# Eleventh rule-derived fixture — completes 11/11 reference-traced
+# goldens. Three straight-line methods; the value is in def/use:
+# - INHERITED/class fields this-alias: connection1/connection2 are class
+#   fields and advisorySupport is inherited — all lowercase and not in
+#   any local scope -> statement-level aliasing renames defs/uses to
+#   this.X with aliases {X, this.X} (StatementInfo.java:286-298), so
+#   edge labels are this.connection1/this.connection2.
+# - setUp: `advisorySupport = true` defs this.advisorySupport, nothing
+#   uses it, `super.setUp()` is a SuperMethodInvocation (default def
+#   case, no qualifier) -> zero data edges in the whole method.
+# - No-qualifier calls (createAmqpConnection, assertNotNull,
+#   assertEquals) emit NO defs even from their arguments (the
+#   MethodInvocation def case requires a qualifier), so
+#   `assertEquals(.., connectMessage.getStringProperty(..))` only USES
+#   connectMessage.
+# - start/close/receive/create* match no heuristic -> MAY_DEF receivers
+#   (the create* family: "contains" is a prefix but doesn't match) ->
+#   receiver self-loops everywhere.
+# - L74 `connection.setExceptionListener(Throwable::printStackTrace)`:
+#   set prefix -> exact DEF connection -> kills L73's connection def
+#   (so no 73->75/73->76 edges); the method-reference argument
+#   contributes nothing (no def case for ExpressionMethodReference).
+# - Name-ordered defs + TreeSet dedup: at L49 advisoryTopic < session1
+#   takes (49,50); session1's edge is rejected and it keeps the
+#   self-loop; same pattern at L56 (queue beats session2 for (56,57)).
+
+AMQP_CFG = mk("cfg_normal", [
+    (40, 41, ""),
+    (46, 47, ""), (47, 48, ""), (48, 49, ""), (49, 50, ""), (50, 53, ""),
+    (53, 54, ""), (54, 55, ""), (55, 56, ""), (56, 57, ""), (57, 59, ""),
+    (59, 60, ""), (60, 61, ""), (61, 63, ""), (63, 65, ""), (65, 66, ""),
+    (66, 67, ""), (67, 68, ""),
+    (72, 73, ""), (73, 74, ""), (74, 75, ""), (75, 76, ""),
+])
+
+AMQP_DATA = mk("pdg_data", [
+    (46, 47, "this.connection1"), (46, 48, "this.connection1"),
+    (46, 68, "this.connection1"),
+    (47, 47, "this.connection1"), (47, 48, "this.connection1"),
+    (47, 68, "this.connection1"),
+    (48, 48, "this.connection1"), (48, 68, "this.connection1"),
+    (48, 49, "session1"), (48, 50, "session1"),
+    (49, 49, "session1"), (49, 50, "advisoryTopic"),
+    (50, 50, "session1"),
+    (50, 59, "advisoryTopicConsumer"), (50, 65, "advisoryTopicConsumer"),
+    (53, 54, "this.connection2"), (53, 55, "this.connection2"),
+    (53, 63, "this.connection2"),
+    (54, 54, "this.connection2"), (54, 55, "this.connection2"),
+    (54, 63, "this.connection2"),
+    (55, 55, "this.connection2"), (55, 63, "this.connection2"),
+    (55, 56, "session2"), (55, 57, "session2"),
+    (56, 56, "session2"), (56, 57, "queue"),
+    (57, 57, "session2"),
+    (59, 59, "advisoryTopicConsumer"), (59, 65, "advisoryTopicConsumer"),
+    (59, 60, "connectMessage"), (59, 61, "connectMessage"),
+    (63, 63, "this.connection2"),
+    (65, 65, "advisoryTopicConsumer"),
+    (65, 66, "removeMessage"), (65, 67, "removeMessage"),
+    (68, 68, "this.connection1"),
+    (72, 73, "factory"), (73, 73, "factory"),
+    (73, 74, "connection"),
+    (74, 74, "connection"), (74, 75, "connection"), (74, 76, "connection"),
+    (75, 75, "connection"), (75, 76, "connection"),
+])
+
+
+def test_amqp_matches_reference_trace():
+    edges, enter = edge_spans("AmqpAdvisoryTest.java")
+    assert fam(edges, "cfg_normal") + fam(edges, "cfg_true") \
+        + fam(edges, "cfg_false") == AMQP_CFG
+    assert fam(edges, "pdg_data") == AMQP_DATA
+    assert fam(edges, "pdg_control_true") \
+        + fam(edges, "pdg_control_false") == Counter()
+    want_exec = Counter({("pdg_execution", s, o, ""): n
+                         for (_p, s, o, _l), n in AMQP_CFG.items()})
+    assert fam(edges, "pdg_execution") == want_exec
+    assert enter == Counter({("pdg_execution", "40-40", ""): 1,
+                             ("pdg_execution", "46-46", ""): 1,
+                             ("pdg_execution", "72-72", ""): 1})
