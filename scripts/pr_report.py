@@ -104,11 +104,11 @@ def compute(write_md: bool = True) -> dict:
             "from the kernel itself, so this gate measures",
             "REGRESSION-vs-frozen-self — it is not independent evidence of",
             "reference parity. Parity is established separately:",
-            "PARITY.md hand-traces FilenameGuardFilterOld, SqlInjection and",
-            "PortfolioPublishServlet edge-by-edge against reference",
-            "file:line, and tests/test_reference_traces.py freezes the",
-            "latter two fixtures' FULL edge sets as constants derived from",
-            "the rule trace (not exported from the kernel). Regenerate",
+            "PARITY.md hand-traces ALL 11 fixtures edge-by-edge against",
+            "reference file:line, and tests/test_reference_traces.py",
+            "freezes every fixture's FULL CFG/PDG edge set as constants",
+            "derived from the rule trace (not exported from the kernel),",
+            "so the only self-frozen family left is ast_child. Regenerate",
             "goldens with `python scripts/pr_report.py --freeze`;",
             "`tests/test_pr_report.py` gates every run at >= 0.95.",
             "",
