@@ -167,6 +167,7 @@ def main() -> None:
                                 docs_fingerprint=f"bench-{sf}")
     results["pipeline_full"] = round(time.monotonic() - t0, 3)
     extras["pipeline_triples"] = pipe_metrics["total"]
+    extras["pipeline_stage_times"] = pipe_metrics["stage_times"]
 
     # --- end-to-end training-set export (quality -> dedup keepers ->
     #     split -> pack -> partitioned write), the composition capstone ---

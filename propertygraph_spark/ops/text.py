@@ -117,10 +117,7 @@ def fingerprint(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
     idx = F.when(n >= shingle_k, F.sequence(F.lit(0), n - shingle_k)) \
            .otherwise(F.array().cast("array<int>"))
     shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("toks", (i + j + 1).cast("int"))
-                   for j in range(shingle_k)]))
+        idx, lambda i: F.array_join(F.slice("toks", i + 1, shingle_k), " "))
     return d.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
@@ -140,9 +137,7 @@ def type_token_ratio(docs: DataFrame) -> DataFrame:
     idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)) \
            .otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", F.element_at("toks", (i + 1).cast("int")),
-            F.element_at("toks", (i + 2).cast("int"))))
+        idx, lambda i: F.array_join(F.slice("toks", i + 1, 2), " "))
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
