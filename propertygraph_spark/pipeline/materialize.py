@@ -202,27 +202,38 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
     removed = sorted(b for b in previous if b not in current)
 
     if dirty:
+        from pyspark.sql import Observation
+
         bucketed = with_bucket(docs, n_buckets)
         subset = bucketed.filter(F.col("bucket").isin(dirty)).drop("bucket")
-        union = with_bucket(extract_docs(subset, graphs=graphs), n_buckets) \
-            .localCheckpoint(eager=False)
-        # per-batch metric rows are RUN telemetry, not content — they must
-        # not churn an unrelated bucket dir (their doc_id is synthetic);
-        # append them beside the data instead
-        content = union.filter(F.col("row_kind") != "metric") \
-                       .repartition("row_kind", "bucket")
-        metrics = union.filter(F.col("row_kind") == "metric") \
-                       .select("doc_id", "text")
-        # dynamic overwrite only replaces (row_kind, bucket) partitions
-        # PRESENT in the new data: a row_kind that vanished from a dirty
-        # bucket (e.g. its only malformed doc got fixed -> no error rows)
-        # would otherwise survive as phantom rows. Snapshot the new data's
-        # partition set (one cheap agg over the checkpointed union), write,
-        # and purge phantoms AFTER the write succeeds — deleting first
-        # would destroy the old buckets if the write job fails, leaving a
-        # reader of the output with silently missing partitions.
-        new_parts = {(r["row_kind"], int(r["bucket"])) for r in
-                     content.select("row_kind", "bucket").distinct().collect()}
+        union = with_bucket(extract_docs(subset, graphs=graphs), n_buckets)
+        # Two driver-side facts must come out of the kernel pass without
+        # running it twice: (a) the exact (row_kind, bucket) partition
+        # set PRESENT in the new data — dynamic overwrite only replaces
+        # partitions it sees, so a row_kind that vanished from a dirty
+        # bucket (its only malformed doc got fixed -> no error rows)
+        # would survive as phantom rows unless purged against this set;
+        # (b) the per-batch metric rows, which are RUN telemetry, not
+        # content — they must not churn an unrelated bucket dir (their
+        # doc_id is synthetic) and are appended beside the data instead.
+        # An Observation computes both DURING the write job (collect_set/
+        # collect_list skip the when()-nulls), so the kernel streams
+        # straight into the shuffle — no localCheckpoint materializing
+        # millions of rows, no second job. Phantoms are purged only
+        # AFTER the write succeeds — deleting first would destroy the
+        # old buckets if the write job fails, leaving a reader of the
+        # output with silently missing partitions.
+        obs = Observation("extract_parts")
+        observed = union.observe(
+            obs,
+            F.collect_set(F.when(F.col("row_kind") != "metric",
+                                 F.struct("row_kind", "bucket")))
+            .alias("parts"),
+            F.collect_list(F.when(F.col("row_kind") == "metric",
+                                  F.struct("doc_id", "text")))
+            .alias("metrics"))
+        content = observed.filter(F.col("row_kind") != "metric") \
+                          .repartition("row_kind", "bucket")
         with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -232,6 +243,11 @@ def extract_incremental(spark: SparkSession, docs: DataFrame, path: str,
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            with_mode)
+        got = obs.get
+        new_parts = {(r["row_kind"], int(r["bucket"])) for r in got["parts"]}
+        metrics = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in got["metrics"]],
+            "doc_id string, text string")
         import shutil
         for kind_dir in os.listdir(path):
             if not kind_dir.startswith("row_kind="):
@@ -348,8 +364,18 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     t0 = time.time()
     nodes_out = write_stage(nodes, os.path.join(out_dir, "nodes"), fp4,
                             partition_by=["bucket"], spark=spark)
+    # cluster the deduped edges by (bucket, doc-hash sub) before the
+    # partitioned write: the dropDuplicates shuffle redistributes rows by
+    # full-key hash, so every write task would otherwise hold every
+    # bucket — tasks x dirs small files (measured 1024 files for 32
+    # buckets at sf0.1). The sub-split keeps a mega-bucket spread across
+    # tasks instead of funneling it through one (same pattern as
+    # ops/export.py's (split, hash-sub) clustering).
+    deduped = triples.dropDuplicates(
+        ["doc_id", "method_id", "subj", "pred", "obj", "label"]) \
+        .repartition(F.col("bucket"), F.pmod(F.xxhash64("doc_id"), F.lit(4)))
     edges_out = write_stage(
-        triples.dropDuplicates(["doc_id", "method_id", "subj", "pred", "obj", "label"]),
+        deduped,
         os.path.join(out_dir, "edges"), fp4, partition_by=["bucket"], spark=spark)
     stage_times["materialize"] = round(time.time() - t0, 3)
 
