@@ -50,16 +50,9 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct — token k-grams via posexplode of an
     index sequence (generate_series twin in DuckDB)."""
-    toks = tokens_col()
-    d = docs.select("doc_id", toks.alias("toks"))
-    n = F.size("toks")
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
-           .otherwise(F.array().cast("array<int>"))
-    # HOF lambdas are interpreted (never codegen'd): ONE slice + ONE
-    # array_join per position, not k element_at calls (~2x measured on
-    # the shingle-heavy ops; identical output — join of the same tokens)
-    sh = F.transform(idx, lambda i: F.array_join(F.slice("toks", i, k), " "))
-    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    from propertygraph_spark.ops.text import with_shingle_arr
+    d = with_shingle_arr(docs.select("doc_id", "text"), k)
+    return d.select("doc_id", F.explode("sh").alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,

@@ -157,24 +157,25 @@ def streaming_near_dedup(docs_stream: DataFrame,
     Input: (doc_id, ts, text). Output: the surviving (doc_id, ts, band,
     bucket) rows; distinct doc_ids = the keeper set."""
     from propertygraph_spark.ops.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
-    from propertygraph_spark.ops.text import _shingle_arr
+    from propertygraph_spark.ops.text import with_shingle_arr
 
     # the banding over a STREAMING frame: minhash_signatures groupBys
     # (batch-only), so compute the identical signature MAP-ONLY per row —
     # permutation i's min over the shingle ARRAY (array_min == the
     # batch's F.min over exploded shingles; duplicates can't change a
     # min). Docs with < k tokens have no shingles in the batch path and
-    # are excluded there too.
-    sh_arr = _shingle_arr(3)
+    # are excluded there too. NGram (with_shingle_arr) is a stateless
+    # per-row projection, so it composes with a streaming frame.
+    shingled = with_shingle_arr(docs_stream, 3)
 
     def _perm(i):
         # NB: a default-arg lambda would become a 2-arg callable and
         # PySpark's transform() would pass the ELEMENT INDEX into it
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
-    sig_cols = [F.array_min(F.transform(sh_arr, _perm(i))).alias(f"h{i}")
+    sig_cols = [F.array_min(F.transform("sh", _perm(i))).alias(f"h{i}")
                 for i in range(N_MINHASH)]
-    sig = (docs_stream.select("doc_id", "ts", *sig_cols)
+    sig = (shingled.select("doc_id", "ts", *sig_cols)
            .filter(F.col("h0").isNotNull()))
     band_arr = F.array(*[
         F.struct(
@@ -208,13 +209,15 @@ def streaming_contamination(docs_stream: DataFrame,
     single broadcast array row — fine for benchmark suites (10^5-10^6
     n-grams); for larger dictionaries use the batch join
     (ops.text.contamination_check) or shard the eval set."""
-    from propertygraph_spark.ops.text import _shingle_arr
-    sh = F.explode(F.array_distinct(_shingle_arr(k))).alias("shingle")
-    eval_sh = eval_docs.select(sh).distinct() \
-        .groupBy().agg(F.collect_set("shingle").alias("eval_set"))
+    from propertygraph_spark.ops.text import with_shingle_arr
+    eval_sh = (with_shingle_arr(eval_docs, k)
+               .select(F.explode(F.array_distinct("sh")).alias("shingle"))
+               .distinct()
+               .groupBy().agg(F.collect_set("shingle").alias("eval_set")))
     n_hit = F.size(F.array_intersect(
-        F.array_distinct(_shingle_arr(k)), F.col("eval_set")))
-    return (docs_stream.crossJoin(F.broadcast(eval_sh))
+        F.array_distinct("sh"), F.col("eval_set")))
+    return (with_shingle_arr(docs_stream, k)
+            .crossJoin(F.broadcast(eval_sh))
             .select("doc_id",
                     n_hit.cast("long").alias("n_contaminated_ngrams"))
             .filter(F.col("n_contaminated_ngrams") > 0))
