@@ -230,19 +230,28 @@ def repetition_ratio(docs: DataFrame, k: int = 3) -> DataFrame:
     token k-gram in each document (per-mille of all its k-grams).
     Integer arithmetic; docs with fewer than k tokens report 0."""
     d = with_shingle_arr(docs.select("doc_id", "text"), k).drop("text")
-    exploded = d.select("doc_id", F.size("sh").alias("n_sh"),
-                        F.explode_outer("sh").alias("shingle"))
-    per = (exploded.groupBy("doc_id", "n_sh", "shingle")
-           .agg(F.count("*").alias("c")))
-    return (per.groupBy("doc_id", "n_sh")
-            .agg(F.max(F.when(F.col("shingle").isNotNull(), F.col("c"))
-                       .otherwise(0)).alias("max_rep"))
-            .select("doc_id",
-                    F.col("n_sh").cast("long").alias("n_ngrams"),
-                    F.col("max_rep").cast("long").alias("max_repeat"),
-                    F.when(F.col("n_sh") > 0,
-                           F.floor(F.col("max_rep") * 1000 / F.col("n_sh")))
-                    .otherwise(0).cast("long").alias("repetition_pm"))
+    # MAP-ONLY mode-of-array: sort the k-grams, then one run-length pass
+    # with aggregate() — the longest run of equal adjacent elements IS
+    # the max multiplicity. The old explode -> two groupBys paid two
+    # shuffles of the x(n-k+1) exploded table; this computes the same
+    # numbers inside the row (O(n log n) per doc), so a 10^12-doc scan
+    # stays exchange-free up to the oracle-stability orderBy.
+    def step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a["best"], run).alias("best"))
+
+    max_rep = F.aggregate(
+        F.array_sort("sh"),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        step, lambda a: a["best"])
+    n_sh = F.size("sh")
+    return (d.select("doc_id",
+                     n_sh.cast("long").alias("n_ngrams"),
+                     max_rep.cast("long").alias("max_repeat"),
+                     F.when(n_sh > 0, F.floor(max_rep * 1000 / n_sh))
+                     .otherwise(0).cast("long").alias("repetition_pm"))
             .orderBy("doc_id"))
 
 
