@@ -106,9 +106,11 @@ def compute(write_md: bool = True) -> dict:
             "reference parity. Parity is established separately:",
             "PARITY.md hand-traces ALL 11 fixtures edge-by-edge against",
             "reference file:line, and tests/test_reference_traces.py",
-            "freezes every fixture's FULL CFG/PDG edge set as constants",
-            "derived from the rule trace (not exported from the kernel),",
-            "so the only self-frozen family left is ast_child. Regenerate",
+            "freezes every fixture's FULL CFG/PDG edge set — plus the",
+            "complete ast_child sets of both guard fixtures — as",
+            "constants derived from the rule trace (not exported from",
+            "the kernel); ast_child for the other nine fixtures is the",
+            "remaining self-frozen slice. Regenerate",
             "goldens with `python scripts/pr_report.py --freeze`;",
             "`tests/test_pr_report.py` gates every run at >= 0.95.",
             "",

@@ -628,3 +628,200 @@ def test_amqp_matches_reference_trace():
     assert enter == Counter({("pdg_execution", "40-40", ""): 1,
                              ("pdg_execution", "46-46", ""): 1,
                              ("pdg_execution", "72-72", ""): 1})
+
+
+# ----------------------------------------- ast_child (PE-tree) traces
+# The ast_child family is the PE tree PEASTVisitor builds — the one
+# in-memory structure the reference's CFG/PDG derive from. (The astdemo
+# `-a` DOT additionally dumps the raw JDT preorder keyed by JVM identity
+# hashCodes — nondeterministic and documented in COVERAGE.md as not
+# replicated.) The golden below is hand-derived from the visitor rules:
+# - MethodDeclaration: addParameter per param; body SimpleBlock SPLICED
+#   into the method's statement list (MethodInfo.setStatement replaces
+#   itself with getStatements() when the child is a SimpleBlock,
+#   MethodInfo.java:89-96; Block visit builds the SimpleBlock,
+#   PEASTVisitor.java:1697-1724; method text = modifiers + return type
+#   + name + " (" + params + ") " + body, PEASTVisitor.java:261-303).
+# - SingleVariableDeclaration (param): ONE child, the TypeInfo; the
+#   name is text-only (PEASTVisitor.java:1760-1790).
+# - VariableDeclarationStatement: children = TypeInfo + each fragment
+#   (PEASTVisitor.java:1173-1211); the fragment's children = name +
+#   initializer, text "name = init" (PEASTVisitor.java:1214-1243).
+# - MethodInvocation: qualifier via setQualifier + children name + each
+#   argument; text "qual.name(a,b)" — no spaces after commas
+#   (PEASTVisitor.java:981-1029).
+# - IfStatement: children = condition + spliced then-statements; the
+#   statement text embeds the UNPREFIXED condition ("if (c) {...}")
+#   because condition.setText("if " + ...) runs AFTER the append
+#   (PEASTVisitor.java:1384-1420) — so the condition NODE text carries
+#   the "if " prefix while the if text does not repeat it.
+# - InfixExpression: children left, operator, right, then PER extended
+#   operand the SAME OperatorInfo instance again + the operand
+#   (PEASTVisitor.java:636-686) — one '+' node, THREE parent edges;
+#   text " ( left + right ) + ext1 + ext2".
+# - ReturnStatement/ExpressionStatement: single expression child with
+#   "expr;" text (PEASTVisitor.java:1055-1081, :933-954).
+# - StringLiteral text quotes the LITERAL VALUE (escapes decoded:
+#   source "\\" renders as "\"), SimpleName text = identifier
+#   (PEASTVisitor.java:492-498, :589-595).
+
+GUARD_INNER = 'filename.replace(":","_")'
+GUARD_MID = GUARD_INNER + '.replace("\\","")'
+GUARD_OUTER = GUARD_MID + '.replace("/","")'
+GUARD_FRAG = "guarded = " + GUARD_OUTER
+GUARD_VDS = "String " + GUARD_FRAG + ";"
+GUARD_COND = "if LOG.isDebugEnabled()"
+GUARD_INFIX = ' ( "guarded " + filename ) + " to " + guarded'
+GUARD_DBG = "LOG.debug(" + GUARD_INFIX + ")"
+GUARD_DBGS = GUARD_DBG + ";"
+GUARD_IFS = "if (LOG.isDebugEnabled()) {\n" + GUARD_DBGS + "\n}"
+GUARD_RET = "return guarded;"
+GUARD_PARAM = "String filename"
+GUARD_METHOD = ("private String guard (String filename) {\n"
+                + GUARD_VDS + "\n" + GUARD_IFS + "\n" + GUARD_RET + "\n}")
+
+GUARD_AST = Counter()
+for _s, _ss, _o, _os, _n in [
+    (GUARD_METHOD, "2-8", GUARD_PARAM, "2-2", 1),
+    (GUARD_METHOD, "2-8", GUARD_VDS, "3-3", 1),
+    (GUARD_METHOD, "2-8", GUARD_IFS, "4-6", 1),
+    (GUARD_METHOD, "2-8", GUARD_RET, "7-7", 1),
+    (GUARD_PARAM, "2-2", "String", "2-2", 1),
+    (GUARD_VDS, "3-3", "String", "3-3", 1),
+    (GUARD_VDS, "3-3", GUARD_FRAG, "3-3", 1),
+    (GUARD_FRAG, "3-3", "guarded", "3-3", 1),
+    (GUARD_FRAG, "3-3", GUARD_OUTER, "3-3", 1),
+    (GUARD_INNER, "3-3", "filename", "3-3", 1),
+    (GUARD_INNER, "3-3", "replace", "3-3", 1),
+    (GUARD_INNER, "3-3", '":"', "3-3", 1),
+    (GUARD_INNER, "3-3", '"_"', "3-3", 1),
+    (GUARD_MID, "3-3", GUARD_INNER, "3-3", 1),
+    (GUARD_MID, "3-3", "replace", "3-3", 1),
+    (GUARD_MID, "3-3", '"\\"', "3-3", 1),
+    (GUARD_MID, "3-3", '""', "3-3", 1),
+    (GUARD_OUTER, "3-3", GUARD_MID, "3-3", 1),
+    (GUARD_OUTER, "3-3", "replace", "3-3", 1),
+    (GUARD_OUTER, "3-3", '"/"', "3-3", 1),
+    (GUARD_OUTER, "3-3", '""', "3-3", 1),
+    (GUARD_IFS, "4-6", GUARD_COND, "4-4", 1),
+    (GUARD_IFS, "4-6", GUARD_DBGS, "5-5", 1),
+    (GUARD_COND, "4-4", "LOG", "4-4", 1),
+    (GUARD_COND, "4-4", "isDebugEnabled", "4-4", 1),
+    (GUARD_DBGS, "5-5", GUARD_DBG, "5-5", 1),
+    (GUARD_DBG, "5-5", "LOG", "5-5", 1),
+    (GUARD_DBG, "5-5", "debug", "5-5", 1),
+    (GUARD_DBG, "5-5", GUARD_INFIX, "5-5", 1),
+    (GUARD_INFIX, "5-5", '"guarded "', "5-5", 1),
+    (GUARD_INFIX, "5-5", "filename", "5-5", 1),
+    (GUARD_INFIX, "5-5", '" to "', "5-5", 1),
+    (GUARD_INFIX, "5-5", "guarded", "5-5", 1),
+    (GUARD_INFIX, "5-5", "+", "5-5", 3),
+    (GUARD_RET, "7-7", "guarded", "7-7", 1),
+]:
+    GUARD_AST[(_s, _ss, _o, _os)] += _n
+
+
+def ast_edge_texts(name: str) -> Counter:
+    """Multiset of (subj_text, subj_span, obj_text, obj_span) for the
+    ast_child family (text identity matters: many nodes share spans)."""
+    with open(f"{FIXDIR}/{name}") as f:
+        src = f.read()
+    nodes, triples, _m, err = extract_document(name, src)
+    assert err is None, err
+    ident = {}
+    for n in nodes:
+        ident[(n["method_id"], n["node_id"])] = (
+            n["text"], f'{n["start_line"]}-{n["end_line"]}')
+    out: Counter = Counter()
+    for t in triples:
+        if t["pred"] != "ast_child":
+            continue
+        st, ss = ident[(t["method_id"], t["subj"])]
+        ot, os_ = ident[(t["method_id"], t["obj"])]
+        out[(st, ss, ot, os_)] += 1
+    return out
+
+
+def test_guard_old_ast_matches_reference_trace():
+    assert ast_edge_texts("FilenameGuardFilterOld.java") == GUARD_AST
+
+
+# FilenameGuardFilterNew.java ast_child: adds an Assignment statement
+# whose RHS is a FOUR-call chain. New rules exercised vs the Old guard:
+# - Assignment: children = LHS + OperatorInfo('=') + RHS, text
+#   "lhs = rhs" (PEASTVisitor.java:754-783); the ExpressionStatement
+#   wraps it with ";".
+# - Chained MethodInvocation: each link's QUALIFIER is the previous
+#   invocation (setQualifier — still a PE child), so the chain is a
+#   4-deep qualifier spine, each node also holding its name + args
+#   (PEASTVisitor.java:981-1029).
+
+NG_INNER = 'filename.replace(":","_")'
+NG_FRAG = "guarded = " + NG_INNER
+NG_VDS = "String " + NG_FRAG + ";"
+NG_C1 = "FileSystems.getDefault()"
+NG_C2 = NG_C1 + ".getPath(guarded)"
+NG_C3 = NG_C2 + ".normalize()"
+NG_C4 = NG_C3 + ".toString()"
+NG_ASSIGN = "guarded = " + NG_C4
+NG_ASSIGNS = NG_ASSIGN + ";"
+NG_COND = "if LOG.isDebugEnabled()"
+NG_INFIX = ' ( "guarded " + filename ) + " to " + guarded'
+NG_DBG = "LOG.debug(" + NG_INFIX + ")"
+NG_DBGS = NG_DBG + ";"
+NG_IFS = "if (LOG.isDebugEnabled()) {\n" + NG_DBGS + "\n}"
+NG_RET = "return guarded;"
+NG_PARAM = "String filename"
+NG_METHOD = ("private String guard (String filename) {\n"
+             + NG_VDS + "\n" + NG_ASSIGNS + "\n" + NG_IFS + "\n"
+             + NG_RET + "\n}")
+
+NG_AST = Counter()
+for _s, _ss, _o, _os, _n in [
+    (NG_METHOD, "2-9", NG_PARAM, "2-2", 1),
+    (NG_METHOD, "2-9", NG_VDS, "3-3", 1),
+    (NG_METHOD, "2-9", NG_ASSIGNS, "4-4", 1),
+    (NG_METHOD, "2-9", NG_IFS, "5-7", 1),
+    (NG_METHOD, "2-9", NG_RET, "8-8", 1),
+    (NG_PARAM, "2-2", "String", "2-2", 1),
+    (NG_VDS, "3-3", "String", "3-3", 1),
+    (NG_VDS, "3-3", NG_FRAG, "3-3", 1),
+    (NG_FRAG, "3-3", "guarded", "3-3", 1),
+    (NG_FRAG, "3-3", NG_INNER, "3-3", 1),
+    (NG_INNER, "3-3", "filename", "3-3", 1),
+    (NG_INNER, "3-3", "replace", "3-3", 1),
+    (NG_INNER, "3-3", '":"', "3-3", 1),
+    (NG_INNER, "3-3", '"_"', "3-3", 1),
+    (NG_ASSIGNS, "4-4", NG_ASSIGN, "4-4", 1),
+    (NG_ASSIGN, "4-4", "guarded", "4-4", 1),
+    (NG_ASSIGN, "4-4", "=", "4-4", 1),
+    (NG_ASSIGN, "4-4", NG_C4, "4-4", 1),
+    (NG_C1, "4-4", "FileSystems", "4-4", 1),
+    (NG_C1, "4-4", "getDefault", "4-4", 1),
+    (NG_C2, "4-4", NG_C1, "4-4", 1),
+    (NG_C2, "4-4", "getPath", "4-4", 1),
+    (NG_C2, "4-4", "guarded", "4-4", 1),
+    (NG_C3, "4-4", NG_C2, "4-4", 1),
+    (NG_C3, "4-4", "normalize", "4-4", 1),
+    (NG_C4, "4-4", NG_C3, "4-4", 1),
+    (NG_C4, "4-4", "toString", "4-4", 1),
+    (NG_IFS, "5-7", NG_COND, "5-5", 1),
+    (NG_IFS, "5-7", NG_DBGS, "6-6", 1),
+    (NG_COND, "5-5", "LOG", "5-5", 1),
+    (NG_COND, "5-5", "isDebugEnabled", "5-5", 1),
+    (NG_DBGS, "6-6", NG_DBG, "6-6", 1),
+    (NG_DBG, "6-6", "LOG", "6-6", 1),
+    (NG_DBG, "6-6", "debug", "6-6", 1),
+    (NG_DBG, "6-6", NG_INFIX, "6-6", 1),
+    (NG_INFIX, "6-6", '"guarded "', "6-6", 1),
+    (NG_INFIX, "6-6", "filename", "6-6", 1),
+    (NG_INFIX, "6-6", '" to "', "6-6", 1),
+    (NG_INFIX, "6-6", "guarded", "6-6", 1),
+    (NG_INFIX, "6-6", "+", "6-6", 3),
+    (NG_RET, "8-8", "guarded", "8-8", 1),
+]:
+    NG_AST[(_s, _ss, _o, _os)] += _n
+
+
+def test_guard_new_ast_matches_reference_trace():
+    assert ast_edge_texts("FilenameGuardFilterNew.java") == NG_AST
