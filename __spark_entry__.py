@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q11_important_parts"] = relational.important_part_values
     q["events_percentiles"] = relational.event_value_percentiles
     q["events_user_sketch"] = relational.event_user_sketch
+    q["q8_market_share"] = relational.nation_market_share
+    q["q15_top_suppliers"] = relational.top_revenue_suppliers
+    q["q17_small_qty_revenue"] = relational.small_quantity_revenue
+    q["q21_last_shippers"] = relational.last_shipper_suppliers
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -519,6 +523,72 @@ SELECT l_partkey, value_cents
 FROM per_part, tot
 WHERE value_cents > t * 1000 // 1000000
 ORDER BY value_cents DESC, l_partkey
+"""
+    o["q8_market_share"] = """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(sum(CASE WHEN n_name = 'NATION_7'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS target_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1)
+SELECT o_year, total_cents, target_cents,
+       CAST(target_cents * 1000 // total_cents AS BIGINT) AS share_pm
+FROM per ORDER BY o_year
+"""
+    o["q15_top_suppliers"] = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM per JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM per)
+ORDER BY s_suppkey
+"""
+    o["q17_small_qty_revenue"] = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'),
+stats AS (
+  SELECT l_partkey AS sp_partkey,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+         count(*) AS n_items
+  FROM branded GROUP BY 1)
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS small_qty_revenue_cents,
+       count(*) AS n_small_items
+FROM branded JOIN stats ON l_partkey = sp_partkey
+WHERE CAST(round(l_quantity * 5) AS BIGINT) * n_items < sum_qty
+"""
+    o["q21_last_shippers"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_last
+  FROM lineitem GROUP BY 1, 2),
+marked AS (
+  SELECT *, CASE WHEN s_last = o_last THEN 1 ELSE 0 END AS is_last
+  FROM (SELECT *, count(*) OVER w AS n_supp, max(s_last) OVER w AS o_last
+        FROM per_os WINDOW w AS (PARTITION BY l_orderkey)) t),
+lone AS (
+  SELECT * FROM (SELECT *, sum(is_last)
+                   OVER (PARTITION BY l_orderkey) AS n_last
+                 FROM marked) t
+  WHERE n_supp > 1 AND n_last = 1 AND is_last = 1)
+SELECT s_name, count(*) AS numwait
+FROM lone JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
 """
     o["q10_returned_items"] = """
 SELECT c_custkey, c_name, n_name,

@@ -130,6 +130,14 @@ def main() -> None:
             spark, sf_dir),
         "q11_important_parts": lambda: relational.important_part_values(
             spark, sf_dir),
+        "q8_market_share": lambda: relational.nation_market_share(
+            spark, sf_dir),
+        "q15_top_suppliers": lambda: relational.top_revenue_suppliers(
+            spark, sf_dir),
+        "q17_small_qty_revenue": lambda: relational.small_quantity_revenue(
+            spark, sf_dir),
+        "q21_last_shippers": lambda: relational.last_shipper_suppliers(
+            spark, sf_dir),
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs(spark, sf_dir), threshold_pm=200),
         "dedup_clusters": lambda: dedup.dedup_clusters(docs(spark, sf_dir)),

@@ -544,3 +544,108 @@ def event_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "max_lead_zeros", "fm_estimate",
                     "exact_distinct")
             .orderBy("event_type"))
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str,
+                        target_nation: str = "NATION_7",
+                        p_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8 flavor: the target supplier-nation's per-mille share of
+    yearly revenue for one part type. Dims broadcast; revenue is summed
+    as per-ITEM integer cents (the q9/q11 pattern) so the share ratio is
+    exact-integer on both engines. One big shuffle (lineitem x orders);
+    the year x nation rollup then fits a second tiny agg."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == p_type)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_item = F.round((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))) * 100).cast("long")
+    per = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+           .groupBy(F.year("o_orderdate").alias("o_year"))
+           .agg(F.sum(rev_item).alias("total_cents"),
+                F.sum(F.when(F.col("n_name") == target_nation, rev_item)
+                      .otherwise(F.lit(0))).alias("target_cents")))
+    return (per.select(
+        "o_year", "total_cents", "target_cents",
+        F.floor(F.col("target_cents") * 1000 / F.col("total_cents"))
+        .cast("long").alias("share_pm"))
+        .orderBy("o_year"))
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str,
+                          start: str = "1996-01-01",
+                          end: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 flavor: supplier(s) achieving the MAX quarterly revenue
+    (the view + scalar-subquery pair becomes agg -> scalar -> filter).
+    Integer-cent revenue makes the max comparison exact; the scalar max
+    is collected driver-side (one long — the q11 fast-path pattern)."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_item = F.round((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))) * 100).cast("long")
+    per = (li.filter((F.col("l_shipdate") >= F.lit(start))
+                     & (F.col("l_shipdate") < F.lit(end)))
+           .groupBy("l_suppkey")
+           .agg(F.sum(rev_item).alias("total_revenue_cents")))
+    best = per.agg(F.max("total_revenue_cents").alias("m")) \
+              .collect()[0]["m"] or 0
+    return (per.filter(F.col("total_revenue_cents") == best)
+            .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    "total_revenue_cents")
+            .orderBy("s_suppkey"))
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                           brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17 flavor: revenue locked in small-quantity orders of one
+    brand — items whose quantity is below 20% of their part's average.
+    The correlated avg subquery becomes a per-part agg joined back.
+    Quantities are integral doubles, so the 20% test is EXACT integer
+    arithmetic: 5 * qty * n_items < sum_qty (no double avg compare)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = (branded.groupBy(F.col("l_partkey").alias("sp_partkey"))
+             .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                  F.count("*").alias("n_items")))
+    rev_item = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (branded.join(stats, branded.l_partkey == stats.sp_partkey)
+            .filter(F.round(F.col("l_quantity") * 5).cast("long")
+                    * F.col("n_items") < F.col("sum_qty"))
+            .groupBy()
+            .agg(F.sum(rev_item).alias("small_qty_revenue_cents"),
+                 F.count("*").alias("n_small_items")))
+
+
+def last_shipper_suppliers(spark: SparkSession, sf_dir: str,
+                           top_n: int = 20) -> DataFrame:
+    """TPC-H Q21 flavor (no receipt/commit dates in this corpus): in
+    every MULTI-supplier order, find the sole supplier whose latest
+    shipment is the order's latest shipment — the one who kept the
+    order waiting (q21's exists / not-exists pair becomes two window
+    comparisons over one shuffle on l_orderkey). A supplier counts for
+    an order only when NO other supplier ties the max ship date."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    per_os = (li.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("l_shipdate").alias("s_last")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (per_os
+               .withColumn("n_supp", F.count("*").over(w))
+               .withColumn("o_last", F.max("s_last").over(w))
+               .withColumn("n_last", F.sum(
+                   (F.col("s_last") == F.col("o_last")).cast("int")).over(w)))
+    lone_last = flagged.filter(
+        (F.col("n_supp") > 1) & (F.col("n_last") == 1)
+        & (F.col("s_last") == F.col("o_last")))
+    return (lone_last.join(F.broadcast(supp),
+                           lone_last.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(top_n))
