@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q15_top_suppliers"] = relational.top_revenue_suppliers
     q["q17_small_qty_revenue"] = relational.small_quantity_revenue
     q["q21_last_shippers"] = relational.last_shipper_suppliers
+    q["q2_min_cost_supplier"] = relational.min_cost_supplier
+    q["q20_dominant_suppliers"] = relational.dominant_part_suppliers
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -589,6 +591,48 @@ lone AS (
 SELECT s_name, count(*) AS numwait
 FROM lone JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
+    o["q2_min_cost_supplier"] = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+costs AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         CAST(min(floor(l_extendedprice / l_quantity * 100)) AS BIGINT)
+           AS cost_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supp ON l_suppkey = s_suppkey
+  WHERE p_size = 10
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_cents
+FROM (SELECT *, min(cost_cents) OVER (PARTITION BY p_partkey) AS best
+      FROM costs) t
+WHERE cost_cents = best
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+    o["q20_dominant_suppliers"] = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %' AND year(l_shipdate) = 1995
+  GROUP BY 1, 2),
+dom AS (
+  SELECT * FROM (SELECT *, sum(supp_qty)
+                   OVER (PARTITION BY l_partkey) AS part_qty
+                 FROM per) t
+  WHERE supp_qty * 2 > part_qty)
+SELECT s_name, n_name, count(*) AS n_dominated_parts,
+       CAST(sum(supp_qty) AS BIGINT) AS dominated_qty
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY s_name
 """
     o["q10_returned_items"] = """
 SELECT c_custkey, c_name, n_name,

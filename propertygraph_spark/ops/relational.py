@@ -649,3 +649,82 @@ def last_shipper_suppliers(spark: SparkSession, sf_dir: str,
             .agg(F.count("*").alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(top_n))
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str,
+                      region: str = "ASIA", p_size: int = 10,
+                      top_n: int = 100) -> DataFrame:
+    """TPC-H Q2 flavor (no partsupp in this corpus): the cheapest
+    supplier(s) for every part of one size sold out of one region, where
+    "supply cost" is the best unit price the supplier ever charged —
+    min(extendedprice / quantity) over lineitem, floored to integer
+    cents so the min/equality compares are exact on both engines.
+
+    Q2's correlated min subquery becomes one (part, supplier) agg and a
+    per-part window min: two shuffles on l_partkey, dims broadcast.
+    Scale: the agg collapses lineitem to (part x supplier-in-region)
+    rows before the window; no driver collect."""
+    region_df = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nation = _t(spark, sf_dir, "nation")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region_df),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == p_size) \
+        .select("p_partkey", "p_name")
+    li = _t(spark, sf_dir, "lineitem")
+    unit_cents = F.floor(F.col("l_extendedprice") / F.col("l_quantity")
+                         * 100).cast("long")
+    costs = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+             .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+             .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                      "s_acctbal", "n_name")
+             .agg(F.min(unit_cents).alias("cost_cents")))
+    w = Window.partitionBy("p_partkey")
+    return (costs.withColumn("best", F.min("cost_cents").over(w))
+            .filter(F.col("cost_cents") == F.col("best"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name", "cost_cents")
+            .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                     F.asc("p_partkey"))
+            .limit(top_n))
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str,
+                            name_prefix: str = "small ",
+                            year: int = 1995) -> DataFrame:
+    """TPC-H Q20 flavor (availqty has no twin here): suppliers holding a
+    DOMINANT share of some filtered part's shipped volume in one year —
+    strictly more than half: 2 * supplier_qty > part_total_qty, exact
+    integer arithmetic on rounded quantities (Q20's half-of-demand
+    threshold against availqty, re-expressed over shipments).
+
+    One shuffle on (l_partkey) for the per-(part, supplier) agg; the
+    part-total is a window over the SAME key so AQE coalesces both into
+    one exchange; supplier/nation broadcast for the name rollup."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_name").startswith(name_prefix)) \
+        .select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.year("l_shipdate") == year)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(qty).alias("supp_qty")))
+    w = Window.partitionBy("l_partkey")
+    dominant = (per.withColumn("part_qty", F.sum("supp_qty").over(w))
+                .filter(F.col("supp_qty") * 2 > F.col("part_qty")))
+    return (dominant.groupBy("l_suppkey")
+            .agg(F.count("*").alias("n_dominated_parts"),
+                 F.sum("supp_qty").alias("dominated_qty"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name", "n_dominated_parts",
+                    "dominated_qty")
+            .orderBy("s_name"))
