@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_linked_mentions"] = lambda s, d: kgdocs.linked_mentions(_docs(s, d))
     q["kg_canonical_entities"] = lambda s, d: kgdocs.canonical_entities(
         _docs(s, d))
+    q["kg_pagerank"] = lambda s, d: kgdocs.pagerank_by_rank(_docs(s, d))
+    q["kg_triangles"] = lambda s, d: kgdocs.triangles_by_template(
+        _docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -294,6 +297,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_degree_hist"] = kgdocs.degree_histogram_oracle_sql()
     o["kg_linked_mentions"] = kgdocs.linked_oracle_sql()
     o["kg_canonical_entities"] = kgdocs.canonical_oracle_sql()
+    o["kg_pagerank"] = kgdocs.pagerank_oracle_sql()
+    o["kg_triangles"] = kgdocs.triangles_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

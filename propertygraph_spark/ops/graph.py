@@ -59,3 +59,78 @@ def pdg_data_closure_sizes(triples: DataFrame) -> DataFrame:
     per_method = closure.groupBy("method_id").agg(
         F.count("*").alias("n_pairs"))
     return per_method
+
+
+def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 scope: str | None = None, iters: int = 3,
+                 unit: int = 1_000_000, damp_pm: int = 850) -> DataFrame:
+    """Deterministic integer PageRank over (optionally scoped) directed
+    graphs: ranks live in micro-units (``unit``) and every step is exact
+    integer arithmetic — ``contrib = rank div outdeg`` then
+    ``rank' = unit*(1000-damp_pm) div 1000 + damp_pm*sum(contrib) div
+    1000`` — so the result is independent of summation order and
+    bit-identical to any host replay (no float drift). Dangling-node
+    mass is dropped (the usual simplification); duplicate edges count
+    once; self-loops participate.
+
+    Distributed shape: nodes/outdeg are one agg each; every iteration is
+    one equi-join on (scope, src) + one agg on (scope, dst), hashing on
+    the scope column so disjoint subgraphs (per-method PDGs) never
+    co-shuffle. localCheckpoint truncates the per-iteration lineage.
+    """
+    keys = [scope] if scope else []
+    e = edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v")) \
+             .distinct().localCheckpoint(eager=True)
+    nodes = e.select(*keys, F.col("u").alias("node")) \
+             .unionByName(e.select(*keys, F.col("v").alias("node"))) \
+             .distinct()
+    outdeg = e.groupBy(*keys, "u").agg(F.count("*").alias("outdeg"))
+    base = unit * (1000 - damp_pm) // 1000
+    ranks = nodes.withColumn("rank_mu", F.lit(unit).cast("long"))
+    for _ in range(iters):
+        contribs = (e.join(ranks.withColumnRenamed("node", "u"),
+                           keys + ["u"])
+                    .join(outdeg, keys + ["u"])
+                    .select(*keys, F.col("v").alias("node"),
+                            F.expr("rank_mu div outdeg").alias("c")))
+        sums = contribs.groupBy(*keys, "node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, keys + ["node"], "left")
+                 .select(*keys, "node",
+                         (F.lit(base)
+                          + F.expr(f"({damp_pm} * coalesce(s, 0L))"
+                                   f" div 1000")).cast("long")
+                         .alias("rank_mu"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   scope: str | None = None) -> DataFrame:
+    """Per-scope triangle count of the UNDIRECTED simple graph induced by
+    the edges (self-loops dropped, direction and multiplicity ignored).
+    Canonical orientation (u < v lexicographically) makes each triangle
+    a single ordered wedge a<b<c closed by edge (a,c): two equi-joins,
+    each counted exactly once — the standard distributed formulation
+    (no per-node adjacency broadcast, no driver collect)."""
+    keys = [scope] if scope else []
+    und = (edges.filter(F.col(src) != F.col(dst))
+           .select(*keys,
+                   F.least(F.col(src), F.col(dst)).alias("u"),
+                   F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .distinct().localCheckpoint(eager=True))
+    wedge = (und.alias("e1")
+             .join(und.alias("e2"),
+                   [F.col(f"e1.{k}") == F.col(f"e2.{k}") for k in keys]
+                   + [F.col("e1.v") == F.col("e2.u")])
+             .select(*[F.col(f"e1.{k}") for k in keys],
+                     F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                     F.col("e2.v").alias("c")))
+    tri = (wedge.alias("w")
+           .join(und.alias("e3"),
+                 [F.col(f"w.{k}") == F.col(f"e3.{k}") for k in keys]
+                 + [F.col("w.a") == F.col("e3.u"),
+                    F.col("w.c") == F.col("e3.v")]))
+    if keys:
+        return tri.groupBy(*[F.col(f"w.{k}").alias(k) for k in keys]) \
+                  .agg(F.count("*").alias("n_triangles"))
+    return tri.agg(F.count("*").alias("n_triangles"))

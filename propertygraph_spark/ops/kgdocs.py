@@ -56,6 +56,50 @@ TEMPLATE_DEGREE_HIST: dict[int, dict[tuple, int]] = {}   # filled below
 # the input multiset of the entity-linking stage, frozen so the linking
 # and canonicalization oracles can replay scoring host-side
 TEMPLATE_LINK_OCCURRENCES: dict[int, list] = {}          # filled below
+# per template: integer-PageRank histogram {rank_mu: n_nodes} and the
+# undirected pdg_data triangle count — host replays of ops/graph.py's
+# pagerank_int / triangle_count (exact integer arithmetic, so the
+# distributed run must be bit-identical)
+TEMPLATE_PAGERANK_HIST: dict[int, dict[int, int]] = {}   # filled below
+TEMPLATE_TRIANGLES: dict[int, int] = {}                  # filled below
+
+
+def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
+                   damp_pm: int = 850) -> dict[int, int]:
+    """Host replay of ops/graph.py pagerank_int over the pdg_data edges:
+    identical integer formula (floor divisions on positive longs), so
+    the frozen histogram is the exact distributed answer."""
+    edges = sorted({(t["subj"], t["obj"])
+                    for t in triples if t["pred"] == "pdg_data"})
+    nodes = sorted({x for e in edges for x in e})
+    outdeg: dict[int, int] = {}
+    for u, _v in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = unit * (1000 - damp_pm) // 1000
+    rank = {n: unit for n in nodes}
+    for _ in range(iters):
+        s: dict[int, int] = {}
+        for u, v in edges:
+            s[v] = s.get(v, 0) + rank[u] // outdeg[u]
+        rank = {n: base + damp_pm * s.get(n, 0) // 1000 for n in nodes}
+    hist: dict[int, int] = {}
+    for r in rank.values():
+        hist[r] = hist.get(r, 0) + 1
+    return hist
+
+
+def _triangle_count(triples: list) -> int:
+    """Host replay of ops/graph.py triangle_count: undirected simple
+    graph over pdg_data (self-loops dropped), each triangle once."""
+    und = {(min(a, b), max(a, b))
+           for a, b in ((t["subj"], t["obj"])
+                        for t in triples if t["pred"] == "pdg_data")
+           if a != b}
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(len(adj[a] & adj[b]) for a, b in und) // 3
 
 
 def _closure_pairs(triples: list) -> int:
@@ -98,6 +142,8 @@ def _freeze_constants() -> None:
             by_kind[m["kind"]] = by_kind.get(m["kind"], 0) + 1
         TEMPLATE_MENTION_COUNTS[tpl] = by_kind
         TEMPLATE_CLOSURE_PAIRS[tpl] = _closure_pairs(triples)
+        TEMPLATE_PAGERANK_HIST[tpl] = _pagerank_hist(triples)
+        TEMPLATE_TRIANGLES[tpl] = _triangle_count(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -200,6 +246,51 @@ def pdg_closure_by_template(documents: DataFrame) -> DataFrame:
             .groupBy("tpl")
             .agg(F.count("*").alias("n_methods"),
                  F.sum("n_pairs").alias("closure_pairs"))
+            .orderBy("tpl"))
+
+
+def pagerank_by_rank(documents: DataFrame) -> DataFrame:
+    """Distributed integer PageRank (ops/graph.py pagerank_int) over
+    every method's pdg_data graph at once, rolled up to a
+    (template, rank_mu) node histogram. Exact integer arithmetic makes
+    the distributed iteration bit-identical to the frozen host replay —
+    the same constant-based oracle pattern as the closure."""
+    from propertygraph_spark.ops.graph import pagerank_int
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "pdg_data")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    ranks = pagerank_int(edges, scope="method_id")
+    doc_of = F.split(F.col("method_id"), "#").getItem(0)
+    return (ranks
+            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .groupBy("tpl", "rank_mu")
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("tpl", "rank_mu"))
+
+
+def triangles_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed triangle counting (ops/graph.py triangle_count: two
+    scoped equi-joins over canonically-oriented undirected edges) across
+    every method's pdg_data graph, rolled up per template."""
+    from propertygraph_spark.ops.graph import triangle_count
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "pdg_data")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    per_method = triangle_count(edges, scope="method_id")
+    doc_of = F.split(F.col("method_id"), "#").getItem(0)
+    return (per_method
+            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .groupBy("tpl")
+            .agg(F.count("*").alias("n_methods"),
+                 F.sum("n_triangles").alias("n_triangles"))
             .orderBy("tpl"))
 
 
@@ -357,6 +448,39 @@ SELECT c.pred AS pred, c.degree AS degree,
        CAST(SUM(t.n * c.nn) AS BIGINT) AS n_nodes
 FROM consts c JOIN tplcount t USING (tpl)
 GROUP BY c.pred, c.degree ORDER BY pred, degree
+"""
+
+
+def pagerank_oracle_sql() -> str:
+    values = []
+    for tpl, hist in TEMPLATE_PAGERANK_HIST.items():
+        for rank_mu, n in hist.items():
+            values.append(f"({tpl}, {rank_mu}, {n})")
+    if not values:
+        raise RuntimeError("frozen pagerank histogram is empty")
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, rank_mu, nn) AS (VALUES {', '.join(values)})
+SELECT c.tpl AS tpl, CAST(c.rank_mu AS BIGINT) AS rank_mu,
+       CAST(SUM(t.n * c.nn) AS BIGINT) AS n_nodes
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY c.tpl, c.rank_mu ORDER BY tpl, rank_mu
+"""
+
+
+def triangles_oracle_sql() -> str:
+    values = ", ".join(f"({tpl}, {tri})"
+                       for tpl, tri in TEMPLATE_TRIANGLES.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, tri) AS (VALUES {values})
+SELECT c.tpl AS tpl, t.n AS n_methods,
+       CAST(t.n * c.tri AS BIGINT) AS n_triangles
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.tri > 0
+ORDER BY c.tpl
 """
 
 

@@ -535,3 +535,47 @@ def test_winnow_fingerprint_matches_reference_python(spark):
     s1, _ = ref(rows[0][1])
     s2, _ = ref(rows[1][1])
     assert set(s1) & set(s2)
+
+
+def test_pagerank_int_cycle_is_fixed_point(spark):
+    # a directed 3-cycle is symmetric: every node keeps exactly `unit`
+    # (base + damp*unit = unit), so any drift exposes a formula bug
+    from propertygraph_spark.ops.graph import pagerank_int
+    edges = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 3), ("g", 3, 1)], "scope string, src long, dst long")
+    out = {r["node"]: r["rank_mu"]
+           for r in pagerank_int(edges, scope="scope").collect()}
+    assert out == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+def test_pagerank_int_matches_host_replay(spark):
+    # star + chain graph, duplicate edge, self-loop: the distributed run
+    # must be bit-identical to the integer host replay in kgdocs
+    from propertygraph_spark.ops.graph import pagerank_int
+    from propertygraph_spark.ops.kgdocs import _pagerank_hist
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 5), (2, 4), (1, 2)]
+    triples = [{"pred": "pdg_data", "subj": a, "obj": b} for a, b in raw]
+    expect = _pagerank_hist(triples)
+    edges = spark.createDataFrame(
+        [("m", a, b) for a, b in raw], "scope string, src long, dst long")
+    got: dict = {}
+    for r in pagerank_int(edges, scope="scope").collect():
+        got[r["rank_mu"]] = got.get(r["rank_mu"], 0) + 1
+    assert got == expect
+
+
+def test_triangle_count_scoped(spark):
+    from propertygraph_spark.ops.graph import triangle_count
+    rows = [
+        # scope a: K4 minus one edge = 2 triangles, plus direction noise
+        ("a", 1, 2), ("a", 2, 1), ("a", 2, 3), ("a", 1, 3),
+        ("a", 3, 4), ("a", 2, 4), ("a", 1, 1),
+        # scope b: a single triangle reached through reversed edges
+        ("b", 9, 8), ("b", 8, 7), ("b", 7, 9),
+        # scope c: a path -> no triangles (must not emit a row)
+        ("c", 1, 2), ("c", 2, 3),
+    ]
+    edges = spark.createDataFrame(rows, "scope string, src long, dst long")
+    out = {r["scope"]: r["n_triangles"]
+           for r in triangle_count(edges, scope="scope").collect()}
+    assert out == {"a": 2, "b": 1}
