@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fuzzy_vocab"] = lambda s, d: text.vocab_fuzzy_pairs(
         _docs_with_typos(s, d))
     q["text_winnow"] = lambda s, d: text.winnow_fingerprint(_docs(s, d))
+    q["text_boilerplate"] = lambda s, d: text.boilerplate_ngrams(_docs(s, d))
+    q["text_zipf"] = lambda s, d: text.zipf_topk(_docs(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -780,6 +782,28 @@ FROM b
     _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     _url = "https?://[^\\s]+"
     _num = "[0-9]{7,}"
+    o["text_boilerplate"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+e AS (SELECT doc_id,
+        unnest(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+      FROM t)
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM e GROUP BY shingle
+ORDER BY n_occurrences DESC, shingle LIMIT 20
+"""
+    o["text_zipf"] = f"""
+WITH tok AS (SELECT unnest({_sql_tokens()}) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY token
+      ORDER BY n_occurrences DESC, token LIMIT 30)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT)
+         AS rank,
+       token, n_occurrences
+FROM c
+"""
     o["text_pii_scrub"] = """
 WITH s AS (SELECT doc_id, text,
   regexp_replace(regexp_replace(regexp_replace(text,

@@ -48,6 +48,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+
+    # --- hardware probe (no Spark): single-process kernel docs/sec on a
+    #     fixed 400-doc corpus. The sandbox host's speed swings 30%+
+    #     between rounds; this number lets a reader normalize the wall
+    #     times below against actual host speed at measurement time
+    #     (compare per-proc mp.Pool rates in BENCH/BASELINE.md). ---
+    from propertygraph_spark.kernel.extract import extract_document
+    probe = [(str(i), kgdocs.JAVA_TEMPLATES[i % 4] % i) for i in range(400)]
+    for d, s in probe[:50]:
+        extract_document(d, s)  # warm (regex/jit caches)
+    t0 = time.monotonic()
+    for d, s in probe:
+        extract_document(d, s)
+    hw_probe = round(len(probe) / (time.monotonic() - t0), 1)
+
     spark = get_spark("bench", cpus=cpus)
 
     def emb(_s, d):
@@ -137,6 +152,10 @@ def main() -> None:
         "q17_small_qty_revenue": lambda: relational.small_quantity_revenue(
             spark, sf_dir),
         "q21_last_shippers": lambda: relational.last_shipper_suppliers(
+            spark, sf_dir),
+        "q2_min_cost_supplier": lambda: relational.min_cost_supplier(
+            spark, sf_dir),
+        "q20_dominant_suppliers": lambda: relational.dominant_part_suppliers(
             spark, sf_dir),
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs(spark, sf_dir), threshold_pm=200),
@@ -326,6 +345,7 @@ def main() -> None:
     out = {
         "metric": "headline_total", "value": total, "unit": "sec",
         "queries": results, "sf": sf, "cpus": cpus,
+        "hw_probe_docs_per_sec": hw_probe,
         **extras,
     }
     print(json.dumps(out))

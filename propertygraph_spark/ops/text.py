@@ -13,6 +13,7 @@ deterministic string ops so Spark and DuckDB agree bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # Whitespace tokenization shared by every operator (filter drops the ''
 # artifacts split() produces on empty/trailing input).
@@ -321,3 +322,40 @@ def winnow_fingerprint(docs: DataFrame, k: int = 3,
         F.when(F.size(sel) > 0, F.md5(F.array_join(sel, "|")))
         .alias("fingerprint_md5"),
         n.cast("long").alias("n_ngrams"))
+
+
+def boilerplate_ngrams(docs: DataFrame, k: int = 3,
+                       top_n: int = 20) -> DataFrame:
+    """Boilerplate mining: the corpus's most repeated token k-grams with
+    occurrence + distinct-document counts — the phrases a pretraining
+    cleaner would strip (headers, disclaimers, templated chrome).
+
+    Scale shape: the JVM-side NGram shingle array explodes map-side into
+    one (shingle) agg with partial map-side combine; the global top-N is
+    TakeOrderedAndProject (no single-partition window), so the op is one
+    shuffle end to end regardless of corpus size. Ties break by shingle
+    text, so the cut is total and deterministic."""
+    sh = with_shingle_arr(docs.select("doc_id", "text"), k)
+    counts = (sh.select("doc_id", F.explode("sh").alias("shingle"))
+              .groupBy("shingle")
+              .agg(F.count("*").alias("n_occurrences"),
+                   F.countDistinct("doc_id").alias("n_docs")))
+    return (counts
+            .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+            .limit(top_n))
+
+
+def zipf_topk(docs: DataFrame, top_n: int = 30) -> DataFrame:
+    """Zipf head of the corpus: top-N whitespace tokens by frequency with
+    their rank — the vocabulary curve a tokenizer-induction pass reads
+    first. The global agg is one shuffle with map-side partials; the
+    rank window runs AFTER the TakeOrdered cut, over exactly ``top_n``
+    rows, so the single-partition window never sees corpus-scale data."""
+    toks = tokens_col()
+    counts = (docs.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n_occurrences"))
+              .orderBy(F.desc("n_occurrences"), F.asc("token"))
+              .limit(top_n))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w)) \
+                 .select("rank", "token", "n_occurrences")

@@ -579,3 +579,25 @@ def test_triangle_count_scoped(spark):
     out = {r["scope"]: r["n_triangles"]
            for r in triangle_count(edges, scope="scope").collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_boilerplate_ngrams_finds_shared_phrase(spark):
+    from propertygraph_spark.ops.text import boilerplate_ngrams
+    rows = [(i, f"unique{i} words here all rights reserved contact us")
+            for i in range(6)] + [(99, "totally different content entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = boilerplate_ngrams(docs, k=3, top_n=3).collect()
+    assert top[0]["shingle"] == "all rights reserved"
+    assert top[0]["n_occurrences"] == 6 and top[0]["n_docs"] == 6
+    # deterministic tie-break: equal-count shingles come lexicographically
+    assert top[1]["shingle"] < top[2]["shingle"] or \
+        top[1]["n_occurrences"] > top[2]["n_occurrences"]
+
+
+def test_zipf_topk_ranks_by_frequency(spark):
+    from propertygraph_spark.ops.text import zipf_topk
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string")
+    out = zipf_topk(docs, top_n=3).collect()
+    assert [(r["rank"], r["token"], r["n_occurrences"]) for r in out] == \
+        [(1, "a", 4), (2, "b", 3), (3, "c", 1)]
