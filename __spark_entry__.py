@@ -210,11 +210,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_pack_sharded"] = _pack_sharded
 
-    from propertygraph_spark.ops.dataset import (sample_balanced,
+    from propertygraph_spark.ops.dataset import (sample_balanced, shuffle_shards,
                                                  sample_stratified)
     q["dataset_sample_stratified"] = lambda s, d: sample_stratified(
         _docs(s, d))
     q["dataset_sample_balanced"] = lambda s, d: sample_balanced(_docs(s, d))
+    q["dataset_shuffle"] = lambda s, d: shuffle_shards(_docs(s, d))
+    q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
+        _docs(s, d))
 
     return q
 
@@ -1255,6 +1258,47 @@ SELECT doc_id,
             ELSE 'train' END AS split,
        bucket_pm
 FROM b
+"""
+    # deterministic shuffle: shard = low 4 bits of the 12-hex-char md5
+    # prefix = the prefix's LAST hex char (mod 16 keeps only it)
+    o["dataset_shuffle"] = f"""
+WITH m AS (SELECT doc_id,
+                  md5('s0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+           FROM documents),
+s AS (SELECT doc_id, shuffle_key,
+             CAST({hx("substr(shuffle_key, 12, 1)")} AS BIGINT) AS shard
+      FROM m)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS pos,
+       shuffle_key
+FROM s
+"""
+    # CMS bucket: value-mod-256 of the 12-hex-char md5 prefix = its last
+    # two hex chars as a byte (16^2 divides 16^12)
+    cms_bucket = (f"CAST(({hx('substr(h, 11, 1)')} * 16"
+                  f" + {hx('substr(h, 12, 1)')}) AS BIGINT)")
+    o["text_heavy_hitters"] = f"""
+WITH tok AS (SELECT unnest({_sql_tokens()}) AS token FROM documents),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM tok GROUP BY token),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+hashed AS (SELECT token, n_occurrences, r,
+                  md5(CAST(r AS VARCHAR) || ':' || token) AS h
+           FROM counts, rows_),
+cells AS (SELECT r, {cms_bucket} AS bucket,
+                 CAST(sum(n_occurrences) AS BIGINT) AS cell
+          FROM hashed GROUP BY 1, 2),
+top AS (SELECT token, n_occurrences FROM counts
+        ORDER BY n_occurrences DESC, token LIMIT 20),
+probe AS (SELECT t.token, t.n_occurrences, h.r, {cms_bucket} AS bucket
+          FROM top t JOIN (SELECT token, r, h FROM hashed) h
+            ON t.token = h.token)
+SELECT p.token AS token, p.n_occurrences AS n_occurrences,
+       CAST(min(c.cell) AS BIGINT) AS cms_estimate
+FROM probe p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY 1, 2 ORDER BY n_occurrences DESC, token
 """
     o["dataset_sample_stratified"] = f"""
 WITH m AS (SELECT doc_id, lang,

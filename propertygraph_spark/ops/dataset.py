@@ -117,3 +117,27 @@ def sample_balanced(docs: DataFrame, strata: str = "lang",
             .filter(F.col("rk") <= per_stratum)
             .select("doc_id", "stratum", F.col("rk").cast("long").alias("rk"))
             .orderBy("stratum", "rk"))
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 16,
+                   seed: str = "s0") -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every doc gets an md5 sort key from (seed, doc_id), a shard from the
+    key's low bits, and a position within its shard — together a stable
+    pseudo-random permutation that any engine reproduces bit-for-bit
+    (reshuffling = changing ``seed``; no RNG state, no collect).
+
+    Scale shape: shard assignment is map-only; the within-shard
+    row_number windows on the shard column, so each of the n_shards
+    sorts runs where its rows live — no global single-partition sort.
+    At 100 TB you'd raise n_shards to O(output files), keeping every
+    per-shard sort memory-bounded."""
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col("doc_id").cast("string")))
+    shard = F.pmod(F.conv(F.substring(key, 1, 12), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (docs.select("doc_id", key.alias("shuffle_key"),
+                        shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "pos", "shuffle_key"))

@@ -359,3 +359,39 @@ def zipf_topk(docs: DataFrame, top_n: int = 30) -> DataFrame:
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return counts.withColumn("rank", F.row_number().over(w)) \
                  .select("rank", "token", "n_occurrences")
+
+
+def heavy_hitters_cms(docs: DataFrame, depth: int = 4, width: int = 256,
+                      top_n: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters: build a (depth x width) CMS over
+    the token stream with md5-derived row hashes (deterministic — the
+    DuckDB twin reproduces every cell), then report the exact top-N
+    tokens alongside their CMS estimate (estimate >= exact always; the
+    gap is the sketch's collision overcount).
+
+    Scale shape: the sketch is built FROM the token-count table, not the
+    raw stream — one token agg (map-side partials), then a depth-way
+    explode into depth*width cells: the whole sketch is ~1k rows no
+    matter the corpus size, which is the point of a CMS on 100 TB. The
+    probe side broadcasts (top_n rows)."""
+    counts = (docs.select(F.explode(tokens_col()).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n_occurrences")))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("r").cast("string"), F.lit(":"),
+                           F.col("token"))), 1, 12), 16, 10).cast("long"),
+        F.lit(width))
+    cells = (counts.select("token", "n_occurrences", rows)
+             .select("r", bucket.alias("bucket"), "n_occurrences")
+             .groupBy("r", "bucket")
+             .agg(F.sum("n_occurrences").alias("cell")))
+    top = (counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+           .limit(top_n))
+    probe = (top.select("token", "n_occurrences", rows)
+             .select("token", "n_occurrences", "r", bucket.alias("bucket")))
+    est = (cells.join(F.broadcast(probe), ["r", "bucket"])
+           .groupBy("token", "n_occurrences")
+           .agg(F.min("cell").alias("cms_estimate")))
+    return est.select("token", "n_occurrences", "cms_estimate") \
+              .orderBy(F.desc("n_occurrences"), F.asc("token"))

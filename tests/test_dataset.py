@@ -119,3 +119,22 @@ def test_sample_balanced_quota_per_stratum(docs):
     again = sample_balanced(d.repartition(7), per_stratum=10).collect()
     assert sorted((r["doc_id"], r["rk"]) for r in out) == \
            sorted((r["doc_id"], r["rk"]) for r in again)
+
+
+def test_shuffle_shards_is_a_deterministic_permutation(spark, docs):
+    from propertygraph_spark.ops.dataset import shuffle_shards
+    a = shuffle_shards(docs, n_shards=4).collect()
+    b = shuffle_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+    # every doc exactly once; per-shard positions are dense 1..n
+    assert len({r["doc_id"] for r in a}) == len(a)
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # a different seed reorders (permutation changes)
+    c = shuffle_shards(docs, n_shards=4, seed="other").collect()
+    key_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    key_c = {r["doc_id"]: (r["shard"], r["pos"]) for r in c}
+    assert key_a != key_c

@@ -601,3 +601,14 @@ def test_zipf_topk_ranks_by_frequency(spark):
     out = zipf_topk(docs, top_n=3).collect()
     assert [(r["rank"], r["token"], r["n_occurrences"]) for r in out] == \
         [(1, "a", 4), (2, "b", 3), (3, "c", 1)]
+
+
+def test_heavy_hitters_cms_overcounts_never_under(spark):
+    from propertygraph_spark.ops.text import heavy_hitters_cms
+    docs = spark.createDataFrame(
+        [(1, "x x x x y y z"), (2, "x y w v u t s r q p o n m")],
+        "doc_id long, text string")
+    out = heavy_hitters_cms(docs, top_n=5).collect()
+    assert out[0]["token"] == "x" and out[0]["n_occurrences"] == 5
+    for r in out:  # CMS property: estimate is an upper bound
+        assert r["cms_estimate"] >= r["n_occurrences"], r
