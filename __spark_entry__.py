@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_pagerank"] = lambda s, d: kgdocs.pagerank_by_rank(_docs(s, d))
     q["kg_triangles"] = lambda s, d: kgdocs.triangles_by_template(
         _docs(s, d))
+    q["kg_kcore"] = lambda s, d: kgdocs.kcore_by_template(_docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_canonical_entities"] = kgdocs.canonical_oracle_sql()
     o["kg_pagerank"] = kgdocs.pagerank_oracle_sql()
     o["kg_triangles"] = kgdocs.triangles_oracle_sql()
+    o["kg_kcore"] = kgdocs.kcore_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

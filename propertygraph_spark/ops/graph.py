@@ -134,3 +134,35 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
         return tri.groupBy(*[F.col(f"w.{k}").alias(k) for k in keys]) \
                   .agg(F.count("*").alias("n_triangles"))
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def kcore_nodes(edges: DataFrame, k: int = 2, src: str = "src",
+                dst: str = "dst", scope: str | None = None,
+                max_iter: int = 50) -> DataFrame:
+    """Members of the k-core of the undirected simple graph (self-loops
+    dropped): iterative peeling — drop every node with degree < k,
+    delete its edges, repeat to fixpoint. Rounds = peeling depth of the
+    deepest subgraph, not corpus size; each round is one degree agg and
+    one broadcast-able anti-join per endpoint, hashed on the scope so
+    disjoint subgraphs peel where they live."""
+    keys = [scope] if scope else []
+    und = (edges.filter(F.col(src) != F.col(dst))
+           .select(*keys,
+                   F.least(F.col(src), F.col(dst)).alias("u"),
+                   F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        deg = (und.select(*keys, F.col("u").alias("node"))
+               .unionByName(und.select(*keys, F.col("v").alias("node")))
+               .groupBy(*keys, "node").agg(F.count("*").alias("deg")))
+        bad = deg.filter(F.col("deg") < k).select(*keys, "node")
+        if bad.isEmpty():
+            break
+        und = (und.join(bad.withColumnRenamed("node", "u"),
+                        keys + ["u"], "left_anti")
+               .join(bad.withColumnRenamed("node", "v"),
+                     keys + ["v"], "left_anti")
+               .localCheckpoint(eager=True))
+    return (und.select(*keys, F.col("u").alias("node"))
+            .unionByName(und.select(*keys, F.col("v").alias("node")))
+            .distinct())

@@ -62,6 +62,7 @@ TEMPLATE_LINK_OCCURRENCES: dict[int, list] = {}          # filled below
 # distributed run must be bit-identical)
 TEMPLATE_PAGERANK_HIST: dict[int, dict[int, int]] = {}   # filled below
 TEMPLATE_TRIANGLES: dict[int, int] = {}                  # filled below
+TEMPLATE_KCORE_NODES: dict[int, int] = {}                # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -100,6 +101,25 @@ def _triangle_count(triples: list) -> int:
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     return sum(len(adj[a] & adj[b]) for a, b in und) // 3
+
+
+def _kcore_size(triples: list, k: int = 2) -> int:
+    """Host replay of ops/graph.py kcore_nodes: peel degree<k nodes of
+    the undirected simple pdg_data graph to fixpoint."""
+    und = {(min(a, b), max(a, b))
+           for a, b in ((t["subj"], t["obj"])
+                        for t in triples if t["pred"] == "pdg_data")
+           if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            break
+        und = {(a, b) for a, b in und if a not in bad and b not in bad}
+    return len({x for e in und for x in e})
 
 
 def _closure_pairs(triples: list) -> int:
@@ -144,6 +164,7 @@ def _freeze_constants() -> None:
         TEMPLATE_CLOSURE_PAIRS[tpl] = _closure_pairs(triples)
         TEMPLATE_PAGERANK_HIST[tpl] = _pagerank_hist(triples)
         TEMPLATE_TRIANGLES[tpl] = _triangle_count(triples)
+        TEMPLATE_KCORE_NODES[tpl] = _kcore_size(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -291,6 +312,27 @@ def triangles_by_template(documents: DataFrame) -> DataFrame:
             .groupBy("tpl")
             .agg(F.count("*").alias("n_methods"),
                  F.sum("n_triangles").alias("n_triangles"))
+            .orderBy("tpl"))
+
+
+def kcore_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed 2-core decomposition (ops/graph.py kcore_nodes:
+    iterative degree peeling) across every method's pdg_data graph,
+    rolled up to (template, core-node count)."""
+    from propertygraph_spark.ops.graph import kcore_nodes
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "pdg_data")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    members = kcore_nodes(edges, k=2, scope="method_id")
+    doc_of = F.split(F.col("method_id"), "#").getItem(0)
+    return (members
+            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .groupBy("tpl")
+            .agg(F.count("*").alias("n_core_nodes"))
             .orderBy("tpl"))
 
 
@@ -480,6 +522,20 @@ SELECT c.tpl AS tpl, t.n AS n_methods,
        CAST(t.n * c.tri AS BIGINT) AS n_triangles
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.tri > 0
+ORDER BY c.tpl
+"""
+
+
+def kcore_oracle_sql() -> str:
+    values = ", ".join(f"({tpl}, {n})"
+                       for tpl, n in TEMPLATE_KCORE_NODES.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, core) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.core AS BIGINT) AS n_core_nodes
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.core > 0
 ORDER BY c.tpl
 """
 

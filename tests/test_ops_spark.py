@@ -612,3 +612,17 @@ def test_heavy_hitters_cms_overcounts_never_under(spark):
     assert out[0]["token"] == "x" and out[0]["n_occurrences"] == 5
     for r in out:  # CMS property: estimate is an upper bound
         assert r["cms_estimate"] >= r["n_occurrences"], r
+
+
+def test_kcore_peeling_matches_host_replay(spark):
+    from propertygraph_spark.ops.graph import kcore_nodes
+    from propertygraph_spark.ops.kgdocs import _kcore_size
+    # triangle with a pendant chain (peels in 2 rounds) + a square
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5),
+           (10, 11), (11, 12), (12, 13), (13, 10)]
+    triples = [{"pred": "pdg_data", "subj": a, "obj": b} for a, b in raw]
+    edges = spark.createDataFrame([("m", a, b) for a, b in raw],
+                                  "scope string, src long, dst long")
+    got = kcore_nodes(edges, k=2, scope="scope").collect()
+    assert len(got) == _kcore_size(triples) == 7  # triangle + square
+    assert {r["node"] for r in got} == {1, 2, 3, 10, 11, 12, 13}
