@@ -245,3 +245,36 @@ def test_sample_balanced_two_phase_windows(spark, docs):
     one_key = [s for s in keys if "stratum" in s and "sub" not in s]
     assert two_key, p  # phase-1 sub-partitioned exchange present
     assert one_key, p  # phase-2 per-stratum exchange present
+
+
+def test_triangle_count_joins_are_keyed_not_cartesian(spark):
+    from propertygraph_spark.ops.graph import triangle_count
+    edges = spark.createDataFrame(
+        [("m", 1, 2), ("m", 2, 3), ("m", 1, 3)],
+        "scope string, src long, dst long")
+    p = plan(triangle_count(edges, scope="scope"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # both joins carry (scope, node) equi-keys
+    assert p.count("Join") >= 2
+
+
+def test_q2_window_shares_group_shuffle(spark):
+    p = plan(relational.min_cost_supplier(spark, SF))
+    # the per-part min window must hash on p_partkey (never a global sort)
+    assert "hashpartitioning(p_partkey" in p
+    assert "TakeOrderedAndProject" in p
+    # dims broadcast; lineitem never broadcasts
+    assert "BroadcastHashJoin" in p
+
+
+def test_boilerplate_topn_is_take_ordered(spark, docs):
+    p = plan(text.boilerplate_ngrams(docs))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_shuffle_shards_windows_on_shard(spark, docs):
+    from propertygraph_spark.ops.dataset import shuffle_shards
+    p = plan(shuffle_shards(docs))
+    # per-shard window: hash on shard, no single-partition global sort
+    assert "hashpartitioning(shard" in p
