@@ -127,6 +127,7 @@ def main() -> None:
     # --- round-2 additions, timed OUTSIDE the headline total so the
     #     headline stays comparable with BENCH_r01 (judge diffs totals);
     #     "extended_total" carries their sum ---
+    from propertygraph_spark.ops.dataset import shuffle_shards
     from propertygraph_spark.ops.multimodal import feature_extract, frame_sample
     extended = {
         "q7_volume_shipping": lambda: relational.volume_shipping(spark, sf_dir),
@@ -167,6 +168,11 @@ def main() -> None:
         "media_features": lambda: feature_extract(
             synthesize_media(docs(spark, sf_dir))),
         "text_pii_scrub": lambda: text.pii_scrub(docs(spark, sf_dir)),
+        "text_boilerplate": lambda: text.boilerplate_ngrams(
+            docs(spark, sf_dir)),
+        "text_zipf": lambda: text.zipf_topk(docs(spark, sf_dir)),
+        "text_heavy_hitters": lambda: text.heavy_hitters_cms(
+            docs(spark, sf_dir)),
         "text_contamination": lambda: text.contamination_check(
             docs(spark, sf_dir)),
         "text_repetition": lambda: text.repetition_ratio(
@@ -175,6 +181,7 @@ def main() -> None:
             docs(spark, sf_dir)),
         "emb_matryoshka": lambda: similarity.matryoshka_truncate(
             emb(spark, sf_dir)),
+        "dataset_shuffle": lambda: shuffle_shards(docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():
@@ -195,6 +202,29 @@ def main() -> None:
     results["pipeline_full"] = round(time.monotonic() - t0, 3)
     extras["pipeline_triples"] = pipe_metrics["total"]
     extras["pipeline_stage_times"] = pipe_metrics["stage_times"]
+
+    # --- graph analytics over the materialized edge table (the consumer
+    #     pattern: read the pipeline's output, no re-extract). ~1M
+    #     pdg_data edges across ~160k disjoint method graphs at sf0.1 —
+    #     real fan-out for the scoped iterative operators. ---
+    from propertygraph_spark.ops.graph import (kcore_nodes, pagerank_int,
+                                               triangle_count)
+    pdg_edges = (spark.read.parquet(os.path.join(out_dir, "edges"))
+                 .filter(F.col("pred") == "pdg_data")
+                 .select("method_id", F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+    ga: dict = {}
+    t0 = time.monotonic()
+    _noop(pagerank_int(pdg_edges, scope="method_id"))
+    ga["pagerank_3iter_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _noop(triangle_count(pdg_edges, scope="method_id"))
+    ga["triangles_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _noop(kcore_nodes(pdg_edges, scope="method_id"))
+    ga["kcore2_sec"] = round(time.monotonic() - t0, 3)
+    ga["pdg_edges"] = pdg_edges.count()
+    extras["graph_analytics"] = ga
 
     # --- end-to-end training-set export (quality -> dedup keepers ->
     #     split -> pack -> partitioned write), the composition capstone ---
