@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q21_last_shippers"] = relational.last_shipper_suppliers
     q["q2_min_cost_supplier"] = relational.min_cost_supplier
     q["q20_dominant_suppliers"] = relational.dominant_part_suppliers
+    q["events_weekly_retention"] = relational.weekly_retention
+    q["events_top_per_user"] = relational.top_events_per_user
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -645,6 +647,24 @@ FROM dom
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY 1, 2 ORDER BY s_name
+"""
+    o["events_weekly_retention"] = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events)
+SELECT a.week AS week, count(*) AS n_active,
+       CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_retained_next_week
+FROM uw a
+LEFT JOIN uw b ON a.user_id = b.user_id
+              AND b.week = a.week + INTERVAL 7 DAY
+GROUP BY a.week ORDER BY week
+"""
+    o["events_top_per_user"] = """
+SELECT user_id, rk, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rk
+      FROM events) t
+WHERE rk <= 3 ORDER BY user_id, rk
 """
     o["q10_returned_items"] = """
 SELECT c_custkey, c_name, n_name,

@@ -728,3 +728,42 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str,
             .select("s_name", "n_name", "n_dominated_parts",
                     "dominated_qty")
             .orderBy("s_name"))
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: of the users active in week w, how many were
+    active again in week w+1 (the growth-analytics staple). One distinct
+    agg to (user, week), then a self-equi-join on (user, week+7d) —
+    hashes on user_id both sides, so the join co-partitions with the
+    agg and no pair blowup is possible (rows are distinct by key).
+    Week boundaries via date_trunc('week') — NTZ arithmetic, session-TZ
+    independent."""
+    ev = _t(spark, sf_dir, "events")
+    uw = (ev.select("user_id",
+                    F.date_trunc("week", "ts").alias("week"))
+          .distinct())
+    nxt = uw.select("user_id",
+                    (F.col("week") - F.expr("INTERVAL 7 DAYS"))
+                    .alias("week"))
+    return (uw.join(nxt.withColumn("retained", F.lit(1)),
+                    ["user_id", "week"], "left")
+            .groupBy("week")
+            .agg(F.count("*").alias("n_active"),
+                 F.sum(F.coalesce(F.col("retained"), F.lit(0)))
+                 .alias("n_retained_next_week"))
+            .orderBy("week"))
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str,
+                        k: int = 3) -> DataFrame:
+    """Per-user top-k events by value (grouped top-k): one window
+    ranked on the user hash — the partitioned form of top-k that never
+    funnels through a single task, unlike a global sort. Deterministic
+    tie-break on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                              F.asc("event_id"))
+    return (ev.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("user_id", "rk", "event_id", "event_type", "value")
+            .orderBy("user_id", "rk"))

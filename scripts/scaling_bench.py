@@ -114,13 +114,40 @@ def run_mp_level(procs: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    r8s, r32s = [], []
-    for _ in range(3):  # interleaved rounds
-        r8s.append(run_spark_level(8, sf_dir))
-        r32s.append(run_spark_level(32, sf_dir))
+    # Resumable accumulation: each invocation runs SCALE_ROUNDS (default
+    # 3) interleaved (8, 32) rounds, merges them into SCALE_STATE (if
+    # set), and renders BASELINE.md from everything accumulated so far.
+    # Lets the full 3-round protocol run as short sequential slices on
+    # hosts that cap per-command wall time.
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
+    levels = [int(x) for x in
+              os.environ.get("SCALE_LEVELS", "8,32").split(",") if x]
+    with_mp = os.environ.get("SCALE_MP", "1") == "1"
+    state_path = os.environ.get("SCALE_STATE", "")
+    state = {"r8s": [], "r32s": [], "m8s": [], "m32s": []}
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    r8s, r32s = state["r8s"], state["r32s"]
+    for _ in range(rounds):  # interleaved rounds
+        if 8 in levels:
+            r8s.append(run_spark_level(8, sf_dir))
+        if 32 in levels:
+            r32s.append(run_spark_level(32, sf_dir))
+    m8s = state["m8s"] + ([run_mp_level(8) for _ in range(3)]
+                          if with_mp else [])
+    m32s = state["m32s"] + ([run_mp_level(32) for _ in range(3)]
+                            if with_mp else [])
+    if state_path:
+        with open(state_path, "w") as f:
+            json.dump({"r8s": r8s, "r32s": r32s,
+                       "m8s": m8s, "m32s": m32s}, f)
+    if not (r8s and r32s and m8s and m32s):
+        print(json.dumps({"partial": True, "r8": len(r8s),
+                          "r32": len(r32s), "m8": len(m8s),
+                          "m32": len(m32s)}))
+        return
     r8, r32 = _best(r8s), _best(r32s)
-    m8s = [run_mp_level(8) for _ in range(3)]
-    m32s = [run_mp_level(32) for _ in range(3)]
     m8 = max(m8s, key=lambda r: r["docs_per_sec"])
     m32 = max(m32s, key=lambda r: r["docs_per_sec"])
     eff = r32["docs_per_sec_warm"] / (4 * r8["docs_per_sec_warm"])
