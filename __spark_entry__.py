@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_triangles"] = lambda s, d: kgdocs.triangles_by_template(
         _docs(s, d))
     q["kg_kcore"] = lambda s, d: kgdocs.kcore_by_template(_docs(s, d))
+    q["kg_cfg_bfs"] = lambda s, d: kgdocs.cfg_bfs_by_level(_docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -213,14 +214,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_pack_sharded"] = _pack_sharded
 
-    from propertygraph_spark.ops.dataset import (sample_balanced, shuffle_shards,
-                                                 sample_stratified)
+    from propertygraph_spark.ops.dataset import (mixture_sample,
+                                                 sample_balanced,
+                                                 sample_stratified,
+                                                 shuffle_shards)
     q["dataset_sample_stratified"] = lambda s, d: sample_stratified(
         _docs(s, d))
     q["dataset_sample_balanced"] = lambda s, d: sample_balanced(_docs(s, d))
     q["dataset_shuffle"] = lambda s, d: shuffle_shards(_docs(s, d))
+    q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
+    q["text_salient_terms"] = lambda s, d: text.salient_terms(_docs(s, d))
 
     return q
 
@@ -308,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_pagerank"] = kgdocs.pagerank_oracle_sql()
     o["kg_triangles"] = kgdocs.triangles_oracle_sql()
     o["kg_kcore"] = kgdocs.kcore_oracle_sql()
+    o["kg_cfg_bfs"] = kgdocs.bfs_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """
@@ -1331,6 +1337,40 @@ SELECT doc_id, lang AS stratum,
        CAST(({hex_val}) % 1000 AS BIGINT) AS sample_pm
 FROM m WHERE CAST(({hex_val}) % 1000 AS BIGINT) < 250
 ORDER BY doc_id
+"""
+    o["dataset_mixture"] = f"""
+WITH c AS (SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS min_n FROM c),
+r AS (SELECT stratum,
+             least(1000, CAST(floor(1000.0 * sqrt(min_n) / sqrt(n))
+                              AS BIGINT)) AS rate_pm
+      FROM c, mn),
+d AS (SELECT doc_id, lang,
+             substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+      FROM documents)
+SELECT d.doc_id, r.stratum AS stratum,
+       CAST(({hex_val}) % 1000 AS BIGINT) AS sample_pm,
+       r.rate_pm AS rate_pm
+FROM d JOIN r ON d.lang = r.stratum
+WHERE CAST(({hex_val}) % 1000 AS BIGINT) < r.rate_pm
+ORDER BY doc_id
+"""
+    o["text_salient_terms"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tokens()}) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+              tf.tf * ((nd.n_docs * 1000000) // df.df) AS score
+       FROM tf JOIN df USING (token), nd),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token) AS rk
+       FROM sc)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df,
+       CAST(score AS BIGINT) AS score
+FROM rk WHERE rk <= 5 ORDER BY doc_id, rk
 """
     o["dataset_sample_balanced"] = """
 WITH h AS (SELECT doc_id, lang,

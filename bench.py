@@ -127,7 +127,7 @@ def main() -> None:
     # --- round-2 additions, timed OUTSIDE the headline total so the
     #     headline stays comparable with BENCH_r01 (judge diffs totals);
     #     "extended_total" carries their sum ---
-    from propertygraph_spark.ops.dataset import shuffle_shards
+    from propertygraph_spark.ops.dataset import mixture_sample, shuffle_shards
     from propertygraph_spark.ops.multimodal import feature_extract, frame_sample
     extended = {
         "q7_volume_shipping": lambda: relational.volume_shipping(spark, sf_dir),
@@ -182,6 +182,9 @@ def main() -> None:
         "emb_matryoshka": lambda: similarity.matryoshka_truncate(
             emb(spark, sf_dir)),
         "dataset_shuffle": lambda: shuffle_shards(docs(spark, sf_dir)),
+        "dataset_mixture": lambda: mixture_sample(docs(spark, sf_dir)),
+        "text_salient_terms": lambda: text.salient_terms(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():
@@ -207,8 +210,8 @@ def main() -> None:
     #     pattern: read the pipeline's output, no re-extract). ~1M
     #     pdg_data edges across ~160k disjoint method graphs at sf0.1 —
     #     real fan-out for the scoped iterative operators. ---
-    from propertygraph_spark.ops.graph import (kcore_nodes, pagerank_int,
-                                               triangle_count)
+    from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
+                                               pagerank_int, triangle_count)
     pdg_edges = (spark.read.parquet(os.path.join(out_dir, "edges"))
                  .filter(F.col("pred") == "pdg_data")
                  .select("method_id", F.col("subj").alias("src"),
@@ -223,6 +226,13 @@ def main() -> None:
     t0 = time.monotonic()
     _noop(kcore_nodes(pdg_edges, scope="method_id"))
     ga["kcore2_sec"] = round(time.monotonic() - t0, 3)
+    cfg_edges = (spark.read.parquet(os.path.join(out_dir, "edges"))
+                 .filter(F.col("pred").startswith("cfg_"))
+                 .select("method_id", F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+    t0 = time.monotonic()
+    _noop(bfs_levels(cfg_edges, scope="method_id"))
+    ga["cfg_bfs_sec"] = round(time.monotonic() - t0, 3)
     ga["pdg_edges"] = pdg_edges.count()
     extras["graph_analytics"] = ga
 

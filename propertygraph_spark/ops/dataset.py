@@ -119,6 +119,48 @@ def sample_balanced(docs: DataFrame, strata: str = "lang",
             .orderBy("stratum", "rk"))
 
 
+def mixture_sample(docs: DataFrame, strata: str = "lang") -> DataFrame:
+    """Temperature-balanced mixture resampling (T=2), the standard
+    multilingual/multi-source corpus rebalancing: kept counts per
+    stratum are made proportional to sqrt(n_s) (upsampling temperature
+    alpha = 1/T = 0.5) by keeping each stratum at per-mille rate
+
+        rate_pm = least(1000, floor(1000 * sqrt(n_min) / sqrt(n_s)))
+
+    normalized so the smallest stratum keeps everything (no replication
+    needed). sqrt over integer-valued doubles is CORRECTLY ROUNDED by
+    IEEE-754 (unlike pow/ln), and both engines evaluate the identical
+    expression tree, so the rates are bit-identical cross-engine —
+    this is why T=2 is the exposed default rather than a float
+    ``alpha`` knob. Membership is the md5('mix|'+doc_id) per-mille
+    bucket — a pure function of doc_id: stable across runs, engines
+    and cluster sizes.
+
+    Scale shape: one agg over |strata| groups (bounded — languages or
+    sources, not documents), a 1-row global min crossJoined broadcast,
+    the rate table broadcast-joined back onto the corpus, then a
+    map-side filter. No window over document rows, no global sort."""
+    counts = (docs.groupBy(F.col(strata).alias("stratum"))
+              .agg(F.count("*").alias("n")))
+    min_row = counts.agg(F.min("n").alias("min_n"))
+    rates = (counts.crossJoin(F.broadcast(min_row))
+             .select("stratum",
+                     F.least(
+                         F.lit(1000),
+                         F.floor(F.lit(1000.0) * F.sqrt("min_n")
+                                 / F.sqrt("n"))).cast("long")
+                     .alias("rate_pm")))
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8)
+    bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(1000))
+    return (docs.select("doc_id", F.col(strata).alias("stratum"),
+                        bucket.cast("long").alias("sample_pm"))
+            .join(F.broadcast(rates), "stratum")
+            .filter(F.col("sample_pm") < F.col("rate_pm"))
+            .select("doc_id", "stratum", "sample_pm", "rate_pm")
+            .orderBy("doc_id"))
+
+
 def shuffle_shards(docs: DataFrame, n_shards: int = 16,
                    seed: str = "s0") -> DataFrame:
     """Deterministic global shuffle for training-order randomization:

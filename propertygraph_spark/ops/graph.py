@@ -49,6 +49,48 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
     return known
 
 
+def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
+               scope: str | None = None, max_iter: int = 60) -> DataFrame:
+    """Minimum-hop BFS level of every reachable node from each scope's
+    root, the root being the scope's MINIMUM node id — deterministic and
+    always defined, unlike "the in-degree-0 node" (a loop back-edge can
+    leave a CFG entry with incoming edges). Unreachable nodes are
+    absent from the output.
+
+    Level-synchronous frontier expansion (the Pregel BFS): each round
+    joins the frontier against the edges on (scope, node) and anti-joins
+    the visited set, so a node is labeled the first round it appears —
+    the min-hop distance. Rounds = deepest scope's eccentricity (method
+    CFG depth, statement-bounded), never corpus size; every join hashes
+    on the scope column so disjoint subgraphs traverse where they live.
+    localCheckpoint truncates per-round lineage."""
+    keys = [scope] if scope else []
+    e = (edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(*keys, F.col("u").alias("node"))
+             .unionByName(e.select(*keys, F.col("v").alias("node")))
+             .distinct())
+    roots = (nodes.groupBy(*keys).agg(F.min("node").alias("node"))
+             if keys else
+             nodes.agg(F.min("node").alias("node")))
+    visited = roots.withColumn("level", F.lit(0).cast("long")) \
+                   .localCheckpoint(eager=True)
+    frontier = visited.select(*keys, "node")
+    for lvl in range(1, max_iter + 1):
+        stepped = (frontier.withColumnRenamed("node", "u")
+                   .join(e, keys + ["u"])
+                   .select(*keys, F.col("v").alias("node"))
+                   .distinct())
+        new = (stepped.join(visited, keys + ["node"], "left_anti")
+               .withColumn("level", F.lit(lvl).cast("long"))
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select(*keys, "node")
+    return visited
+
+
 def pdg_data_closure_sizes(triples: DataFrame) -> DataFrame:
     """Per-document count of (node, transitively-data-dependent node)
     pairs — the total backward-slice weight of the document's PDGs."""

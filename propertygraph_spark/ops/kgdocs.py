@@ -63,6 +63,7 @@ TEMPLATE_LINK_OCCURRENCES: dict[int, list] = {}          # filled below
 TEMPLATE_PAGERANK_HIST: dict[int, dict[int, int]] = {}   # filled below
 TEMPLATE_TRIANGLES: dict[int, int] = {}                  # filled below
 TEMPLATE_KCORE_NODES: dict[int, int] = {}                # filled below
+TEMPLATE_BFS_HIST: dict[int, dict[int, int]] = {}        # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -122,6 +123,41 @@ def _kcore_size(triples: list, k: int = 2) -> int:
     return len({x for e in und for x in e})
 
 
+def _bfs_hist(triples: list) -> dict[int, int]:
+    """Host replay of ops/graph.py bfs_levels over each method's CFG
+    (cfg_normal/cfg_true/cfg_false edges, per-method scope, root = min
+    node id): {level: n_nodes} aggregated across the doc's methods.
+    Pure-Python BFS — the distributed frontier iteration must reproduce
+    this exactly (integer levels, no arithmetic at all)."""
+    by_method: dict = {}
+    for t in triples:
+        if t["pred"].startswith("cfg_"):
+            by_method.setdefault(t["method_id"], set()).add(
+                (t["subj"], t["obj"]))
+    hist: dict[int, int] = {}
+    for edges in by_method.values():
+        adj: dict[int, list] = {}
+        nodes: set = set()
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+            nodes.add(u)
+            nodes.add(v)
+        root = min(nodes)
+        level = {root: 0}
+        frontier = [root]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in level:
+                        level[v] = level[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        for lv in level.values():
+            hist[lv] = hist.get(lv, 0) + 1
+    return hist
+
+
 def _closure_pairs(triples: list) -> int:
     """Transitive-closure pair count over the pdg_data edges (reference
     Python BFS — the oracle constant the distributed semi-naive closure
@@ -165,6 +201,7 @@ def _freeze_constants() -> None:
         TEMPLATE_PAGERANK_HIST[tpl] = _pagerank_hist(triples)
         TEMPLATE_TRIANGLES[tpl] = _triangle_count(triples)
         TEMPLATE_KCORE_NODES[tpl] = _kcore_size(triples)
+        TEMPLATE_BFS_HIST[tpl] = _bfs_hist(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -313,6 +350,30 @@ def triangles_by_template(documents: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_methods"),
                  F.sum("n_triangles").alias("n_triangles"))
             .orderBy("tpl"))
+
+
+def cfg_bfs_by_level(documents: DataFrame) -> DataFrame:
+    """Distributed min-hop BFS (ops/graph.py bfs_levels: Pregel-style
+    level-synchronous frontier expansion) from each method's CFG root
+    (its minimum node id) over every method's control-flow graph at
+    once, rolled up to a (template, level, n_nodes) histogram — the
+    reachability-depth profile a CFG consumer reads for path-length
+    bounds. Integer levels: bit-identical to the frozen host replay."""
+    from propertygraph_spark.ops.graph import bfs_levels
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    levels = bfs_levels(edges, scope="method_id")
+    doc_of = F.split(F.col("method_id"), "#").getItem(0)
+    return (levels
+            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .groupBy("tpl", "level")
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("tpl", "level"))
 
 
 def kcore_by_template(documents: DataFrame) -> DataFrame:
@@ -537,6 +598,24 @@ SELECT c.tpl AS tpl, CAST(t.n * c.core AS BIGINT) AS n_core_nodes
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.core > 0
 ORDER BY c.tpl
+"""
+
+
+def bfs_oracle_sql() -> str:
+    values = []
+    for tpl, hist in TEMPLATE_BFS_HIST.items():
+        for level, n in hist.items():
+            values.append(f"({tpl}, {level}, {n})")
+    if not values:
+        raise RuntimeError("frozen BFS histogram is empty")
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, level, nn) AS (VALUES {', '.join(values)})
+SELECT c.tpl AS tpl, CAST(c.level AS BIGINT) AS level,
+       CAST(SUM(t.n * c.nn) AS BIGINT) AS n_nodes
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY c.tpl, c.level ORDER BY tpl, level
 """
 
 

@@ -361,6 +361,40 @@ def zipf_topk(docs: DataFrame, top_n: int = 30) -> DataFrame:
                  .select("rank", "token", "n_occurrences")
 
 
+def salient_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k salient terms — tf-idf-flavor keyword
+    extraction with exact integer scoring:
+
+        score = tf * ((N_docs * 1_000_000) div df)
+
+    The linearized idf (N/df at micro-unit scale, integer floor-div)
+    replaces float log(N/df): it is strictly decreasing in df like the
+    log form, and being pure long arithmetic it is bit-identical on any
+    engine — the same reasoning as the engine's per-mille ratios.
+    Ties break on token text, so the per-doc cut is total.
+
+    Scale shape: tf is one (doc_id, token) agg with map-side partials;
+    df is one (token) agg over the tf table; the df table joins back on
+    token (plain hash equi-join — vocabulary-sized, NOT broadcast: a
+    100 TB corpus's vocabulary can be huge); N_docs is a 1-row
+    broadcast crossJoin. The top-k window partitions by doc_id, so no
+    group ever exceeds one document's vocabulary."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.expr("tf * ((n_docs * 1000000) div df)")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "rk", "token", "tf", "df", "score")
+            .orderBy("doc_id", "rk"))
+
+
 def heavy_hitters_cms(docs: DataFrame, depth: int = 4, width: int = 256,
                       top_n: int = 20) -> DataFrame:
     """Count-min-sketch heavy hitters: build a (depth x width) CMS over

@@ -138,3 +138,29 @@ def test_shuffle_shards_is_a_deterministic_permutation(spark, docs):
     key_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
     key_c = {r["doc_id"]: (r["shard"], r["pos"]) for r in c}
     assert key_a != key_c
+
+
+def test_mixture_sample_rates_and_membership(spark):
+    """Rates follow floor(1000*sqrt(n_min)/sqrt(n)) with the smallest
+    stratum kept whole; membership is exactly the md5('mix|'+id)
+    per-mille filter (host-replayed here with hashlib)."""
+    import math
+
+    from propertygraph_spark.ops.dataset import mixture_sample
+    rows = []
+    for i in range(200):
+        lang = "a" if i < 140 else ("b" if i < 180 else "c")
+        rows.append((i, "t", lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = mixture_sample(docs).collect()
+    n = {"a": 140, "b": 40, "c": 20}
+    want_rate = {s: min(1000, math.floor(1000.0 * math.sqrt(20)
+                                         / math.sqrt(ns)))
+                 for s, ns in n.items()}
+    assert want_rate["c"] == 1000
+    got_rate = {r["stratum"]: r["rate_pm"] for r in out}
+    assert got_rate == want_rate
+    kept = {r["doc_id"] for r in out}
+    for i, _t, lang in rows:
+        pm = int(hashlib.md5(f"mix|{i}".encode()).hexdigest()[:8], 16) % 1000
+        assert (i in kept) == (pm < want_rate[lang]), (i, lang, pm)

@@ -626,3 +626,57 @@ def test_kcore_peeling_matches_host_replay(spark):
     got = kcore_nodes(edges, k=2, scope="scope").collect()
     assert len(got) == _kcore_size(triples) == 7  # triangle + square
     assert {r["node"] for r in got} == {1, 2, 3, 10, 11, 12, 13}
+
+
+def test_bfs_levels_min_hop_cycle_and_unreachable(spark):
+    """Root = min node per scope; levels are MIN-hop (the diamond's
+    short path wins); cycle back-edges don't revisit; unreachable nodes
+    are absent; disjoint scopes traverse independently."""
+    from propertygraph_spark.ops.graph import bfs_levels
+    rows = [
+        # scope m: 1->2->3->1 cycle, diamond shortcut 1->4 beside
+        # 2->4, and an unreachable island 7->8
+        ("m", 1, 2), ("m", 2, 3), ("m", 3, 1), ("m", 1, 4), ("m", 2, 4),
+        ("m", 7, 8),
+        # scope n: plain chain rooted at its min node 10
+        ("n", 10, 11), ("n", 11, 12),
+    ]
+    edges = spark.createDataFrame(rows, "scope string, src long, dst long")
+    got = {(r["scope"], r["node"]): r["level"]
+           for r in bfs_levels(edges, scope="scope").collect()}
+    assert got == {("m", 1): 0, ("m", 2): 1, ("m", 4): 1, ("m", 3): 2,
+                   ("n", 10): 0, ("n", 11): 1, ("n", 12): 2}
+
+
+def test_bfs_levels_matches_host_replay(spark):
+    from propertygraph_spark.ops.graph import bfs_levels
+    from propertygraph_spark.ops.kgdocs import _bfs_hist
+    raw = [(1, 2), (2, 3), (3, 4), (1, 4), (4, 2), (5, 6)]
+    triples = [{"pred": "cfg_normal", "method_id": "m", "subj": a,
+                "obj": b} for a, b in raw]
+    expect = _bfs_hist(triples)
+    edges = spark.createDataFrame([("m", a, b) for a, b in raw],
+                                  "scope string, src long, dst long")
+    got: dict = {}
+    for r in bfs_levels(edges, scope="scope").collect():
+        got[r["level"]] = got.get(r["level"], 0) + 1
+    assert got == expect
+
+
+def test_salient_terms_integer_tfidf(spark):
+    from propertygraph_spark.ops.text import salient_terms
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "banana common common"),
+         (3, "cherry common")], "doc_id long, text string")
+    out = salient_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rk"], r["token"], r["tf"], r["df"], r["score"]))
+    # N=3: idf_scaled apple=3M, banana=1.5M, common=1M, cherry=3M
+    assert by_doc[1] == [(1, "apple", 2, 1, 6_000_000),
+                        (2, "banana", 1, 2, 1_500_000)]
+    assert by_doc[2] == [(1, "common", 2, 3, 2_000_000),
+                        (2, "banana", 1, 2, 1_500_000)]
+    assert by_doc[3] == [(1, "cherry", 1, 1, 3_000_000),
+                        (2, "common", 1, 3, 1_000_000)]

@@ -278,3 +278,44 @@ def test_shuffle_shards_windows_on_shard(spark, docs):
     p = plan(shuffle_shards(docs))
     # per-shard window: hash on shard, no single-partition global sort
     assert "hashpartitioning(shard" in p
+
+
+def test_weekly_retention_equi_joins_on_user_and_week(spark):
+    import re
+    p = plan(relational.weekly_retention(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the self-join must carry BOTH keys — user_id alone would regroup
+    # every user's full history pairwise
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", p)
+    assert any("user_id" in k and "week" in k for k in keys), p
+
+
+def test_top_events_per_user_windows_on_user(spark):
+    p = plan(relational.top_events_per_user(spark, SF))
+    # grouped top-k: the rank window hashes on user_id — never a
+    # single-partition global sort
+    assert "hashpartitioning(user_id" in p
+
+
+def test_mixture_sample_broadcasts_rate_table(spark, docs):
+    from propertygraph_spark.ops.dataset import mixture_sample
+    p = plan(mixture_sample(docs))
+    # the |strata|-sized rate table broadcasts onto the corpus side
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_salient_terms_window_partitions_by_doc(spark, docs):
+    p = plan(text.salient_terms(docs))
+    # per-doc top-k window hashes on doc_id; tf agg has map-side partials
+    assert "hashpartitioning(doc_id" in p
+    assert "partial_count" in p
+
+
+def test_bfs_levels_joins_are_scoped(spark):
+    from propertygraph_spark.ops.graph import bfs_levels
+    edges = spark.createDataFrame(
+        [("m", 1, 2), ("m", 2, 3), ("n", 1, 2)],
+        "scope string, src long, dst long")
+    p = plan(bfs_levels(edges, scope="scope", max_iter=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
