@@ -214,7 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_pack_sharded"] = _pack_sharded
 
-    from propertygraph_spark.ops.dataset import (mixture_sample,
+    from propertygraph_spark.ops.dataset import (corpus_stats_cube,
+                                                 mixture_sample,
                                                  sample_balanced,
                                                  sample_stratified,
                                                  shuffle_shards)
@@ -223,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_sample_balanced"] = lambda s, d: sample_balanced(_docs(s, d))
     q["dataset_shuffle"] = lambda s, d: shuffle_shards(_docs(s, d))
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
+    q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
+    q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
     q["text_salient_terms"] = lambda s, d: text.salient_terms(_docs(s, d))
@@ -1353,6 +1356,33 @@ SELECT d.doc_id, r.stratum AS stratum,
        r.rate_pm AS rate_pm
 FROM d JOIN r ON d.lang = r.stratum
 WHERE CAST(({hex_val}) % 1000 AS BIGINT) < r.rate_pm
+ORDER BY doc_id
+"""
+    o["dataset_cube"] = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+ORDER BY gid, lang, source
+"""
+    o["text_decontaminate"] = f"""
+WITH t AS (SELECT doc_id, lang, n_chars, {_sql_tokens()} AS toks
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 4, 0)),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4]))) AS shingle
+  FROM t)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % 97 <> 0)
+SELECT doc_id, lang, n_chars
+FROM t
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY doc_id
 """
     o["text_salient_terms"] = f"""

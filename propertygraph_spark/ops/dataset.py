@@ -119,6 +119,29 @@ def sample_balanced(docs: DataFrame, strata: str = "lang",
             .orderBy("stratum", "rk"))
 
 
+def corpus_stats_cube(docs: DataFrame) -> DataFrame:
+    """Corpus composition report over every (lang, source) roll-up level
+    at once — ``CUBE(lang, source)``: per-cell doc and char counts plus
+    the grouping bitmask (``gid``: bit 1 = lang rolled up, bit 0 =
+    source rolled up, Spark's grouping_id == SQL GROUPING(lang,
+    source)). Rolled-up dimensions render as '(all)'.
+
+    Scale shape: a cube is ONE hash aggregate over the 4 grouping sets
+    with map-side partial aggregation — Catalyst expands the sets
+    before the exchange, so the shuffle carries only per-set partials,
+    never the corpus. Output cardinality = |langs| x |sources| + |langs|
+    + |sources| + 1, tiny at any corpus size."""
+    return (docs.cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                    F.coalesce("source", F.lit("(all)")).alias("source"),
+                    F.col("gid").cast("long").alias("gid"),
+                    "n_docs", "n_chars")
+            .orderBy("gid", "lang", "source"))
+
+
 def mixture_sample(docs: DataFrame, strata: str = "lang") -> DataFrame:
     """Temperature-balanced mixture resampling (T=2), the standard
     multilingual/multi-source corpus rebalancing: kept counts per

@@ -226,6 +226,25 @@ def contamination_check(docs: DataFrame, k: int = 5,
             .orderBy("doc_id"))
 
 
+def decontaminate(docs: DataFrame, k: int = 5,
+                  eval_mod: int = 97) -> DataFrame:
+    """The removal half of the contamination scan: train documents whose
+    k-gram sets touch the eval slice are DROPPED via a left-anti join on
+    doc_id, and the survivors keep their payload columns — the actual
+    decontamination step a pipeline runs after ``contamination_check``
+    flags offenders.
+
+    Scale shape: the flag set reuses the broadcast eval-n-gram probe
+    (map-side), then ONE anti equi-join on doc_id — both sides hashed,
+    no new skew surface (doc_id is unique)."""
+    flagged = contamination_check(docs, k=k, eval_mod=eval_mod) \
+        .select("doc_id")
+    train = docs.filter(F.col("doc_id") % eval_mod != 0)
+    return (train.join(flagged, "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id"))
+
+
 def repetition_ratio(docs: DataFrame, k: int = 3) -> DataFrame:
     """Boilerplate/spam signal: how dominant is the single most repeated
     token k-gram in each document (per-mille of all its k-grams).

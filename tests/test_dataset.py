@@ -164,3 +164,17 @@ def test_mixture_sample_rates_and_membership(spark):
     for i, _t, lang in rows:
         pm = int(hashlib.md5(f"mix|{i}".encode()).hexdigest()[:8], 16) % 1000
         assert (i in kept) == (pm < want_rate[lang]), (i, lang, pm)
+
+
+def test_corpus_cube_levels(spark):
+    from propertygraph_spark.ops.dataset import corpus_stats_cube
+    rows = [(1, "a", "web", 10), (2, "a", "book", 20), (3, "b", "web", 5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long")
+    out = {(r["lang"], r["source"]): (r["gid"], r["n_docs"], r["n_chars"])
+           for r in corpus_stats_cube(docs).collect()}
+    assert out[("(all)", "(all)")] == (3, 3, 35)      # grand total
+    assert out[("a", "(all)")] == (1, 2, 30)          # source rolled up
+    assert out[("(all)", "web")] == (2, 2, 15)        # lang rolled up
+    assert out[("a", "web")] == (0, 1, 10)            # leaf cell
+    assert len(out) == 3 + 2 + 2 + 1

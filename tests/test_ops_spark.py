@@ -680,3 +680,17 @@ def test_salient_terms_integer_tfidf(spark):
                         (2, "banana", 1, 2, 1_500_000)]
     assert by_doc[3] == [(1, "cherry", 1, 1, 3_000_000),
                         (2, "common", 1, 3, 1_000_000)]
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    from propertygraph_spark.ops.text import decontaminate
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(0, shared + " zeta", "en", 30),          # eval slice (0 % 97)
+            (1, "clean words only here today now", "en", 29),
+            (2, shared + " completely different tail", "de", 40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    kept = decontaminate(docs).collect()
+    # doc 2 shares the 5-gram with the eval doc -> dropped; doc 1 stays
+    assert [(r["doc_id"], r["lang"], r["n_chars"]) for r in kept] == \
+        [(1, "en", 29)]

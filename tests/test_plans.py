@@ -319,3 +319,21 @@ def test_bfs_levels_joins_are_scoped(spark):
         "scope string, src long, dst long")
     p = plan(bfs_levels(edges, scope="scope", max_iter=2))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_corpus_cube_single_exchange_with_partials(spark, docs):
+    from propertygraph_spark.ops.dataset import corpus_stats_cube
+    p = plan(corpus_stats_cube(docs))
+    # grouping sets expand BEFORE one partial-agg + one exchange
+    assert "Expand" in p
+    assert "partial_count" in p
+    assert p.count("Exchange hashpartitioning") <= 2  # agg + final sort
+
+
+def test_decontaminate_anti_join_is_keyed(spark, docs):
+    from propertygraph_spark.ops.text import decontaminate
+    p = plan(decontaminate(docs))
+    assert "CartesianProduct" not in p
+    # the eval n-gram probe broadcasts; the flag anti-join is on doc_id
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
