@@ -199,6 +199,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = _features
 
+    def _resize(s_, d_):
+        from propertygraph_spark.ops.multimodal import resize_stub
+        out = resize_stub(synthesize_media(_docs(s_, d_)))
+        # byte-exact projection: the synthetic payload is
+        # unhex(md5(text) || md5(doc_id)), so the 16-byte resize
+        # truncation is exactly unhex(md5(text))
+        return out.select("doc_id", "media_kind",
+                          F.lower(F.hex("payload")).alias("payload_md5"),
+                          F.col("width").cast("long").alias("width"),
+                          F.col("height").cast("long").alias("height"))
+
+    q["media_resize"] = _resize
+
     # --- dataset assembly (split + sequence packing) ---
     from propertygraph_spark.ops.dataset import pack_sequences, split_assign
     q["dataset_split"] = lambda s, d: split_assign(_docs(s, d))
@@ -1243,6 +1256,14 @@ GROUP BY label, dim HAVING dim < 4
     for i in range(4):
         c1, c2 = f"substr(h, {2 * i + 1}, 1)", f"substr(h, {2 * i + 2}, 1)"
         b[i] = f"({hx(c1)} * 16 + {hx(c2)})"
+    o["media_resize"] = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_kind,
+       md5(text) AS payload_md5,
+       CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height
+FROM documents ORDER BY doc_id
+"""
     o["media_decode_meta"] = f"""
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT doc_id,
