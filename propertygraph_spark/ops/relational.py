@@ -755,15 +755,25 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_events_per_user(spark: SparkSession, sf_dir: str,
-                        k: int = 3) -> DataFrame:
-    """Per-user top-k events by value (grouped top-k): one window
-    ranked on the user hash — the partitioned form of top-k that never
-    funnels through a single task, unlike a global sort. Deterministic
-    tie-break on event_id."""
+                        k: int = 3, pre_partitions: int = 32) -> DataFrame:
+    """Per-user top-k events by value (grouped top-k), TWO-PHASE so a
+    mega-user never funnels through one sort task (the sample_balanced
+    pattern): phase 1 ranks within (user_id, hash-sub-partition) and
+    keeps k per sub-group — each sub-group is a bounded share of the
+    user's events; phase 2 ranks the surviving pre_partitions x k rows
+    per user (tiny). Winners are identical: the user's global top-k are
+    each top-k within their own sub-partition. Deterministic tie-break
+    on event_id."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"),
-                                              F.asc("event_id"))
-    return (ev.withColumn("rk", F.row_number().over(w).cast("long"))
+    sub = F.pmod(F.xxhash64("event_id"), F.lit(pre_partitions))
+    w1 = Window.partitionBy("user_id", "sub").orderBy(F.desc("value"),
+                                                      F.asc("event_id"))
+    pre = (ev.withColumn("sub", sub)
+           .withColumn("prk", F.row_number().over(w1))
+           .filter(F.col("prk") <= k))
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                               F.asc("event_id"))
+    return (pre.withColumn("rk", F.row_number().over(w2).cast("long"))
             .filter(F.col("rk") <= k)
             .select("user_id", "rk", "event_id", "event_type", "value")
             .orderBy("user_id", "rk"))

@@ -380,7 +380,7 @@ def zipf_topk(docs: DataFrame, top_n: int = 30) -> DataFrame:
                  .select("rank", "token", "n_occurrences")
 
 
-def salient_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+def salient_terms(docs: DataFrame, k: int = 5, salt: int = 16) -> DataFrame:
     """Per-document top-k salient terms — tf-idf-flavor keyword
     extraction with exact integer scoring:
 
@@ -394,15 +394,24 @@ def salient_terms(docs: DataFrame, k: int = 5) -> DataFrame:
 
     Scale shape: tf is one (doc_id, token) agg with map-side partials;
     df is one (token) agg over the tf table; the df table joins back on
-    token (plain hash equi-join — vocabulary-sized, NOT broadcast: a
-    100 TB corpus's vocabulary can be huge); N_docs is a 1-row
+    token (hash equi-join — vocabulary-sized, NOT broadcast: a 100 TB
+    corpus's vocabulary can be huge). That join key is SKEWED by
+    construction — a stopword's tf rows are ~n_docs, all hashing to one
+    reducer — so the df side (exactly one row per token) is SALTED:
+    replicated across ``salt`` shards while each tf row picks its shard
+    from xxhash64(doc_id), splitting every hot token's rows across
+    ``salt`` tasks with identical join output. N_docs is a 1-row
     broadcast crossJoin. The top-k window partitions by doc_id, so no
     group ever exceeds one document's vocabulary."""
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = (toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+          .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    df_salted = df.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.lit(salt - 1).cast("long"))))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(df, "token")
+    scored = (tf.join(df_salted, ["token", "salt"])
               .crossJoin(F.broadcast(n_docs))
               .withColumn("score",
                           F.expr("tf * ((n_docs * 1000000) div df)")))

@@ -290,11 +290,14 @@ def test_weekly_retention_equi_joins_on_user_and_week(spark):
     assert any("user_id" in k and "week" in k for k in keys), p
 
 
-def test_top_events_per_user_windows_on_user(spark):
+def test_top_events_per_user_two_phase_windows(spark):
+    """Grouped top-k must rank in (user_id, sub) FIRST — a single
+    user-keyed window funnels a mega-user through one sort task."""
+    import re
     p = plan(relational.top_events_per_user(spark, SF))
-    # grouped top-k: the rank window hashes on user_id — never a
-    # single-partition global sort
-    assert "hashpartitioning(user_id" in p
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("user_id" in s and "sub" in s for s in keys), p
+    assert any("user_id" in s and "sub" not in s for s in keys), p
 
 
 def test_mixture_sample_broadcasts_rate_table(spark, docs):
@@ -306,10 +309,15 @@ def test_mixture_sample_broadcasts_rate_table(spark, docs):
 
 
 def test_salient_terms_window_partitions_by_doc(spark, docs):
+    import re
     p = plan(text.salient_terms(docs))
     # per-doc top-k window hashes on doc_id; tf agg has map-side partials
     assert "hashpartitioning(doc_id" in p
     assert "partial_count" in p
+    # the vocabulary join must carry the anti-skew salt as a key —
+    # token alone puts every stopword's tf rows on one reducer
+    keys = re.findall(r"keys \[\d+\]: \[([^\]]*)\]", p)
+    assert any("token" in s and "salt" in s for s in keys), p
 
 
 def test_bfs_levels_joins_are_scoped(spark):
