@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q20_dominant_suppliers"] = relational.dominant_part_suppliers
     q["events_weekly_retention"] = relational.weekly_retention
     q["events_top_per_user"] = relational.top_events_per_user
+    q["events_rolling_sum"] = relational.events_rolling_sum
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -680,6 +681,17 @@ FROM uw a
 LEFT JOIN uw b ON a.user_id = b.user_id
               AND b.week = a.week + INTERVAL 7 DAY
 GROUP BY a.week ORDER BY week
+"""
+    o["events_rolling_sum"] = """
+SELECT user_id, event_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_x1000
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
 """
     o["events_top_per_user"] = """
 SELECT user_id, rk, event_id, event_type, value

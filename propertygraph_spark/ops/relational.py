@@ -754,6 +754,39 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("week"))
 
 
+def events_rolling_sum(spark: SparkSession, sf_dir: str,
+                       window_s: int = 600) -> DataFrame:
+    """Per-user rolling 10-minute aggregate over event time — the
+    time-RANGE window frame (`rangeBetween(-window_s, 0)` over epoch
+    seconds), as opposed to the ROWS frames used elsewhere: every event
+    sees the sum/count of its user's events in the trailing window,
+    ties on the timestamp included frame-wide by RANGE semantics (so
+    the result is deterministic without a row tie-break).
+
+    TZ note: `unix_timestamp` interprets the NTZ event time in the
+    session zone, so the epoch VALUES shift with the session TZ — but a
+    range frame depends only on epoch DIFFERENCES, which are invariant;
+    the epoch column itself is not emitted. `unix_timestamp` truncates
+    to whole seconds, so frame boundaries have 1 s resolution (the SQL
+    twin floors epoch() to match). Per-item integer scaling
+    (round(value*1000) per row, then integer window sums) keeps the
+    values bit-identical cross-engine.
+
+    Scale shape: ONE hashpartitioning(user_id) exchange feeds the
+    window; per-user frames are bounded by the user's event rate x
+    window seconds, never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-window_s, 0))
+    v1000 = F.round(F.col("value") * 1000).cast("long")
+    return (ev.withColumn("v1000", v1000)
+            .select("user_id", "event_id", "ts",
+                    F.count("*").over(w).alias("n_in_window"),
+                    F.sum("v1000").over(w).alias("win_sum_x1000"))
+            .orderBy("user_id", "event_id"))
+
+
 def top_events_per_user(spark: SparkSession, sf_dir: str,
                         k: int = 3, pre_partitions: int = 32) -> DataFrame:
     """Per-user top-k events by value (grouped top-k), TWO-PHASE so a

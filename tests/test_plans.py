@@ -345,3 +345,48 @@ def test_decontaminate_anti_join_is_keyed(spark, docs):
     # the eval n-gram probe broadcasts; the flag anti-join is on doc_id
     assert "BroadcastHashJoin" in p
     assert "LeftAnti" in p
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """The brief's co-location story, demonstrated end to end: two
+    tables bucketed AND sorted on the join key produce a SortMergeJoin
+    with NO Exchange and NO Sort on either side — the plan a nightly
+    pipeline relies on when a fact table is re-joined daily. (Broadcast
+    is disabled for the assertion: it would otherwise win at this toy
+    size and hide the bucketing.)"""
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_status"))
+    items = spark.range(0, 3000).select(
+        (F.col("id") % 1000).alias("l_orderkey"),
+        (F.col("id") % 13).alias("l_qty"))
+    for name, df, key in [("b_orders", orders, "o_orderkey"),
+                          ("b_items", items, "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.format("parquet").option("path", f"{wh}/{name}")
+         .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table("b_orders")
+                  .join(spark.table("b_items"),
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+                  .groupBy("o_status").agg(F.sum("l_qty").alias("q")))
+        p = plan(joined)
+        assert "SortMergeJoin" in p, p
+        # bucketing replaces the shuffle: no exchange below the join
+        assert "Exchange hashpartitioning(o_orderkey" not in p, p
+        assert "Exchange hashpartitioning(l_orderkey" not in p, p
+        assert joined.count() == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_rolling_sum_single_user_exchange(spark):
+    p = plan(relational.events_rolling_sum(spark, SF))
+    # the RANGE window rides one user_id exchange; final orderBy ranges
+    assert p.count("hashpartitioning(user_id") == 1, p
