@@ -183,6 +183,8 @@ def main() -> None:
             emb(spark, sf_dir)),
         "dataset_shuffle": lambda: shuffle_shards(docs(spark, sf_dir)),
         "dataset_mixture": lambda: mixture_sample(docs(spark, sf_dir)),
+        "events_rolling_sum": lambda: relational.events_rolling_sum(
+            spark, sf_dir),
         "text_salient_terms": lambda: text.salient_terms(
             docs(spark, sf_dir)),
     }
