@@ -63,7 +63,13 @@ def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
     the min-hop distance. Rounds = deepest scope's eccentricity (method
     CFG depth, statement-bounded), never corpus size; every join hashes
     on the scope column so disjoint subgraphs traverse where they live.
-    localCheckpoint truncates per-round lineage."""
+    localCheckpoint truncates per-round lineage.
+
+    ``max_iter`` bounds the driver loop (like transitive_closure's):
+    nodes deeper than max_iter hops are ABSENT from the output, so set
+    it >= the deepest expected graph (CFG depth <= the method's
+    statement count; the default 60 covers every reference fixture and
+    template with a wide margin)."""
     keys = [scope] if scope else []
     e = (edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
          .distinct().localCheckpoint(eager=True))
