@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_weekly_retention"] = relational.weekly_retention
     q["events_top_per_user"] = relational.top_events_per_user
     q["events_rolling_sum"] = relational.events_rolling_sum
+    q["events_transitions"] = relational.event_transitions
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_pack_sharded"] = _pack_sharded
 
     from propertygraph_spark.ops.dataset import (corpus_stats_cube,
+                                                 pivot_lang_source,
                                                  mixture_sample,
                                                  sample_balanced,
                                                  sample_stratified,
@@ -239,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_shuffle"] = lambda s, d: shuffle_shards(_docs(s, d))
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
+    q["dataset_pivot"] = lambda s, d: pivot_lang_source(_docs(s, d))
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -681,6 +684,24 @@ FROM uw a
 LEFT JOIN uw b ON a.user_id = b.user_id
               AND b.week = a.week + INTERVAL 7 DAY
 GROUP BY a.week ORDER BY week
+"""
+    o["events_transitions"] = """
+WITH s AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                    AS next_type
+           FROM events)
+SELECT event_type, next_type, count(*) AS n_transitions
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    src_cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (source = 'src{i}') AS BIGINT) AS src{i}"
+        for i in range(20))
+    o["dataset_pivot"] = f"""
+SELECT lang,
+       {src_cols}
+FROM documents GROUP BY lang ORDER BY lang
 """
     o["events_rolling_sum"] = """
 SELECT user_id, event_id, ts,

@@ -119,6 +119,23 @@ def sample_balanced(docs: DataFrame, strata: str = "lang",
             .orderBy("stratum", "rk"))
 
 
+PIVOT_SOURCES = tuple(f"src{i}" for i in range(20))
+
+
+def pivot_lang_source(docs: DataFrame,
+                      sources: tuple = PIVOT_SOURCES) -> DataFrame:
+    """lang x source contingency table via ``pivot`` with an EXPLICIT
+    value list — the deterministic-schema form (value discovery would
+    add a separate distinct job and make the schema data-dependent).
+    Catalyst rewrites the pivot into one pass of conditional aggregates:
+    map-side partials, one exchange, |langs| result rows. Empty cells
+    coalesce to 0 so the table is dense."""
+    piv = docs.groupBy("lang").pivot("source", list(sources)).count()
+    cols = [F.coalesce(F.col(f"`{s}`"), F.lit(0)).cast("long").alias(s)
+            for s in sources]
+    return piv.select("lang", *cols).orderBy("lang")
+
+
 def corpus_stats_cube(docs: DataFrame) -> DataFrame:
     """Corpus composition report over every (lang, source) roll-up level
     at once — ``CUBE(lang, source)``: per-cell doc and char counts plus

@@ -754,6 +754,23 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("week"))
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream bigram mining: (event_type -> next event_type)
+    transition counts over each user's timeline — the input to a Markov
+    navigation model. lead() over ONE (user_id) exchange with a total
+    order (ts, event_id) so ties are deterministic; the bigram count
+    aggregates with map-side partials on a tiny (type, type) key space.
+    A user's timeline stays within one partition's window frame — no
+    per-user materialization beyond the sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("next_type", F.lead("event_type").over(w))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count("*").alias("n_transitions"))
+            .orderBy("event_type", "next_type"))
+
+
 def events_rolling_sum(spark: SparkSession, sf_dir: str,
                        window_s: int = 600) -> DataFrame:
     """Per-user rolling 10-minute aggregate over event time — the

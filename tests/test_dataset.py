@@ -178,3 +178,14 @@ def test_corpus_cube_levels(spark):
     assert out[("(all)", "web")] == (2, 2, 15)        # lang rolled up
     assert out[("a", "web")] == (0, 1, 10)            # leaf cell
     assert len(out) == 3 + 2 + 2 + 1
+
+
+def test_pivot_dense_counts(spark):
+    from propertygraph_spark.ops.dataset import pivot_lang_source
+    rows = [(1, "a", "src0"), (2, "a", "src0"), (3, "a", "src1"),
+            (4, "b", "src19")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = {r["lang"]: r for r in pivot_lang_source(docs).collect()}
+    assert out["a"]["src0"] == 2 and out["a"]["src1"] == 1
+    assert out["a"]["src19"] == 0       # empty cell densified
+    assert out["b"]["src19"] == 1 and out["b"]["src0"] == 0

@@ -694,3 +694,21 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
     # doc 2 shares the 5-gram with the eval doc -> dropped; doc 1 stays
     assert [(r["doc_id"], r["lang"], r["n_chars"]) for r in kept] == \
         [(1, "en", 29)]
+
+
+def test_event_transitions_bigrams(spark):
+    from propertygraph_spark.ops import relational
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10, "view", 1.0), (2, t0.replace(minute=1), 10, "click", 1.0),
+            (3, t0.replace(minute=2), 10, "buy", 1.0),
+            (4, t0, 20, "view", 1.0), (5, t0.replace(minute=5), 20, "click", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double")
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r["event_type"], r["next_type"]): r["n_transitions"]
+           for r in relational.event_transitions(spark, d).collect()}
+    assert out == {("view", "click"): 2, ("click", "buy"): 1}

@@ -390,3 +390,20 @@ def test_rolling_sum_single_user_exchange(spark):
     p = plan(relational.events_rolling_sum(spark, SF))
     # the RANGE window rides one user_id exchange; final orderBy ranges
     assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_event_transitions_one_exchange_then_agg(spark):
+    p = plan(relational.event_transitions(spark, SF))
+    # lead window rides one user_id exchange; bigram agg has partials
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert "partial_count" in p
+
+
+def test_pivot_is_single_conditional_agg(spark, docs):
+    from propertygraph_spark.ops.dataset import pivot_lang_source
+    p = plan(pivot_lang_source(docs))
+    # pivot rewrites to conditional aggregates: one partial/final pair,
+    # never a per-source pass or a join
+    assert "partial_count" in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(lang") <= 1
