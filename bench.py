@@ -127,7 +127,9 @@ def main() -> None:
     # --- round-2 additions, timed OUTSIDE the headline total so the
     #     headline stays comparable with BENCH_r01 (judge diffs totals);
     #     "extended_total" carries their sum ---
-    from propertygraph_spark.ops.dataset import mixture_sample, shuffle_shards
+    from propertygraph_spark.ops.dataset import (mixture_sample,
+                                                 pivot_lang_source,
+                                                 shuffle_shards)
     from propertygraph_spark.ops.multimodal import feature_extract, frame_sample
     extended = {
         "q7_volume_shipping": lambda: relational.volume_shipping(spark, sf_dir),
@@ -185,6 +187,9 @@ def main() -> None:
         "dataset_mixture": lambda: mixture_sample(docs(spark, sf_dir)),
         "events_rolling_sum": lambda: relational.events_rolling_sum(
             spark, sf_dir),
+        "events_transitions": lambda: relational.event_transitions(
+            spark, sf_dir),
+        "dataset_pivot": lambda: pivot_lang_source(docs(spark, sf_dir)),
         "text_salient_terms": lambda: text.salient_terms(
             docs(spark, sf_dir)),
     }
