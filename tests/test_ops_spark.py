@@ -712,3 +712,64 @@ def test_event_transitions_bigrams(spark):
     out = {(r["event_type"], r["next_type"]): r["n_transitions"]
            for r in relational.event_transitions(spark, d).collect()}
     assert out == {("view", "click"): 2, ("click", "buy"): 1}
+
+
+def test_bfs_levels_random_graphs_match_host(spark):
+    """20 seeded random digraphs (cycles, self-loops, disconnection all
+    arise naturally) in ONE scoped DataFrame — the distributed BFS must
+    match the pure-Python host replay on every one."""
+    import random
+
+    from propertygraph_spark.ops.graph import bfs_levels
+    from propertygraph_spark.ops.kgdocs import _bfs_hist
+    rng = random.Random(7)
+    rows, expect = [], {}
+    for g in range(20):
+        n = rng.randint(2, 12)
+        edges = {(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                 for _ in range(rng.randint(1, 3 * n))}
+        scope = f"g{g}"
+        rows += [(scope, a, b) for a, b in edges]
+        triples = [{"pred": "cfg_normal", "method_id": scope,
+                    "subj": a, "obj": b} for a, b in edges]
+        expect[scope] = _bfs_hist(triples)
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+    got: dict = {}
+    for r in bfs_levels(df, scope="scope").collect():
+        got.setdefault(r["scope"], {})
+        got[r["scope"]][r["level"]] = got[r["scope"]].get(r["level"], 0) + 1
+    assert got == expect
+
+
+def test_salient_terms_matches_pandas_replay(spark):
+    """Seeded random corpus: the distributed tf-idf top-k must equal an
+    independent pandas/python replay of the integer scoring."""
+    import random
+
+    from propertygraph_spark.ops.text import salient_terms
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 40))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # host replay
+    tf: dict = {}
+    for i, txt in rows:
+        for t in txt.split():
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    df_: dict = {}
+    for (_i, t) in tf:
+        df_[t] = df_.get(t, 0) + 1
+    n = len(rows)
+    want = {}
+    for i, _txt in rows:
+        scored = sorted(
+            ((tf[(d, t)] * ((n * 1_000_000) // df_[t]), t)
+             for (d, t) in tf if d == i),
+            key=lambda s: (-s[0], s[1]))[:5]
+        want[i] = [(rk + 1, t, sc) for rk, (sc, t) in enumerate(scored)]
+    got: dict = {}
+    for r in salient_terms(docs, k=5).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rk"], r["token"], r["score"]))
+    assert got == want
