@@ -78,7 +78,11 @@ def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
              .distinct())
     roots = (nodes.groupBy(*keys).agg(F.min("node").alias("node"))
              if keys else
-             nodes.agg(F.min("node").alias("node")))
+             # unscoped agg on empty input yields one NULL row — drop it
+             # so an empty edge set returns an empty result, not a
+             # phantom null root at level 0
+             nodes.agg(F.min("node").alias("node"))
+             .filter(F.col("node").isNotNull()))
     visited = roots.withColumn("level", F.lit(0).cast("long")) \
                    .localCheckpoint(eager=True)
     frontier = visited.select(*keys, "node")

@@ -218,6 +218,14 @@ def _freeze_constants() -> None:
 _freeze_constants()
 
 
+def _tpl_of_method() -> "F.Column":
+    """Template ordinal of a method_id ('<doc_id>#<ordinal>:<name>'):
+    the doc_id prefix mod 4 — the single definition every per-template
+    rollup shares (the method_id encoding lives in kernel/extract)."""
+    doc_of = F.split(F.col("method_id"), "#").getItem(0)
+    return F.pmod(doc_of.cast("bigint"), F.lit(4))
+
+
 def java_code_col():
     """Synthetic compilation unit per row — template picked by doc_id %% 4,
     doc_id embedded via format_string (whole-stage codegen, no Python)."""
@@ -298,9 +306,8 @@ def pdg_closure_by_template(documents: DataFrame) -> DataFrame:
     _, triples, _, _ = split_union(union)
     per_method = pdg_data_closure_sizes(triples)
     # method_id = '<doc_id>#<ordinal>:<name>'
-    doc_of = F.split(F.col("method_id"), "#").getItem(0)
     return (per_method
-            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .withColumn("tpl", _tpl_of_method())
             .groupBy("tpl")
             .agg(F.count("*").alias("n_methods"),
                  F.sum("n_pairs").alias("closure_pairs"))
@@ -322,9 +329,8 @@ def pagerank_by_rank(documents: DataFrame) -> DataFrame:
              .select("method_id", F.col("subj").alias("src"),
                      F.col("obj").alias("dst")))
     ranks = pagerank_int(edges, scope="method_id")
-    doc_of = F.split(F.col("method_id"), "#").getItem(0)
     return (ranks
-            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .withColumn("tpl", _tpl_of_method())
             .groupBy("tpl", "rank_mu")
             .agg(F.count("*").alias("n_nodes"))
             .orderBy("tpl", "rank_mu"))
@@ -343,9 +349,8 @@ def triangles_by_template(documents: DataFrame) -> DataFrame:
              .select("method_id", F.col("subj").alias("src"),
                      F.col("obj").alias("dst")))
     per_method = triangle_count(edges, scope="method_id")
-    doc_of = F.split(F.col("method_id"), "#").getItem(0)
     return (per_method
-            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .withColumn("tpl", _tpl_of_method())
             .groupBy("tpl")
             .agg(F.count("*").alias("n_methods"),
                  F.sum("n_triangles").alias("n_triangles"))
@@ -368,9 +373,8 @@ def cfg_bfs_by_level(documents: DataFrame) -> DataFrame:
              .select("method_id", F.col("subj").alias("src"),
                      F.col("obj").alias("dst")))
     levels = bfs_levels(edges, scope="method_id")
-    doc_of = F.split(F.col("method_id"), "#").getItem(0)
     return (levels
-            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .withColumn("tpl", _tpl_of_method())
             .groupBy("tpl", "level")
             .agg(F.count("*").alias("n_nodes"))
             .orderBy("tpl", "level"))
@@ -389,9 +393,8 @@ def kcore_by_template(documents: DataFrame) -> DataFrame:
              .select("method_id", F.col("subj").alias("src"),
                      F.col("obj").alias("dst")))
     members = kcore_nodes(edges, k=2, scope="method_id")
-    doc_of = F.split(F.col("method_id"), "#").getItem(0)
     return (members
-            .withColumn("tpl", F.pmod(doc_of.cast("bigint"), F.lit(4)))
+            .withColumn("tpl", _tpl_of_method())
             .groupBy("tpl")
             .agg(F.count("*").alias("n_core_nodes"))
             .orderBy("tpl"))

@@ -780,21 +780,22 @@ def events_rolling_sum(spark: SparkSession, sf_dir: str,
     ties on the timestamp included frame-wide by RANGE semantics (so
     the result is deterministic without a row tie-break).
 
-    TZ note: `unix_timestamp` interprets the NTZ event time in the
-    session zone, so the epoch VALUES shift with the session TZ — but a
-    range frame depends only on epoch DIFFERENCES, which are invariant;
-    the epoch column itself is not emitted. `unix_timestamp` truncates
-    to whole seconds, so frame boundaries have 1 s resolution (the SQL
-    twin floors epoch() to match). Per-item integer scaling
-    (round(value*1000) per row, then integer window sums) keeps the
-    values bit-identical cross-engine.
+    Epoch seconds come from pure NTZ arithmetic against an NTZ literal
+    (the events_range_join recipe, relational.py:365) — never a
+    session-timezone-dependent ltz/unix hop, so the frame is TZ-proof
+    by construction. Truncation to whole seconds gives frame boundaries
+    1 s resolution (the SQL twin floors epoch() to match). Per-item
+    integer scaling (round(value*1000) per row, then integer window
+    sums) keeps the values bit-identical cross-engine.
 
     Scale shape: ONE hashpartitioning(user_id) exchange feeds the
     window; per-user frames are bounded by the user's event rate x
     window seconds, never the corpus."""
     ev = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                 "'1970-01-01 00:00:00', date_trunc('second', ts))")
     w = (Window.partitionBy("user_id")
-         .orderBy(F.unix_timestamp("ts"))
+         .orderBy(sec)
          .rangeBetween(-window_s, 0))
     v1000 = F.round(F.col("value") * 1000).cast("long")
     return (ev.withColumn("v1000", v1000)

@@ -773,3 +773,11 @@ def test_salient_terms_matches_pandas_replay(spark):
         got.setdefault(r["doc_id"], []).append(
             (r["rk"], r["token"], r["score"]))
     assert got == want
+
+
+def test_bfs_levels_empty_input_is_empty(spark):
+    from propertygraph_spark.ops.graph import bfs_levels
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert bfs_levels(empty).collect() == []
+    empty_s = spark.createDataFrame([], "scope string, src long, dst long")
+    assert bfs_levels(empty_s, scope="scope").collect() == []

@@ -355,7 +355,6 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
     is disabled for the assertion: it would otherwise win at this toy
     size and hide the bucketing.)"""
     wh = str(tmp_path_factory.mktemp("warehouse"))
-    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
     orders = spark.range(0, 1000).select(
         F.col("id").alias("o_orderkey"),
         (F.col("id") % 7).alias("o_status"))
@@ -367,6 +366,7 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (df.write.format("parquet").option("path", f"{wh}/{name}")
          .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = (spark.table("b_orders")
@@ -380,8 +380,7 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         assert "Exchange hashpartitioning(l_orderkey" not in p, p
         assert joined.count() == 7
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
 
