@@ -227,6 +227,8 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8,
         import pandas as pd
         cent = bc.value
         for pdf in it:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to assign
+                continue
             Q = np.array([list(e) for e in pdf["embedding"]],
                          dtype=np.float64)
             Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
@@ -286,6 +288,8 @@ def _ivf_centroids(emb: DataFrame, n_cells: int):
     seeds = (emb.select("vec_id", "embedding",
                         F.md5(F.col("vec_id").cast("string")).alias("h"))
              .orderBy("h").limit(n_cells).collect())
+    if not seeds:  # empty corpus/partition: 0-cell quantizer, not a crash
+        return np.zeros((0, 1), dtype=np.float64)
     C = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
     return C / np.sqrt((C * C).sum(axis=1, keepdims=True))
 
@@ -316,6 +320,8 @@ def ivf_probe_assign(emb: DataFrame, n_cells: int = 8,
         import pandas as pd
         cent = bc.value
         for pdf in it:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to probe
+                continue
             Q = np.array([list(e) for e in pdf["embedding"]],
                          dtype=np.float64)
             Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))

@@ -781,3 +781,14 @@ def test_bfs_levels_empty_input_is_empty(spark):
     assert bfs_levels(empty).collect() == []
     empty_s = spark.createDataFrame([], "scope string, src long, dst long")
     assert bfs_levels(empty_s, scope="scope").collect() == []
+
+
+def test_ivf_ops_empty_corpus(spark):
+    """An empty corpus/partition must yield an empty result, not a
+    numpy axis error from the 0-seed quantizer (the full sweep lives in
+    scripts/empty_corpus_probe.py)."""
+    from propertygraph_spark.ops.similarity import ann_ivf_topk, ivf_assign
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_assign(empty).collect() == []
+    assert ann_ivf_topk(empty).collect() == []
+    assert ann_ivf_topk(empty, nprobe=2).collect() == []
