@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_kcore"] = lambda s, d: kgdocs.kcore_by_template(_docs(s, d))
     q["kg_cfg_bfs"] = lambda s, d: kgdocs.cfg_bfs_by_level(_docs(s, d))
+    q["kg_pdg_components"] = lambda s, d: kgdocs.pdg_components_by_template(
+        _docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_triangles"] = kgdocs.triangles_oracle_sql()
     o["kg_kcore"] = kgdocs.kcore_oracle_sql()
     o["kg_cfg_bfs"] = kgdocs.bfs_oracle_sql()
+    o["kg_pdg_components"] = kgdocs.components_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

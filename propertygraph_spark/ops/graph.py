@@ -101,6 +101,49 @@ def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
     return visited
 
 
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", scope: str | None = None,
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components of the undirected graph per scope: every
+    node labeled with the MINIMUM node id reachable from it — the
+    min-label propagation algorithm (each round, a node's label drops
+    to the smallest label among itself and its neighbors; fixpoint =
+    components). Deterministic by construction: the final label is a
+    graph property, independent of iteration or partition order.
+
+    Rounds = the deepest component's diameter (method-graph-bounded,
+    never corpus size); each round is one equi-join on (scope, node) +
+    one min-agg, both hashed on the scope so disjoint subgraphs
+    converge where they live. The same label-propagation shape the
+    canonicalization stage uses on alias edges (pipeline/
+    canonicalize.py), exposed here as the generic graph operator.
+    Returns (scope?, node, component)."""
+    keys = [scope] if scope else []
+    sym = edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (sym.unionByName(
+               sym.select(*keys, F.col("v").alias("u"),
+                          F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (und.select(*keys, F.col("u").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        cand = (und.join(labels.withColumnRenamed("node", "u"),
+                         keys + ["u"])
+                .select(*keys, F.col("v").alias("node"), "component"))
+        new_labels = (labels.unionByName(cand)
+                      .groupBy(*keys, "node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), keys + ["node"])
+                   .filter(F.col("n.component") < F.col("o.component")))
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
 def pdg_data_closure_sizes(triples: DataFrame) -> DataFrame:
     """Per-document count of (node, transitively-data-dependent node)
     pairs — the total backward-slice weight of the document's PDGs."""

@@ -64,6 +64,7 @@ TEMPLATE_PAGERANK_HIST: dict[int, dict[int, int]] = {}   # filled below
 TEMPLATE_TRIANGLES: dict[int, int] = {}                  # filled below
 TEMPLATE_KCORE_NODES: dict[int, int] = {}                # filled below
 TEMPLATE_BFS_HIST: dict[int, dict[int, int]] = {}        # filled below
+TEMPLATE_PDG_COMPONENTS: dict[int, tuple] = {}           # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -158,6 +159,41 @@ def _bfs_hist(triples: list) -> dict[int, int]:
     return hist
 
 
+def _pdg_components(triples: list) -> tuple:
+    """Host replay of ops/graph.py connected_components over each
+    method's undirected pdg_data graph: (total component count, largest
+    component's node count) across the doc's methods (pure-Python
+    union-find)."""
+    by_method: dict = {}
+    for t in triples:
+        if t["pred"] == "pdg_data":
+            by_method.setdefault(t["method_id"], set()).add(
+                (t["subj"], t["obj"]))
+    total, largest = 0, 0
+    for edges in by_method.values():
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        sizes: dict = {}
+        for n in parent:
+            r = find(n)
+            sizes[r] = sizes.get(r, 0) + 1
+        total += len(sizes)
+        largest = max([largest] + list(sizes.values()))
+    return total, largest
+
+
 def _closure_pairs(triples: list) -> int:
     """Transitive-closure pair count over the pdg_data edges (reference
     Python BFS — the oracle constant the distributed semi-naive closure
@@ -202,6 +238,7 @@ def _freeze_constants() -> None:
         TEMPLATE_TRIANGLES[tpl] = _triangle_count(triples)
         TEMPLATE_KCORE_NODES[tpl] = _kcore_size(triples)
         TEMPLATE_BFS_HIST[tpl] = _bfs_hist(triples)
+        TEMPLATE_PDG_COMPONENTS[tpl] = _pdg_components(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -378,6 +415,30 @@ def cfg_bfs_by_level(documents: DataFrame) -> DataFrame:
             .groupBy("tpl", "level")
             .agg(F.count("*").alias("n_nodes"))
             .orderBy("tpl", "level"))
+
+
+def pdg_components_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed connected components (ops/graph.py min-label
+    propagation) over every method's undirected pdg_data graph at once,
+    rolled up to a per-template component count — the disconnection
+    profile of the dependence graphs (isolated def-use islands)."""
+    from propertygraph_spark.ops.graph import connected_components
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "pdg_data")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    labels = connected_components(edges, scope="method_id")
+    comps = (labels.groupBy("method_id", "component")
+             .agg(F.count("*").alias("n_nodes")))
+    return (comps
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").alias("n_components"),
+                 F.max("n_nodes").alias("largest_component"))
+            .orderBy("tpl"))
 
 
 def kcore_by_template(documents: DataFrame) -> DataFrame:
@@ -619,6 +680,22 @@ SELECT c.tpl AS tpl, CAST(c.level AS BIGINT) AS level,
        CAST(SUM(t.n * c.nn) AS BIGINT) AS n_nodes
 FROM consts c JOIN tplcount t USING (tpl)
 GROUP BY c.tpl, c.level ORDER BY tpl, level
+"""
+
+
+def components_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {big})"
+        for tpl, (n, big) in TEMPLATE_PDG_COMPONENTS.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, comps, big) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.comps AS BIGINT) AS n_components,
+       CAST(c.big AS BIGINT) AS largest_component
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.comps > 0
+ORDER BY c.tpl
 """
 
 

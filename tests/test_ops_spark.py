@@ -792,3 +792,78 @@ def test_ivf_ops_empty_corpus(spark):
     assert ivf_assign(empty).collect() == []
     assert ann_ivf_topk(empty).collect() == []
     assert ann_ivf_topk(empty, nprobe=2).collect() == []
+
+
+def test_connected_components_random_graphs_match_host(spark):
+    """15 seeded random scoped graphs: the distributed min-label CC must
+    match the pure-Python union-find replay — component count AND the
+    min-id labeling (every node's component == min node id reachable)."""
+    import random
+
+    from propertygraph_spark.ops.graph import connected_components
+    from propertygraph_spark.ops.kgdocs import _pdg_components
+    rng = random.Random(11)
+    rows, expect = [], {}
+    for g in range(15):
+        n = rng.randint(2, 14)
+        edges = {(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                 for _ in range(rng.randint(1, 2 * n))}
+        scope = f"g{g}"
+        rows += [(scope, a, b) for a, b in edges]
+        triples = [{"pred": "pdg_data", "method_id": scope,
+                    "subj": a, "obj": b} for a, b in edges]
+        expect[scope] = _pdg_components(triples)
+        # host min-label replay for exact labeling
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        label = {}
+        for s in adj:
+            if s in label:
+                continue
+            comp, stack = [s], [s]
+            seen = {s}
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        comp.append(y)
+                        stack.append(y)
+            m = min(comp)
+            for x in comp:
+                label[x] = m
+        expect[(scope, "labels")] = label
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+    out = connected_components(df, scope="scope").collect()
+    got_labels: dict = {}
+    got_counts: dict = {}
+    got_largest: dict = {}
+    sizes: dict = {}
+    for r in out:
+        got_labels.setdefault(r["scope"], {})[r["node"]] = r["component"]
+        sizes.setdefault((r["scope"], r["component"]), 0)
+        sizes[(r["scope"], r["component"])] += 1
+    for (scope, _c), sz in sizes.items():
+        got_counts[scope] = got_counts.get(scope, 0) + 1
+        got_largest[scope] = max(got_largest.get(scope, 0), sz)
+    for g in range(15):
+        scope = f"g{g}"
+        assert got_labels[scope] == expect[(scope, "labels")], scope
+        assert (got_counts[scope], got_largest[scope]) == expect[scope]
+
+
+def test_connected_components_empty_and_plan(spark):
+    from propertygraph_spark.ops.graph import connected_components
+    empty = spark.createDataFrame([], "scope string, src long, dst long")
+    assert connected_components(empty, scope="scope").collect() == []
+    import contextlib, io
+    edges = spark.createDataFrame([("m", 1, 2), ("m", 2, 3)],
+                                  "scope string, src long, dst long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        connected_components(edges, scope="scope", max_iter=2) \
+            .explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
