@@ -217,8 +217,10 @@ def main() -> None:
     #     pattern: read the pipeline's output, no re-extract). ~1M
     #     pdg_data edges across ~160k disjoint method graphs at sf0.1 —
     #     real fan-out for the scoped iterative operators. ---
-    from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
-                                               pagerank_int, triangle_count)
+    from propertygraph_spark.ops.graph import (bfs_levels,
+                                               connected_components,
+                                               kcore_nodes, pagerank_int,
+                                               triangle_count)
     pdg_edges = (spark.read.parquet(os.path.join(out_dir, "edges"))
                  .filter(F.col("pred") == "pdg_data")
                  .select("method_id", F.col("subj").alias("src"),
@@ -240,6 +242,9 @@ def main() -> None:
     t0 = time.monotonic()
     _noop(bfs_levels(cfg_edges, scope="method_id"))
     ga["cfg_bfs_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _noop(connected_components(pdg_edges, scope="method_id"))
+    ga["pdg_cc_sec"] = round(time.monotonic() - t0, 3)
     ga["pdg_edges"] = pdg_edges.count()
     extras["graph_analytics"] = ga
 
