@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_top_per_user"] = relational.top_events_per_user
     q["events_rolling_sum"] = relational.events_rolling_sum
     q["events_transitions"] = relational.event_transitions
+    q["events_json_props"] = relational.events_json_props
 
     # --- text analysis ---
     q["text_token_stats"] = lambda s, d: text.token_stats(_docs(s, d))
@@ -687,6 +688,16 @@ FROM uw a
 LEFT JOIN uw b ON a.user_id = b.user_id
               AND b.week = a.week + INTERVAL 7 DAY
 GROUP BY a.week ORDER BY week
+"""
+    o["events_json_props"] = """
+WITH e AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(*) AS n_events,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
 """
     o["events_transitions"] = """
 WITH s AS (SELECT event_type,

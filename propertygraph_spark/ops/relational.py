@@ -754,6 +754,29 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("week"))
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: the events table carries a
+    JSON string column (`props`) — parse it JVM-side with
+    ``get_json_object`` (whole-stage codegen, no Python) and aggregate
+    the extracted integer field per event type. The standard pattern
+    for log/telemetry payloads: schema-on-read extraction feeding exact
+    integer aggregates (count / distinct / sum / min / max).
+
+    Scale shape: extraction is map-only; one groupBy over a bounded
+    key space with map-side partials; countDistinct rewrites to a
+    two-phase expand+agg, still one logical shuffle chain."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("k").alias("n_distinct_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clickstream bigram mining: (event_type -> next event_type)
     transition counts over each user's timeline — the input to a Markov

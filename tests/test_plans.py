@@ -406,3 +406,10 @@ def test_pivot_is_single_conditional_agg(spark, docs):
     assert "partial_count" in p
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning(lang") <= 1
+
+
+def test_json_props_extraction_stays_jvm_side(spark):
+    p = plan(relational.events_json_props(spark, SF))
+    # get_json_object runs in codegen — no Python evaluation node
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p  # map-side partials under the agg
