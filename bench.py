@@ -248,6 +248,58 @@ def main() -> None:
     ga["pdg_edges"] = pdg_edges.count()
     extras["graph_analytics"] = ga
 
+    # --- bucketing evidence: the same lineitem x orders aggregate join
+    #     as a plain shuffle join vs over bucketBy+sortBy tables (the
+    #     co-location pattern a nightly pipeline relies on). Broadcast
+    #     disabled for BOTH so the comparison is SMJ vs bucketed SMJ;
+    #     the bucketed write itself is untimed (a one-time layout cost
+    #     amortized over every later join). Exchange counts come from
+    #     the formatted plan — the bucketed side must shuffle less. ---
+    import contextlib
+    import io
+    be: dict = {}
+    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_quantity"))
+    ord_b = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select("o_orderkey", "o_orderpriority"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def _bjoin(a, b):
+            return (a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
+                    .groupBy("o_orderpriority")
+                    .agg(F.sum("l_quantity").alias("qty")))
+
+        def _exchanges(df) -> int:
+            import re
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            # formatted mode: each Exchange node appears as "(N) Exchange"
+            # in the details section exactly once
+            return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+        t0 = time.monotonic()
+        _noop(_bjoin(li_b, ord_b))
+        be["plain_join_sec"] = round(time.monotonic() - t0, 3)
+        be["plain_exchanges"] = _exchanges(_bjoin(li_b, ord_b))
+        wh = "/tmp/bench_buckets"
+        shutil.rmtree(wh, ignore_errors=True)
+        for name, df, key in [("bk_lineitem", li_b, "l_orderkey"),
+                              ("bk_orders", ord_b, "o_orderkey")]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (df.write.format("parquet").option("path", f"{wh}/{name}")
+             .bucketBy(16, key).sortBy(key).saveAsTable(name))
+        li_t, ord_t = spark.table("bk_lineitem"), spark.table("bk_orders")
+        t0 = time.monotonic()
+        _noop(_bjoin(li_t, ord_t))
+        be["bucketed_join_sec"] = round(time.monotonic() - t0, 3)
+        be["bucketed_exchanges"] = _exchanges(_bjoin(li_t, ord_t))
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    extras["bucketing_evidence"] = be
+
     # --- end-to-end training-set export (quality -> dedup keepers ->
     #     split -> pack -> partitioned write), the composition capstone ---
     from propertygraph_spark.ops.export import export_training_set
