@@ -867,3 +867,26 @@ def test_connected_components_empty_and_plan(spark):
             .explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_json_props_malformed_payload_yields_null_not_crash(spark):
+    """Schema-on-read must degrade per-row: malformed/missing JSON ->
+    NULL k (excluded from sum/min/max, counted in n_events)."""
+    import os, tempfile
+
+    from propertygraph_spark.ops import relational
+    rows = [(1, "2024-01-01 00:00:00", 1, "view", 1.0, '{"k": 3}'),
+            (2, "2024-01-01 00:01:00", 1, "view", 1.0, "not json {"),
+            (3, "2024-01-01 00:02:00", 1, "view", 1.0, None),
+            (4, "2024-01-01 00:03:00", 1, "view", 1.0, '{"other": 9}')]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = relational.events_json_props(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_events"], r["n_distinct_k"], r["sum_k"],
+            r["min_k"], r["max_k"]) == (4, 1, 3, 3, 3)
