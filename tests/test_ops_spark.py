@@ -890,3 +890,21 @@ def test_json_props_malformed_payload_yields_null_not_crash(spark):
     r = out[0]
     assert (r["n_events"], r["n_distinct_k"], r["sum_k"],
             r["min_k"], r["max_k"]) == (4, 1, 3, 3, 3)
+
+
+def test_jsonl_source_equivalent_to_parquet(spark):
+    """Source-format agnosticism: the same documents served as JSON
+    Lines (explicit schema — no inference job at scale) produce
+    bit-identical operator output to the parquet path."""
+    import os, tempfile
+
+    from propertygraph_spark.ops.text import quality_score, token_stats
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tempfile.mkdtemp()
+    jl = os.path.join(d, "documents.jsonl")
+    pq.write.mode("overwrite").json(jl)
+    js = spark.read.schema(pq.schema).json(jl)
+    for op in (token_stats, quality_score):
+        a = sorted(map(tuple, op(pq).collect()))
+        b = sorted(map(tuple, op(js).collect()))
+        assert a == b, op.__name__
