@@ -453,6 +453,16 @@ def main() -> None:
         **extras,
     }
     print(json.dumps(out))
+    # Truncation-proof tail (VERDICT r3 #2): the driver keeps only the
+    # last ~2000 chars of stdout, so re-print the diffable totals as a
+    # final compact JSON line AFTER the full record.
+    print(json.dumps({
+        "metric": "headline_total", "value": total, "unit": "sec",
+        "sf": sf, "cpus": cpus, "headline_total": total,
+        "extended_total": extras.get("extended_total"),
+        "hw_probe_docs_per_sec": hw_probe,
+        "queries": results,
+    }))
     spark.stop()
 
 

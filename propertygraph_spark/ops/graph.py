@@ -199,32 +199,72 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
-                   scope: str | None = None) -> DataFrame:
-    """Per-scope triangle count of the UNDIRECTED simple graph induced by
-    the edges (self-loops dropped, direction and multiplicity ignored).
-    Canonical orientation (u < v lexicographically) makes each triangle
-    a single ordered wedge a<b<c closed by edge (a,c): two equi-joins,
-    each counted exactly once — the standard distributed formulation
-    (no per-node adjacency broadcast, no driver collect)."""
-    keys = [scope] if scope else []
+def _oriented_wedges(edges: DataFrame, src: str, dst: str,
+                     keys: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered orientation + open-wedge generation.
+
+    Each undirected edge points to its higher-(degree, id) endpoint, so
+    every node's out-degree is O(sqrt m) even on hub-heavy graphs — the
+    standard compact-forward bound.  Wedges are pairs of out-edges from
+    one node, ordered by the same (degree, id) total order, so each
+    triangle materializes exactly one wedge at its lowest-order vertex.
+    Returns (oriented edges ``(keys, a, b, deg_b)``, wedges
+    ``(keys, a, b, c)`` with ord(a) < ord(b) < ord(c))."""
     und = (edges.filter(F.col(src) != F.col(dst))
            .select(*keys,
                    F.least(F.col(src), F.col(dst)).alias("u"),
                    F.greatest(F.col(src), F.col(dst)).alias("v"))
-           .distinct().localCheckpoint(eager=True))
-    wedge = (und.alias("e1")
-             .join(und.alias("e2"),
+           .distinct())
+    deg = (und.select(*keys, F.col("u").alias("n"))
+           .unionByName(und.select(*keys, F.col("v").alias("n")))
+           .groupBy(*keys, "n").agg(F.count("*").alias("deg")))
+    e = (und
+         .join(deg.select(*keys, F.col("n").alias("u"),
+                          F.col("deg").alias("du")), keys + ["u"])
+         .join(deg.select(*keys, F.col("n").alias("v"),
+                          F.col("deg").alias("dv")), keys + ["v"]))
+    # u < v by construction, so a degree tie orients u -> v (id order)
+    fwd = F.col("du") <= F.col("dv")
+    oriented = (e.select(*keys,
+                         F.when(fwd, F.col("u")).otherwise(F.col("v"))
+                         .alias("a"),
+                         F.when(fwd, F.col("v")).otherwise(F.col("u"))
+                         .alias("b"),
+                         F.when(fwd, F.col("dv")).otherwise(F.col("du"))
+                         .alias("deg_b"))
+                .localCheckpoint(eager=True))
+    lt = ((F.col("e1.deg_b") < F.col("e2.deg_b"))
+          | ((F.col("e1.deg_b") == F.col("e2.deg_b"))
+             & (F.col("e1.b") < F.col("e2.b"))))
+    wedge = (oriented.alias("e1")
+             .join(oriented.alias("e2"),
                    [F.col(f"e1.{k}") == F.col(f"e2.{k}") for k in keys]
-                   + [F.col("e1.v") == F.col("e2.u")])
+                   + [F.col("e1.a") == F.col("e2.a")])
+             .filter(lt)
              .select(*[F.col(f"e1.{k}") for k in keys],
-                     F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
-                     F.col("e2.v").alias("c")))
+                     F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                     F.col("e2.b").alias("c")))
+    return oriented, wedge
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   scope: str | None = None) -> DataFrame:
+    """Per-scope triangle count of the UNDIRECTED simple graph induced by
+    the edges (self-loops dropped, direction and multiplicity ignored).
+    Degree-ordered orientation (edge points to the higher-(degree, id)
+    endpoint) bounds wedge generation by O(sqrt m) out-degree per node —
+    an id-only orientation lets a low-id hub emit O(d_max^2) wedges on
+    skewed graphs (VERDICT r3 #3).  Two equi-joins, every triangle
+    counted exactly once at its lowest-order vertex — the standard
+    compact-forward distributed formulation (no per-node adjacency
+    broadcast, no driver collect)."""
+    keys = [scope] if scope else []
+    oriented, wedge = _oriented_wedges(edges, src, dst, keys)
     tri = (wedge.alias("w")
-           .join(und.alias("e3"),
+           .join(oriented.alias("e3"),
                  [F.col(f"w.{k}") == F.col(f"e3.{k}") for k in keys]
-                 + [F.col("w.a") == F.col("e3.u"),
-                    F.col("w.c") == F.col("e3.v")]))
+                 + [F.col("w.b") == F.col("e3.a"),
+                    F.col("w.c") == F.col("e3.b")]))
     if keys:
         return tri.groupBy(*[F.col(f"w.{k}").alias(k) for k in keys]) \
                   .agg(F.count("*").alias("n_triangles"))

@@ -25,3 +25,17 @@ def test_queries_are_stateless_rebuilds():
     a, b = E.queries(), E.queries()
     assert set(a) == set(b)
     assert len(a) == 91
+
+
+def test_driver_window_rotation():
+    """The driver value-checks only the first ~50 queries() entries.
+
+    Every query NOT covered by last round's CORRECTNESS window must be
+    emitted first so it lands inside this round's window (VERDICT.md r3
+    item 1); queries() and oracle_sql() must agree on the order.
+    """
+    q = list(E.queries())
+    unchecked = [k for k in q if k not in E._PREV_DRIVER_CHECKED]
+    assert len(unchecked) <= 50, "window rotation overflow — rotate set"
+    assert q[:len(unchecked)] == unchecked
+    assert list(E.oracle_sql()) == q

@@ -581,6 +581,31 @@ def test_triangle_count_scoped(spark):
     assert out == {"a": 2, "b": 1}
 
 
+def test_triangle_wedges_bounded_on_star_graph(spark):
+    """Degree-ordered orientation (VERDICT r3 #3): a hub keeps NO
+    out-edges, so a star graph generates zero wedges — an id-only
+    orientation with a mid-id hub would generate ~n^2/4."""
+    from propertygraph_spark.ops.graph import (_oriented_wedges,
+                                               triangle_count)
+    n = 200
+    hub = n // 2  # mid-range id: worst case for id-only orientation
+    rows = [("s", hub, i) for i in range(n + 1) if i != hub]
+    edges = spark.createDataFrame(rows, "scope string, src long, dst long")
+    oriented, wedge = _oriented_wedges(edges, "src", "dst", ["scope"])
+    # every edge points AT the hub (highest degree); no node has 2 out
+    assert oriented.filter(F.col("a") == hub).count() == 0
+    assert wedge.count() == 0
+    assert triangle_count(edges, scope="scope").count() == 0
+    # hub + one closing edge between two leaves -> exactly 1 triangle,
+    # and only O(1) wedges materialize
+    edges2 = edges.unionByName(spark.createDataFrame(
+        [("s", 3, 7)], "scope string, src long, dst long"))
+    _, wedge2 = _oriented_wedges(edges2, "src", "dst", ["scope"])
+    assert wedge2.count() == 1  # at a leaf endpoint, not C(n,2) at hub
+    out = triangle_count(edges2, scope="scope").collect()
+    assert [(r["scope"], r["n_triangles"]) for r in out] == [("s", 1)]
+
+
 def test_boilerplate_ngrams_finds_shared_phrase(spark):
     from propertygraph_spark.ops.text import boilerplate_ngrams
     rows = [(i, f"unique{i} words here all rights reserved contact us")
