@@ -536,16 +536,17 @@ FROM events GROUP BY event_type ORDER BY event_type
             f"substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)")
         + f" AS BIGINT) * {16 ** (11 - i)}"
         for i in range(12))
+    sig_ladder = " + ".join(f"CAST(hl >= {1 << i} AS BIGINT)"
+                            for i in range(48))
     o["events_user_sketch"] = f"""
 WITH h AS (SELECT event_type, user_id, ({hv12}) AS hl FROM events),
 per AS (SELECT event_type, user_id,
-               48 - (CASE WHEN hl > 0
-                          THEN CAST(floor(log2(hl)) AS BIGINT) + 1
-                          ELSE 0 END) AS lead_zeros
+               48 - ({sig_ladder}) AS lead_zeros
         FROM h)
 SELECT event_type,
        CAST(max(lead_zeros) AS BIGINT) AS max_lead_zeros,
-       CAST(power(2, max(lead_zeros) + 1) AS BIGINT) AS fm_estimate,
+       CAST(CAST(1 AS BIGINT) << CAST(max(lead_zeros) + 1 AS INT)
+            AS BIGINT) AS fm_estimate,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
 FROM per GROUP BY event_type ORDER BY event_type
 """
@@ -1482,8 +1483,8 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM (
 ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
 bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
         WHERE s.doc_id % 97 <> 0)
-SELECT doc_id, lang, n_chars
-FROM t
+SELECT d.*
+FROM documents d
 WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY doc_id
 """

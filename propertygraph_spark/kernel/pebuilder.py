@@ -32,6 +32,15 @@ _IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*\Z")
 # compilation unit imports java.lang.*). Only the hot, unambiguous names —
 # an application class reusing one of these would be shadowed by an
 # explicit import or a same-unit declaration, both checked first.
+# DOCUMENTED APPROXIMATION (ADVICE r3): a type reached only through a
+# wildcard import (`import pkg.*;`) or a same-package class in ANOTHER
+# file is invisible without a classpath, so an application class named
+# e.g. Process or Error arriving that way is mis-qualified to
+# java.lang.* — the reference's JDT binding (PEASTVisitor.java:1021)
+# would resolve the true type. Guarded by a regression test
+# (tests/test_java_constructs.py::test_wildcard_import_shadowing_limit);
+# the corpus-level symbol table (pipeline/linking.py) closes the
+# same-CORPUS slice of this gap at the pipeline layer.
 _JAVA_LANG = frozenset((
     "String Object Integer Long Double Float Short Byte Character Boolean "
     "Math System Thread Runtime StringBuilder StringBuffer Class Enum "

@@ -69,8 +69,9 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
        |inter| >= ceil(t*|a|), and the globally-smallest intersection
        element must sit inside BOTH prefixes (pigeonhole on the sorted
        order), so no qualifying pair is missed;
-    3. verification joins the candidates back to per-doc sorted shingle
-       arrays and computes the exact intersection with array_intersect.
+    3. verification intersects the two docs' (doc, md5(shingle)) ROWS —
+       an equi-join + count per candidate pair; no per-doc array is ever
+       materialized or replicated across pairs.
 
     Scale rationale: the naive inverted-index self-join pays df^2 on
     EVERY shingle — one stopword trigram with df=10^6 is 10^12 candidate
@@ -144,18 +145,27 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
         cand = (joined.select(F.col("a.doc_id").alias("doc_a"),
                               F.col("b.doc_id").alias("doc_b"))
                 .distinct())
-    sets_ = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("shset"),
-        F.count("*").alias("n_sh"))
-    sa = sets_.select(F.col("doc_id").alias("doc_a"),
-                      F.col("shset").alias("set_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sets_.select(F.col("doc_id").alias("doc_b"),
-                      F.col("shset").alias("set_b"),
-                      F.col("n_sh").alias("n_b"))
-    n_inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("n_inter", n_inter)
+    # Verification by hash-count join (VERDICT r3 #4): intersect
+    # 16-byte md5(shingle) ROWS per candidate pair instead of shipping
+    # each doc's full sorted shingle array to every pair it appears in —
+    # a near-dup mega-doc no longer replicates its whole text per
+    # candidate, and the matched rows stay splittable across tasks.
+    # n_inter >= 1 for every candidate (generation requires a shared
+    # shingle), so the inner count join loses no qualifying pair.
+    shh = sh.select("doc_id", F.md5("shingle").alias("h"))
+    inter = (cand
+             .join(shh.select(F.col("doc_id").alias("doc_a"), "h"),
+                   "doc_a")
+             .join(shh.select(F.col("doc_id").alias("doc_b"), "h"),
+                   ["doc_b", "h"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("n_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("n_b")), "doc_b")
             .withColumn(
                 "jaccard_pm",
                 F.floor(F.col("n_inter") * 1000

@@ -525,22 +525,24 @@ def event_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the thing the sketch avoids at 10^12 rows)."""
     ev = _t(spark, sf_dir, "events")
     # 48-bit hash: first 12 hex chars of md5. 48 bits fits a signed long
-    # (no ANSI overflow) and every value < 2^53 is an exact double, so
-    # floor(log2(h)) is bit-stable on both engines. significant_bits =
-    # floor(log2(h)) + 1 (h > 0); leading zeros within 48 bits.
+    # (no ANSI overflow). significant_bits is computed with EXACT integer
+    # arithmetic — a sum of 48 threshold indicators (hl >= 2^i) — because
+    # floor(log2(hl)) in floating point is not guaranteed correctly
+    # rounded across engines (JVM vs libm; ADVICE r3): a value within an
+    # ulp of a power of two could flip the floor.
     h_long = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
                                 1, 12), 16, 10).cast("long")
     d = ev.select("event_type", h_long.alias("hl"), "user_id")
-    sig_bits = F.when(F.col("hl") > 0,
-                      F.floor(F.log2("hl")) + 1).otherwise(0)
+    sig_bits = sum((F.col("hl") >= F.lit(1 << i)).cast("int")
+                   for i in range(48))
     per = d.withColumn("lead_zeros", (F.lit(48) - sig_bits).cast("long"))
     return (per.groupBy("event_type")
             .agg(F.max("lead_zeros").alias("max_lead_zeros"),
                  F.countDistinct("user_id").alias("exact_distinct"))
             .withColumn(
                 "fm_estimate",
-                F.pow(F.lit(2.0),
-                      F.col("max_lead_zeros") + 1).cast("long"))
+                F.expr("shiftleft(1L, cast(max_lead_zeros + 1 as int))")
+                .cast("long"))
             .select("event_type", "max_lead_zeros", "fm_estimate",
                     "exact_distinct")
             .orderBy("event_type"))

@@ -116,12 +116,19 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=1)
     partials = []
+    nxt = None
     try:
         nxt = pool.submit(load_block, 0)
         for blk in range(n_blocks):
             rows = nxt.result()
+            nxt = None
             if blk + 1 < n_blocks:
                 nxt = pool.submit(load_block, blk + 1)
+                # surface a prefetch failure on THIS iteration, not one
+                # block later: a fast-failing submit (analysis error)
+                # resolves almost immediately, so peek without blocking
+                if nxt.done() and nxt.exception() is not None:
+                    raise nxt.exception()
             if not rows:
                 continue
             ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -149,7 +156,12 @@ def cosine_topk(emb: DataFrame, k: int = 5,
                 partials = [reduce_topk(partials)
                             .localCheckpoint(eager=True)]
     finally:
-        pool.shutdown(wait=False)
+        # on an exception the in-flight collect must not keep running
+        # against the session (ADVICE r3): cancel it if still queued,
+        # then wait for a running one to drain before returning
+        if nxt is not None:
+            nxt.cancel()
+        pool.shutdown(wait=True)
 
     if not partials:  # empty index
         return emb.sparkSession.createDataFrame([], schema)

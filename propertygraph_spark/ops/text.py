@@ -240,8 +240,10 @@ def decontaminate(docs: DataFrame, k: int = 5,
     flagged = contamination_check(docs, k=k, eval_mod=eval_mod) \
         .select("doc_id")
     train = docs.filter(F.col("doc_id") % eval_mod != 0)
+    # survivors keep EVERY payload column (schema-agnostic; ADVICE r3 —
+    # a hardcoded projection silently dropped columns on schema change)
     return (train.join(flagged, "doc_id", "left_anti")
-            .select("doc_id", "lang", "n_chars")
+            .select(*docs.columns)
             .orderBy("doc_id"))
 
 

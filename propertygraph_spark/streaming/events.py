@@ -145,17 +145,25 @@ def streaming_near_dedup(docs_stream: DataFrame,
     """Streaming NEAR-duplicate filtering via MinHash-LSH buckets:
     each doc explodes to its 4 (band, bucket) keys (the same banding as
     ops.dedup._minhash_banded — stateless, map-only) and
-    dropDuplicatesWithinWatermark keeps the FIRST doc per bucket. A doc
-    surviving in >= 1 bucket is that bucket's arrival-order
-    representative — the streaming twin of ops.dedup.dedup_clusters'
-    star representatives (batch picks min doc_id per bucket; streaming
-    picks first arrival; both keep exactly one rep per bucket, so exact
-    duplicates beyond the first are ALWAYS dropped). State per bucket is
-    one 16-byte digest + timestamp, watermark-evicted — the only state
-    shape that survives 10^12 docs.
+    dropDuplicatesWithinWatermark keeps the FIRST doc per bucket. State
+    per bucket is one 16-byte digest + timestamp, watermark-evicted —
+    the only state shape that survives 10^12 docs.
+
+    RECALL GAP vs the batch path (ADVICE r3) — this is NOT an exact
+    streaming twin of ops.dedup.dedup_clusters: a doc counts as a keeper
+    here if it survives in >= 1 of its 4 bands, so a near-duplicate that
+    collides with an earlier doc in only SOME bands is retained, whereas
+    dedup_clusters drops any doc sharing even one bucket with a cluster
+    representative. Only exact duplicates (which collide in ALL bands)
+    are guaranteed dropped. Consumers wanting batch-equivalent recall
+    post-filter on surviving-band count: the output keeps one row per
+    surviving (band, bucket), so ``groupBy(doc_id)`` count < N_BANDS
+    identifies docs that lost >= 1 band (i.e. near-dup suspects) —
+    see tests/test_streaming.py for the recipe.
 
     Input: (doc_id, ts, text). Output: the surviving (doc_id, ts, band,
-    bucket) rows; distinct doc_ids = the keeper set."""
+    bucket) rows; distinct doc_ids = the keeper set; per-doc row count =
+    surviving-band count."""
     from propertygraph_spark.ops.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
     from propertygraph_spark.ops.text import with_shingle_arr
 

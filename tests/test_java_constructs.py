@@ -207,6 +207,43 @@ def test_java_lang_implicit_and_same_unit_qualification():
     assert d["run"] == "Unknown.run()"
 
 
+def test_wildcard_import_shadowing_limit():
+    """Documented approximation (ADVICE r3, pebuilder._JAVA_LANG): an
+    application class named like a hot JRE type but reached ONLY through
+    a wildcard import is invisible without a classpath, so the static
+    twin mis-qualifies it to java.lang.* (JDT with a classpath would
+    bind pkg.Process). This pins the KNOWN deviation so a future change
+    that silently alters the behavior is caught — and proves the two
+    precedence escapes (explicit import, same-unit declaration) DO win
+    over java.lang."""
+    src = (
+        "import org.acme.proc.*;\n"      # wildcard: could export Process
+        "class A { void f() {\n"
+        "    Process.start();\n"          # mis-qualified: java.lang wins
+        "} }")
+    _, _, mentions, err = extract_document("d", src)
+    assert err is None
+    d = {m["mention"]: m["candidate"] for m in mentions
+         if m["kind"] == "call_site"}
+    assert d["start"] == "java.lang.Process.start()"  # the documented miss
+    # explicit import escapes the approximation ...
+    src2 = src.replace("import org.acme.proc.*;",
+                       "import org.acme.proc.Process;")
+    _, _, m2, err = extract_document("d", src2)
+    assert err is None
+    d2 = {m["mention"]: m["candidate"] for m in m2
+          if m["kind"] == "call_site"}
+    assert d2["start"] == "org.acme.proc.Process.start()"
+    # ... and so does a same-unit declaration of the colliding name
+    src3 = "class Process { }\n" + src
+    _, _, m3, err = extract_document("d", src3)
+    assert err is None
+    d3 = {m["mention"]: m["candidate"] for m in m3
+          if m["kind"] == "call_site"}
+    assert d3["start"] == "Process.start()"  # unit-local, no package
+    assert err is None
+
+
 def test_switch_case_local_scope_pops():
     """A local declared inside a switch case must NOT resolve receivers
     after the switch ends (Java scoping; ADVICE r2)."""

@@ -118,6 +118,28 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
     assert naive == want
 
 
+def test_ngram_verification_never_ships_arrays(spark):
+    """VERDICT r3 #4: verification must intersect (doc, shingle-hash)
+    ROWS, never replicate a per-doc shingle array to each candidate
+    pair — a mega-doc with many near-dup copies stays row-splittable."""
+    mega = " ".join("tok%d" % i for i in range(400))
+    rows = [(0, mega)] + [
+        (d, mega + " tail%d" % d) for d in range(1, 6)]  # 5 near-dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import contextlib
+    import io
+    out = dedup.ngram_jaccard_pairs(docs, threshold_pm=900)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "collect_list" not in p and "array_intersect" not in p
+    got = {(r["doc_a"], r["doc_b"]): r["n_inter"] for r in out.collect()}
+    # all C(6,2) pairs are near-dups sharing the 398-shingle mega core
+    assert len(got) == 15
+    assert got[(0, 1)] == 398  # mega vs mega+tail: core shingles shared
+
+
 def test_minhash_lsh_candidates(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"]
              for r in dedup.minhash_lsh_pairs(docs).collect()}
@@ -715,10 +737,14 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
             (2, shared + " completely different tail", "de", 40)]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, n_chars long")
-    kept = decontaminate(docs).collect()
+    out = decontaminate(docs)
+    # survivors keep EVERY payload column of the input (ADVICE r3)
+    assert out.columns == docs.columns
+    kept = out.collect()
     # doc 2 shares the 5-gram with the eval doc -> dropped; doc 1 stays
     assert [(r["doc_id"], r["lang"], r["n_chars"]) for r in kept] == \
         [(1, "en", 29)]
+    assert kept[0]["text"].startswith("clean words")
 
 
 def test_event_transitions_bigrams(spark):

@@ -296,6 +296,17 @@ def test_streaming_near_dedup_matches_batch_banding(spark, tmp_path):
     assert {1, 2, 4} == keepers       # one rep per bucket, first arrival
     # every bucket of every keeper survived exactly once
     assert len(got) == len(set(got))
+    # the documented post-filter recipe (ADVICE r3): per-doc surviving-
+    # band count — a doc retained with < N_BANDS rows lost >= 1 band to
+    # an earlier near-dup and can be dropped by recall-strict consumers.
+    # Here every keeper is either first-in-all-bands or unrelated, so
+    # all counts are full; doc 3 (all bands lost) has zero rows.
+    from propertygraph_spark.ops.dedup import N_BANDS
+    band_counts: dict = {}
+    for d, _b, _k in got:
+        band_counts[d] = band_counts.get(d, 0) + 1
+    assert all(c == N_BANDS for c in band_counts.values())
+    assert 3 not in band_counts
 
 
 def test_streaming_contamination_stream_static_join(spark, tmp_path):
