@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_cfg_bfs"] = lambda s, d: kgdocs.cfg_bfs_by_level(_docs(s, d))
     q["kg_pdg_components"] = lambda s, d: kgdocs.pdg_components_by_template(
         _docs(s, d))
+    q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
+        _docs(s, d))
 
     # --- relational shell (TPC-H-ish + events) ---
     q["q1_pricing_summary"] = relational.pricing_summary
@@ -362,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
     # --- KG: value-checked against frozen per-template kernel constants ---
     o["kg_triples_by_pred"] = kgdocs.triple_count_oracle_sql()
     o["kg_mentions_by_kind"] = kgdocs.mention_count_oracle_sql()
+    o["kg_xfile_qualified"] = kgdocs.xfile_oracle_sql()
     o["kg_spans_roundtrip"] = kgdocs.spans_roundtrip_oracle_sql()
     o["kg_pdg_closure"] = kgdocs.closure_oracle_sql()
     o["kg_degree_hist"] = kgdocs.degree_histogram_oracle_sql()

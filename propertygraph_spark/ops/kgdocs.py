@@ -497,6 +497,70 @@ def linked_mentions(documents: DataFrame) -> DataFrame:
             .orderBy("mention", "fqn", "score_pm"))
 
 
+XFILE_DECL_SRC = "package org.acme.util; class Text { }"
+
+
+def xfile_qualified_mentions(documents: DataFrame) -> DataFrame:
+    """Cross-file receiver qualification (pipeline/linking.py
+    qualify_cross_file) end to end over the synthesized corpus: every
+    doc with doc_id % 7 == 0 contributes an EXTRA declaration-only
+    compilation unit (``package org.acme.util; class Text``) — the
+    file-A declaration — so the kernel-unqualified ``Text.m()``
+    call-site candidates the OTHER templates emit (files B) rewrite to
+    the A-declared fqn through the corpus symbol table. Output:
+    call-site candidates with occurrence counts and the rewrite flag;
+    oracle = frozen per-template candidate constants + doc_id
+    arithmetic (xfile_oracle_sql)."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import qualify_cross_file
+    decl_spans = (documents.filter(F.col("doc_id") % 7 == 0)
+                  .select((F.col("doc_id") + 2_000_000).cast("string")
+                          .alias("doc_id"),
+                          F.array(_span("code", F.lit(XFILE_DECL_SRC),
+                                        F.lit(""), 0)).alias("spans")))
+    docs = docs_with_spans(documents).unionByName(decl_spans)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    q = qualify_cross_file(mentions)
+    return (q.filter(F.col("kind") == "call_site")
+            .groupBy("candidate")
+            .agg(F.count("*").alias("n_mentions"),
+                 F.max(F.col("xfile_qualified").cast("long")).alias("xfile"))
+            .orderBy("candidate"))
+
+
+def xfile_oracle_sql() -> str:
+    """DuckDB twin of xfile_qualified_mentions: per-template call-site
+    candidate constants x per-template doc counts; 'Text.'-prefixed
+    candidates rewrite exactly when any doc_id % 7 == 0 exists (the
+    declaration shard)."""
+    rows = []
+    for tpl, occs in sorted(TEMPLATE_LINK_OCCURRENCES.items()):
+        cnt: dict = {}
+        for _mention, kind, cand in occs:
+            if kind == "call_site":
+                cnt[cand] = cnt.get(cand, 0) + 1
+        for cand, n in sorted(cnt.items()):
+            rows.append(f"({tpl}, '{cand}', {n})")
+    values = ", ".join(rows)
+    return f"""
+WITH occ(tpl, candidate, n_per_doc) AS (SELECT * FROM (VALUES {values})),
+d AS (SELECT CAST(doc_id % 4 AS INT) AS tpl,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1),
+hd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       WHERE doc_id % 7 = 0)
+SELECT CASE WHEN hd.n > 0 AND starts_with(occ.candidate, 'Text.')
+            THEN 'org.acme.util.' || occ.candidate
+            ELSE occ.candidate END AS candidate,
+       CAST(sum(occ.n_per_doc * d.n_docs) AS BIGINT) AS n_mentions,
+       CAST(max(CASE WHEN hd.n > 0 AND starts_with(occ.candidate, 'Text.')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS xfile
+FROM occ JOIN d USING (tpl), hd
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def canonical_entities(documents: DataFrame) -> DataFrame:
     """Alias canonicalization over the linked table: connected components
     of fqns sharing a linked mention, canonical_id = min fqn of the

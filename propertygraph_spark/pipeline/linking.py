@@ -80,6 +80,81 @@ def symbol_dictionary(spark: SparkSession, n_symbols: int = 2000,
     return spark.createDataFrame(symbol_rows(n_symbols, seed), DICT_SCHEMA)
 
 
+def corpus_symbol_table(mentions: DataFrame) -> DataFrame:
+    """(recv_simple, decl_fqn): every class simple name declared under
+    exactly ONE fully-qualified name anywhere in the corpus.
+
+    The Spark-native stand-in for classpath type bindings (VERDICT r3
+    #6): the kernel already emits a ``class_decl`` mention with the
+    package-qualified fqn for every type declaration it parses
+    (pebuilder.py build_type_declaration; the reference gets the same
+    fact from JDT bindings, PEASTVisitor.java:1017-1025), so the
+    corpus's own declaration rows ARE a global symbol table. Ambiguous
+    simple names (declared under 2+ distinct fqns) are dropped —
+    without the using file's imports there is no safe winner, matching
+    javac's ambiguity conservatism.
+
+    Scale shape: distinct over class_decl rows (a tiny fraction of
+    mentions), then one groupBy on the simple name — output is one row
+    per distinct declared class name, orders of magnitude smaller than
+    the corpus, hence broadcast-able in qualify_cross_file."""
+    decls = (mentions.filter(F.col("kind") == "class_decl")
+             .select(F.col("mention").alias("recv_simple"),
+                     F.col("candidate").alias("decl_fqn"))
+             .distinct())
+    return (decls.groupBy("recv_simple")
+            .agg(F.count("*").alias("n_fqns"),
+                 F.min("decl_fqn").alias("decl_fqn"))
+            .filter(F.col("n_fqns") == 1)
+            .select("recv_simple", "decl_fqn"))
+
+
+# static-receiver call form the kernel could NOT qualify: one uppercase
+# simple name, one dot, call parens — multi-dot candidates are already
+# resolved (import / java.lang / same-unit)
+_XFILE_RE = r"^([A-Z][A-Za-z0-9_$]*)\.[A-Za-z_$][A-Za-z0-9_$]*\(\)$"
+
+
+def qualify_cross_file(mentions: DataFrame,
+                       symtab: DataFrame | None = None,
+                       broadcast_table: bool = True) -> DataFrame:
+    """Rewrite call-site candidates whose receiver type the kernel left
+    unqualified (``Recv.m()``) to the corpus-declared fqn
+    (``org.acme.Recv.m()``) when exactly one class named ``Recv`` is
+    declared anywhere in the corpus — receivers whose type lives in
+    ANOTHER file finally resolve, the last K2 gap closable without a
+    classpath (COVERAGE.md). Identity on every other row; adds an
+    ``xfile_qualified`` flag.
+
+    Scale shape: the symbol table broadcasts (one row per declared class
+    name); the probe is a map-side broadcast-hash join against the
+    extracted receiver name — no shuffle added to the linking stage. For
+    a corpus whose class-name universe outgrows broadcast, pass
+    ``broadcast_table=False`` for a shuffled hash join (build side is
+    still 1 row per key; AQE absorbs probe-side hot names)."""
+    if symtab is None:
+        symtab = corpus_symbol_table(mentions)
+    recv = F.when(F.col("kind") == "call_site",
+                  F.regexp_extract("candidate", _XFILE_RE, 1)) \
+            .otherwise(F.lit(""))
+    m = mentions.withColumn("recv_simple", recv)
+    tab = F.broadcast(symtab) if broadcast_table else symtab
+    joined = m.join(tab.withColumnRenamed("recv_simple", "rs"),
+                    (F.col("recv_simple") == F.col("rs"))
+                    & (F.col("recv_simple") != ""), "left")
+    hit = (F.col("decl_fqn").isNotNull()
+           & (F.col("decl_fqn") != F.col("recv_simple")))
+    new_cand = F.when(
+        hit,
+        F.concat(F.col("decl_fqn"),
+                 F.expr("substring(candidate, length(recv_simple) + 1)"))) \
+        .otherwise(F.col("candidate"))
+    return (joined
+            .withColumn("candidate", new_cand)
+            .withColumn("xfile_qualified", hit)
+            .drop("rs", "decl_fqn", "recv_simple"))
+
+
 def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
                   strategy: str = "broadcast", salt: int = 16) -> DataFrame:
     """mentions(doc_id, method_id, node_id, mention, kind, candidate)

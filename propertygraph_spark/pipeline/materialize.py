@@ -303,7 +303,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
                  n_buckets: int = N_BUCKETS_DEFAULT,
                  docs_fingerprint: str = "",
                  link_strategy: str = "broadcast",
-                 graphs: tuple = ("ast", "cfg", "pdg")) -> dict:
+                 graphs: tuple = ("ast", "cfg", "pdg"),
+                 xfile_link: bool = True) -> dict:
     """Full KG-construction pipeline with per-stage checkpoint/resume.
 
     docs -> [extract: map-only Arrow kernel] -> union rows (partitioned by
@@ -313,7 +314,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     """
     from .canonicalize import canonicalize_entities
     from .extract import MENTION_COLS, NODE_COLS, TRIPLE_COLS, extract_docs
-    from .linking import link_mentions, symbol_dictionary
+    from .linking import link_mentions, qualify_cross_file, symbol_dictionary
 
     os.makedirs(out_dir, exist_ok=True)
     stage_times: dict = {}
@@ -342,11 +343,18 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     mentions = union.filter(F.col("row_kind") == "mention") \
                     .select(*MENTION_COLS, "bucket")
 
-    # stage 2: entity linking
-    fp2 = fingerprint("link", fp1, link_strategy)
+    # stage 2: entity linking — with the corpus-level symbol pass first:
+    # call-site receivers whose type is declared in ANOTHER file get the
+    # declaring file's fqn (broadcast probe, no extra shuffle), the
+    # Spark-native stand-in for classpath bindings. The stage fingerprint
+    # carries the flag so resume never mixes qualified/raw linked tables.
+    fp2 = fingerprint("link", fp1, link_strategy, f"xfile={xfile_link}")
     t0 = time.time()
     sym = symbol_dictionary(spark)
-    linked = link_mentions(mentions.drop("bucket"), sym, strategy=link_strategy)
+    m_link = mentions.drop("bucket")
+    if xfile_link:
+        m_link = qualify_cross_file(m_link).drop("xfile_qualified")
+    linked = link_mentions(m_link, sym, strategy=link_strategy)
     linked_path = os.path.join(out_dir, "linked")
     linked = write_stage(linked, linked_path, fp2, spark=spark)
     stage_times["link"] = round(time.time() - t0, 3)

@@ -15,6 +15,51 @@ from propertygraph_spark.pipeline.linking import link_mentions, symbol_dictionar
 import pytest as _pytest
 
 
+def test_cross_file_receiver_qualification(spark):
+    """VERDICT r3 #6: a receiver whose type is declared in ANOTHER file
+    resolves through the corpus-level symbol table — class in file A,
+    use in file B, candidate rewritten to the A-declared fqn; names
+    declared under two packages stay untouched (ambiguity
+    conservatism); and linking then prefers the RIGHT dictionary entry
+    where the raw simple-name suffix would have matched a wrong-package
+    twin."""
+    from propertygraph_spark.kernel.extract import extract_document
+    from propertygraph_spark.pipeline.linking import (DICT_SCHEMA,
+                                                      qualify_cross_file)
+    src_a = ("package org.acme.gadget;\n"
+             "class Widget { public int spin() { return 1; } }")
+    src_b = ("class UseSite { void f() { Widget w = new Widget(); "
+             "w.spin(); Gizmo g = new Gizmo(); g.poke(); } }")
+    src_c1 = "package p1;\nclass Gizmo { }"
+    src_c2 = "package p2;\nclass Gizmo { }"  # ambiguous simple name
+    rows: list = []
+    for doc, src in [("A", src_a), ("B", src_b),
+                     ("C1", src_c1), ("C2", src_c2)]:
+        _, _, m, err = extract_document(doc, src)
+        assert err is None, err
+        rows += m
+    mdf = spark.createDataFrame(rows)
+    out = qualify_cross_file(mdf)
+    assert out.count() == mdf.count()  # identity on row multiplicity
+    d = {(r["doc_id"], r["mention"]): (r["candidate"], r["xfile_qualified"])
+         for r in out.filter(F.col("kind") == "call_site").collect()}
+    assert d[("B", "spin")] == ("org.acme.gadget.Widget.spin()", True)
+    assert d[("B", "poke")] == ("Gizmo.poke()", False)  # two decls: skip
+    # linking: the unqualified candidate 'Widget.spin()' suffix-matches
+    # BOTH dictionary twins (+0.5 each), so the heavier wrong-package
+    # entry would win; the corpus-qualified stem matches only the
+    # A-declared fqn
+    dict_rows = [("net.fake.Widget.spin", "spin", "method", 0.6),
+                 ("org.acme.gadget.Widget.spin", "spin", "method", 0.5)]
+    sym = spark.createDataFrame(dict_rows, DICT_SCHEMA)
+    raw = {r["fqn"] for r in link_mentions(
+        mdf.filter(F.col("kind") == "call_site"), sym).collect()}
+    assert "net.fake.Widget.spin" in raw  # the miss without the pass
+    linked = {r["fqn"] for r in link_mentions(
+        out.filter(F.col("kind") == "call_site"), sym).collect()}
+    assert linked == {"org.acme.gadget.Widget.spin"}
+
+
 @_pytest.mark.parametrize("threshold", [200_000, 0])  # driver path, dist path
 def test_connected_components_basic(spark, threshold):
     # two components: {1,2,3,4} via chain, {10,11}; singleton 99 untouched
