@@ -573,8 +573,13 @@ class Parser:
         else_stmt = None
         else_start = None
         if self.at("else"):
-            else_start = self.peek().start
             self.advance()
+            # the reference anchors the if's end at the else STATEMENT's
+            # first token, not the `else` keyword (getEndLineNumber,
+            # PEASTVisitor.java:126-129: elseStatement.getStartPosition()
+            # - 1) — visible only when an unbraced else body sits on its
+            # own line (found by the r4 ast_child reference trace)
+            else_start = self.peek().start
             else_stmt = self.parse_statement()
         end = self.toks[self.pos - 1].end
         return J("If", start, end, cond=cond, then=then, else_stmt=else_stmt,

@@ -100,18 +100,21 @@ def compute(write_md: bool = True) -> dict:
             "",
             "Target (BASELINE.md): precision and recall >= 0.95 per",
             "AST/CFG/PDG edge family over the reference's 11 fixture files.",
-            "Golden provenance (disclosure): these edge sets are frozen",
-            "from the kernel itself, so this gate measures",
-            "REGRESSION-vs-frozen-self — it is not independent evidence of",
-            "reference parity. Parity is established separately:",
-            "PARITY.md hand-traces ALL 11 fixtures edge-by-edge against",
-            "reference file:line, and tests/test_reference_traces.py",
-            "freezes every fixture's FULL CFG/PDG edge set — plus the",
-            "complete ast_child sets of both guard fixtures — as",
-            "constants derived from the rule trace (not exported from",
-            "the kernel); ast_child for the other nine fixtures is the",
-            "remaining self-frozen slice. Regenerate",
-            "goldens with `python scripts/pr_report.py --freeze`;",
+            "Golden provenance: every golden family is now",
+            "reference-derived. tests/test_reference_traces.py freezes",
+            "every fixture's FULL CFG/PDG edge set as constants derived",
+            "from the reference rule trace, and (round 4)",
+            "tests/test_reference_traces_ast.py derives the COMPLETE",
+            "ast_child edge multiset of all 11 fixtures from the",
+            "PEASTVisitor construction rules (text/span/children per",
+            "node type, file:line-cited DSL — not exported from the",
+            "kernel); PARITY.md hand-traces the def/use/dependence",
+            "semantics. The frozen golden_edges.json is therefore a",
+            "regression pin of reference-verified sets (the r4 trace",
+            "caught and fixed a real span deviation: unbraced-else if",
+            "ends anchored at the else keyword instead of the else",
+            "statement). Regenerate with",
+            "`python scripts/pr_report.py --freeze`;",
             "`tests/test_pr_report.py` gates every run at >= 0.95.",
             "",
             "| family | precision | recall | matched | emitted | golden |",
