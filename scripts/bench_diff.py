@@ -23,8 +23,15 @@ THRESHOLD = 1.3
 
 
 def load_round(path: str) -> dict:
+    """Driver artifact ({parsed: ...}), raw single-line bench output, or
+    the r4+ two-line form (full record first, compact tail last — take
+    the FIRST line: it has the full query map)."""
     with open(path) as f:
-        data = json.load(f)
+        raw = f.read()
+    try:
+        data = json.loads(raw)  # pretty-printed artifact or single line
+    except json.JSONDecodeError:
+        data = json.loads(raw.splitlines()[0])  # two-line: first wins
     return data["parsed"] if "parsed" in data else data
 
 
