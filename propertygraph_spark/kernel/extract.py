@@ -86,28 +86,71 @@ def _ast_children(pe: PE) -> List[PE]:
     return out
 
 
-def extract_document(doc_id: str, source: str,
-                     graphs: Tuple[str, ...] = ("ast", "cfg", "pdg"),
-                     max_source_chars: int = 4_000_000,
-                     ) -> Tuple[List[dict], List[dict], List[dict], Optional[str]]:
-    """Run the full kernel on one compilation unit.
+NODE_COLS_K = ("method_id", "node_id", "graph", "kind", "category",
+               "text", "start_line", "end_line")
+TRIPLE_COLS_K = ("method_id", "subj", "pred", "obj", "label")
+MENTION_COLS_K = ("method_id", "node_id", "mention", "kind", "candidate")
 
-    Returns (nodes, triples, mentions, error). On parse failure the document
-    degrades to empty output with the error recorded (the reference's
-    PESafeStack drops subtrees; we additionally never fail the batch).
+
+def extract_document_columns(
+        doc_id: str, source: str,
+        graphs: Tuple[str, ...] = ("ast", "cfg", "pdg"),
+        max_source_chars: int = 4_000_000,
+) -> Tuple[Dict[str, list], Dict[str, list], Dict[str, list], Optional[str]]:
+    """Columnar kernel core: (node_cols, triple_cols, mention_cols, err).
+
+    Same semantics and emission order as ``extract_document`` (which is
+    now a thin dict view over this), but rows are appended straight into
+    per-column lists — the Spark Arrow wrapper hands these to
+    ``pyarrow.array`` directly, skipping both the per-row dict build and
+    the per-column re-scan it used to pay. ``doc_id`` is constant per
+    call and therefore NOT a column here (the wrapper replicates it).
+    On failure the document degrades to the partial columns accumulated
+    so far with the error recorded (the reference's PESafeStack drops
+    subtrees; we additionally never fail the batch).
     """
-    nodes: List[dict] = []
-    triples: List[dict] = []
-    mentions: List[dict] = []
+    n_mid: list = []
+    n_nid: list = []
+    n_graph: list = []
+    n_kind: list = []
+    n_cat: list = []
+    n_text: list = []
+    n_sl: list = []
+    n_el: list = []
+    t_mid: list = []
+    t_subj: list = []
+    t_pred: list = []
+    t_obj: list = []
+    t_label: list = []
+    m_mid: list = []
+    m_nid: list = []
+    m_mention: list = []
+    m_kind: list = []
+    m_cand: list = []
+
+    def _cols():
+        return ({"method_id": n_mid, "node_id": n_nid, "graph": n_graph,
+                 "kind": n_kind, "category": n_cat, "text": n_text,
+                 "start_line": n_sl, "end_line": n_el},
+                {"method_id": t_mid, "subj": t_subj, "pred": t_pred,
+                 "obj": t_obj, "label": t_label},
+                {"method_id": m_mid, "node_id": m_nid,
+                 "mention": m_mention, "kind": m_kind,
+                 "candidate": m_cand})
+
+    def _fail(err: str):
+        nc, tc, mc = _cols()
+        return nc, tc, mc, err
+
     if len(source) > max_source_chars:
-        return nodes, triples, mentions, "source too large"
+        return _fail("source too large")
     try:
         builder = PEBuilder(source)
         methods = builder.build()
     except RecursionError:
-        return nodes, triples, mentions, "recursion limit"
+        return _fail("recursion limit")
     except Exception as exc:  # degrade, never fail the batch
-        return nodes, triples, mentions, f"parse error: {exc}"
+        return _fail(f"parse error: {exc}")
 
     idgen = builder.idgen
     node_seen: set = set()
@@ -115,10 +158,11 @@ def extract_document(doc_id: str, source: str,
     # class/field declaration mentions (builder seeds; fields are not PE
     # nodes — projection parity — but their declarations are mentions)
     for node_id, mention_text, kind, candidate in builder.mention_seeds:
-        mentions.append({
-            "doc_id": doc_id, "method_id": "", "node_id": node_id,
-            "mention": mention_text, "kind": kind, "candidate": candidate,
-        })
+        m_mid.append("")
+        m_nid.append(node_id)
+        m_mention.append(mention_text)
+        m_kind.append(kind)
+        m_cand.append(candidate)
 
     def emit_node(method_id: str, pe: PE, graph: str, kind: str) -> None:
         key = (method_id, graph, pe.pe_id)
@@ -126,29 +170,31 @@ def extract_document(doc_id: str, source: str,
             return
         node_seen.add(key)
         k, category = _pe_kind_category(pe)
-        nodes.append({
-            "doc_id": doc_id, "method_id": method_id, "node_id": pe.pe_id,
-            "graph": graph, "kind": kind or k, "category": category,
-            "text": pe.text, "start_line": pe.start_line,
-            "end_line": pe.end_line,
-        })
+        n_mid.append(method_id)
+        n_nid.append(pe.pe_id)
+        n_graph.append(graph)
+        n_kind.append(kind or k)
+        n_cat.append(category)
+        n_text.append(pe.text)
+        n_sl.append(pe.start_line)
+        n_el.append(pe.end_line)
 
-    def emit_triple(method_id: str, subj: int, pred: str, obj: int, label: str) -> None:
-        triples.append({
-            "doc_id": doc_id, "method_id": method_id, "subj": subj,
-            "pred": pred, "obj": obj, "label": label,
-        })
+    def emit_triple(method_id: str, subj: int, pred: str, obj: int,
+                    label: str) -> None:
+        t_mid.append(method_id)
+        t_subj.append(subj)
+        t_pred.append(pred)
+        t_obj.append(obj)
+        t_label.append(label)
 
     def emit_mention(method_id: str, pe: PE) -> None:
         if isinstance(pe, ExpressionInfo) and \
                 pe.category == "MethodInvocation" and pe.expressions:
-            mentions.append({
-                "doc_id": doc_id, "method_id": method_id,
-                "node_id": pe.pe_id,
-                "mention": pe.expressions[0].text,
-                "kind": "call_site",
-                "candidate": pe.api_name or pe.expressions[0].text,
-            })
+            m_mid.append(method_id)
+            m_nid.append(pe.pe_id)
+            m_mention.append(pe.expressions[0].text)
+            m_kind.append("call_site")
+            m_cand.append(pe.api_name or pe.expressions[0].text)
         elif isinstance(pe, VariableDeclarationInfo):
             # params / foreach vars / catch params
             base = builder._base_type(
@@ -174,27 +220,25 @@ def extract_document(doc_id: str, source: str,
         """north_star mention family "variable declarations": the declared
         NAME, plus a type_ref for non-primitive declared types
         (import-qualified — the same resolution apiName uses)."""
-        mentions.append({
-            "doc_id": doc_id, "method_id": method_id,
-            "node_id": node_id, "mention": name,
-            "kind": "var_decl",
-            "candidate": f"{base} {name}" if base else name,
-        })
+        m_mid.append(method_id)
+        m_nid.append(node_id)
+        m_mention.append(name)
+        m_kind.append("var_decl")
+        m_cand.append(f"{base} {name}" if base else name)
         if base and base not in _PRIMS:
-            mentions.append({
-                "doc_id": doc_id, "method_id": method_id,
-                "node_id": node_id, "mention": base,
-                "kind": "type_ref",
-                "candidate": builder.imports.get(base, base),
-            })
+            m_mid.append(method_id)
+            m_nid.append(node_id)
+            m_mention.append(base)
+            m_kind.append("type_ref")
+            m_cand.append(builder.imports.get(base, base))
 
     for ordinal, method in enumerate(methods):
         method_id = f"{doc_id}#{ordinal}:{method.name or '<lambda>'}"
-        mentions.append({
-            "doc_id": doc_id, "method_id": method_id,
-            "node_id": method.pe_id, "mention": method.name or "",
-            "kind": "method_decl", "candidate": method.name or "",
-        })
+        m_mid.append(method_id)
+        m_nid.append(method.pe_id)
+        m_mention.append(method.name or "")
+        m_kind.append("method_decl")
+        m_cand.append(method.name or "")
         try:
             # ---- AST graph + call-site mentions: ONE preorder walk ----
             if "ast" in graphs:
@@ -264,8 +308,34 @@ def extract_document(doc_id: str, source: str,
                     emit_mention(method_id, pe)
                     stack2.extend(_ast_children(pe))
         except RecursionError:
-            return nodes, triples, mentions, f"recursion limit in {method_id}"
+            return _fail(f"recursion limit in {method_id}")
         except Exception as exc:
-            return nodes, triples, mentions, f"graph error in {method_id}: {exc}"
+            return _fail(f"graph error in {method_id}: {exc}")
 
-    return nodes, triples, mentions, None
+    nc, tc, mc = _cols()
+    return nc, tc, mc, None
+
+
+def _rows(doc_id: str, cols: Dict[str, list], order: Tuple[str, ...]) -> List[dict]:
+    keys = ("doc_id",) + order
+    return [dict(zip(keys, (doc_id,) + row))
+            for row in zip(*(cols[c] for c in order))]
+
+
+def extract_document(doc_id: str, source: str,
+                     graphs: Tuple[str, ...] = ("ast", "cfg", "pdg"),
+                     max_source_chars: int = 4_000_000,
+                     ) -> Tuple[List[dict], List[dict], List[dict], Optional[str]]:
+    """Run the full kernel on one compilation unit.
+
+    Returns (nodes, triples, mentions, error) as row dicts — a thin view
+    over ``extract_document_columns`` (the Spark path consumes the
+    columnar form directly). On parse failure the document degrades to
+    empty output with the error recorded (the reference's PESafeStack
+    drops subtrees; we additionally never fail the batch).
+    """
+    nc, tc, mc, err = extract_document_columns(
+        doc_id, source, graphs=graphs, max_source_chars=max_source_chars)
+    return (_rows(doc_id, nc, NODE_COLS_K),
+            _rows(doc_id, tc, TRIPLE_COLS_K),
+            _rows(doc_id, mc, MENTION_COLS_K), err)

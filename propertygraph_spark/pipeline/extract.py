@@ -109,61 +109,62 @@ def _kind_batch(schema, filled: dict, n: int):
 
 def _kernel(batches, graphs=("ast", "cfg", "pdg")) -> Iterator:
     """mapInArrow kernel: one fused pass per document; output is built
-    column-wise per row_kind (the pandas-object detour costs ~1.6x the
-    kernel itself at 32 cores — Arrow-native batches avoid it)."""
+    column-wise per row_kind from the kernel's own columnar form (no
+    per-row dicts anywhere on this path — the pandas-object detour costs
+    ~1.6x the kernel itself at 32 cores, and even the dict-row detour
+    paid one dict build plus one per-column re-scan per row)."""
     # heavy import inside the worker, once per python worker
-    from propertygraph_spark.kernel.extract import extract_document
+    from propertygraph_spark.kernel.extract import (MENTION_COLS_K,
+                                                    NODE_COLS_K,
+                                                    TRIPLE_COLS_K,
+                                                    extract_document_columns)
 
     schema = _arrow_schema()
     for batch in batches:
         t0 = time.monotonic()
         doc_ids = batch.column("doc_id").to_pylist()
         sources = batch.column("source").to_pylist()
-        nodes_rows: list = []
-        triple_rows: list = []
-        mention_rows: list = []
+        nd: dict = {c: [] for c in NODE_COLS_K}
+        td: dict = {c: [] for c in TRIPLE_COLS_K}
+        md: dict = {c: [] for c in MENTION_COLS_K}
+        nd_doc: list = []
+        td_doc: list = []
+        md_doc: list = []
         error_rows: list = []
         for doc_id, source in zip(doc_ids, sources):
-            nodes, triples, mentions, err = extract_document(
+            nc, tc, mc, err = extract_document_columns(
                 doc_id, source or "", graphs=graphs)
-            nodes_rows.extend((doc_id, n) for n in nodes)
-            triple_rows.extend((doc_id, t) for t in triples)
-            mention_rows.extend((doc_id, m) for m in mentions)
+            n = len(nc["node_id"])
+            if n:
+                nd_doc.extend([doc_id] * n)
+                for c in NODE_COLS_K:
+                    nd[c].extend(nc[c])
+            n = len(tc["subj"])
+            if n:
+                td_doc.extend([doc_id] * n)
+                for c in TRIPLE_COLS_K:
+                    td[c].extend(tc[c])
+            n = len(mc["node_id"])
+            if n:
+                md_doc.extend([doc_id] * n)
+                for c in MENTION_COLS_K:
+                    md[c].extend(mc[c])
             if err is not None:
                 error_rows.append((doc_id, err))
-        if nodes_rows:
+        if nd_doc:
             yield _kind_batch(schema, {
-                "row_kind": ["node"] * len(nodes_rows),
-                "doc_id": [d for d, _ in nodes_rows],
-                "method_id": [n["method_id"] for _, n in nodes_rows],
-                "node_id": [n["node_id"] for _, n in nodes_rows],
-                "graph": [n["graph"] for _, n in nodes_rows],
-                "kind": [n["kind"] for _, n in nodes_rows],
-                "category": [n["category"] for _, n in nodes_rows],
-                "text": [n["text"] for _, n in nodes_rows],
-                "start_line": [n["start_line"] for _, n in nodes_rows],
-                "end_line": [n["end_line"] for _, n in nodes_rows],
-            }, len(nodes_rows))
-        if triple_rows:
+                "row_kind": ["node"] * len(nd_doc), "doc_id": nd_doc, **nd,
+            }, len(nd_doc))
+        if td_doc:
             yield _kind_batch(schema, {
-                "row_kind": ["triple"] * len(triple_rows),
-                "doc_id": [d for d, _ in triple_rows],
-                "method_id": [t["method_id"] for _, t in triple_rows],
-                "subj": [t["subj"] for _, t in triple_rows],
-                "pred": [t["pred"] for _, t in triple_rows],
-                "obj": [t["obj"] for _, t in triple_rows],
-                "label": [t["label"] for _, t in triple_rows],
-            }, len(triple_rows))
-        if mention_rows:
+                "row_kind": ["triple"] * len(td_doc), "doc_id": td_doc,
+                **td,
+            }, len(td_doc))
+        if md_doc:
             yield _kind_batch(schema, {
-                "row_kind": ["mention"] * len(mention_rows),
-                "doc_id": [d for d, _ in mention_rows],
-                "method_id": [m["method_id"] for _, m in mention_rows],
-                "node_id": [m["node_id"] for _, m in mention_rows],
-                "kind": [m["kind"] for _, m in mention_rows],
-                "mention": [m["mention"] for _, m in mention_rows],
-                "candidate": [m["candidate"] for _, m in mention_rows],
-            }, len(mention_rows))
+                "row_kind": ["mention"] * len(md_doc), "doc_id": md_doc,
+                **md,
+            }, len(md_doc))
         if error_rows:
             yield _kind_batch(schema, {
                 "row_kind": ["error"] * len(error_rows),
@@ -171,7 +172,7 @@ def _kernel(batches, graphs=("ast", "cfg", "pdg")) -> Iterator:
                 "error": [e for _, e in error_rows],
             }, len(error_rows))
         elapsed = time.monotonic() - t0
-        n_out = len(nodes_rows) + len(triple_rows) + len(mention_rows)
+        n_out = len(nd_doc) + len(td_doc) + len(md_doc)
         yield _kind_batch(schema, {
             "row_kind": ["metric"], "doc_id": ["_partition"],
             "text": [f"docs={len(doc_ids)} rows={n_out} sec={elapsed:.3f}"],
