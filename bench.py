@@ -267,9 +267,18 @@ def main() -> None:
                        (F.col("id") + 1).alias("dst")))
     hubg = star.unionByName(closing)
     t0 = time.monotonic()
-    _, wedge = _oriented_wedges(hubg, "src", "dst", ["scope"])
+    oriented, wedge = _oriented_wedges(hubg, "src", "dst", ["scope"])
     wedge_rows = wedge.count()
-    tri_rows = triangle_count(hubg, scope="scope").collect()
+    # close the triangles from the ALREADY-materialized orientation
+    # (triangle_count would rebuild the whole wedge lineage and time the
+    # pipeline twice — review r4)
+    tri_rows = (wedge.alias("w")
+                .join(oriented.alias("e3"),
+                      [F.col("w.scope") == F.col("e3.scope"),
+                       F.col("w.b") == F.col("e3.a"),
+                       F.col("w.c") == F.col("e3.b")])
+                .groupBy(F.col("w.scope"))
+                .agg(F.count("*").alias("n_triangles")).collect())
     ga["triangle_skew"] = {
         "nodes": n_hub + 1, "hub_degree": n_hub,
         "wedge_rows_degree_oriented": wedge_rows,

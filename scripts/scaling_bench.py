@@ -123,8 +123,15 @@ def main() -> None:
     # does not), merges them into SCALE_STATE (if set), and renders
     # BENCH/BASELINE.md from everything accumulated so far.
     rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
-    pairs = [tuple(int(v) for v in p.split(":")) for p in
-             os.environ.get("SCALE_PAIRS", "8:32,4:16").split(",") if p]
+    try:
+        pairs = [(int(lo), int(hi)) for lo, hi in
+                 (p.split(":") for p in
+                  os.environ.get("SCALE_PAIRS", "8:32,4:16").split(",")
+                  if p)]
+    except ValueError:
+        raise SystemExit("SCALE_PAIRS must be 'lo:hi[,lo:hi...]'")
+    if not pairs:
+        raise SystemExit("SCALE_PAIRS is empty — nothing to measure")
     levels = sorted({c for p in pairs for c in p})
     with_mp = os.environ.get("SCALE_MP", "1") == "1"
     state_path = os.environ.get("SCALE_STATE", "")

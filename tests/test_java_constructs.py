@@ -241,7 +241,6 @@ def test_wildcard_import_shadowing_limit():
     d3 = {m["mention"]: m["candidate"] for m in m3
           if m["kind"] == "call_site"}
     assert d3["start"] == "Process.start()"  # unit-local, no package
-    assert err is None
 
 
 def test_switch_case_local_scope_pops():
