@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
         _docs_with_dupes(s, d))
+    q["dedup_substring_spans"] = lambda s, d: dedup.substring_dup_spans(
+        _docs_with_dupes(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), threshold_pm=200)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
@@ -1052,6 +1054,36 @@ WITH aug AS (
 SELECT md5(text) AS content_md5, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM aug GROUP BY md5(text) HAVING count(*) > 1
+"""
+    o["dedup_substring_spans"] = f"""
+WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0),
+tok AS (SELECT doc_id, {_sql_tokens()} AS toks FROM d2),
+occ AS (SELECT doc_id, i,
+               array_to_string(toks[i:i+12], ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(
+                         1, greatest(len(toks) - 12, 0))) AS i
+              FROM tok)),
+hot AS (SELECT shingle FROM (
+          SELECT shingle, count(DISTINCT doc_id) AS df
+          FROM occ GROUP BY 1)
+        WHERE df >= 2),
+cov AS (SELECT DISTINCT doc_id, p FROM (
+          SELECT o.doc_id, unnest(generate_series(o.i, o.i + 12)) AS p
+          FROM occ o JOIN hot USING (shingle))),
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM cov GROUP BY 1)
+SELECT n.doc_id, n.n_tokens,
+       CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(coalesce(c.n_dup, 0) * 1000 // greatest(n.n_tokens, 1)
+            AS BIGINT) AS dup_pm
+FROM n LEFT JOIN c USING (doc_id)
+ORDER BY doc_id
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH sh AS ({_shingle_sql()}),

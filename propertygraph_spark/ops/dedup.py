@@ -200,6 +200,52 @@ def ngram_candidate_counts(docs: DataFrame, k: int = 3,
     return int(prefix), int(naive)
 
 
+def substring_dup_spans(docs: DataFrame, k: int = 13,
+                        min_df: int = 2) -> DataFrame:
+    """Exact repeated-substring marking — the detection half of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): a token position counts as
+    DUPLICATED when some k-token window covering it also occurs in
+    >= ``min_df`` DISTINCT documents. Returns (doc_id, n_tokens,
+    n_dup_tokens, dup_pm) for every doc — the per-doc signal a
+    span-removal / doc-cut pass consumes.
+
+    Spark-first shape: window starts come from one posexplode of the
+    JVM-side NGram column; corpus frequencies are ONE groupBy on the
+    shingle (distinct docs — in-doc multiplicity is not a cross-doc
+    duplicate); flagged starts rejoin on the shingle and explode to the
+    covered positions (bounded by k x n_tokens per doc, k a small
+    constant). No suffix array is materialized and nothing is
+    collected: at 10^12 docs this is two shingle-keyed shuffles plus a
+    per-doc count, all with map-side partial aggregation.
+    """
+    from propertygraph_spark.ops.text import tokens_col, with_shingle_arr
+    base = docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+    sh = with_shingle_arr(docs.select("doc_id", "text"), k)
+    occ = (sh.select("doc_id", F.posexplode("sh").alias("pos0", "shingle"))
+           .select("doc_id", (F.col("pos0") + 1).alias("start"), "shingle"))
+    hot = (occ.select("doc_id", "shingle").distinct()
+           .groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") >= min_df)
+           .select("shingle"))
+    cov = (occ.join(hot, "shingle")
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       F.col("start"), F.col("start") + (k - 1)))
+                   .alias("p"))
+           .distinct())
+    dup = cov.groupBy("doc_id").agg(F.count("*").alias("n_dup_tokens"))
+    n_dup = F.coalesce("n_dup_tokens", F.lit(0))
+    return (base.join(dup, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    n_dup.cast("long").alias("n_dup_tokens"),
+                    F.floor(n_dup * 1000
+                            / F.greatest("n_tokens", F.lit(1)))
+                    .cast("long").alias("dup_pm"))
+            .orderBy("doc_id"))
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     """16 MinHash values per doc as 16 conditional min-aggregates over the
     shingle set — one groupBy, full map-side partial aggregation, no

@@ -118,6 +118,22 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
     assert naive == want
 
 
+def test_substring_dup_spans_marks_covered_positions(spark):
+    """Lee-et-al-style exact substring marking: positions covered by a
+    cross-doc repeated 13-gram count as duplicated; in-doc repeats and
+    unique docs do not."""
+    shared = " ".join(f"s{i}" for i in range(13))
+    rows = [(1, shared + " uniq1 a b"),
+            (2, "x y " + shared),
+            (3, "totally different words only here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_pm"])
+           for r in dedup.substring_dup_spans(docs).collect()}
+    assert out[1] == (16, 13, 812)   # positions 1..13; 13000 // 16
+    assert out[2] == (15, 13, 866)   # positions 3..15; 13000 // 15
+    assert out[3] == (5, 0, 0)       # unique doc, shorter than k: zero
+
+
 def test_ngram_verification_never_ships_arrays(spark):
     """VERDICT r3 #4: verification must intersect (doc, shingle-hash)
     ROWS, never replicate a per-doc shingle array to each candidate
