@@ -126,10 +126,17 @@ def write_stage(df: DataFrame, path: str, fp: str,
     if stage_is_current(path, fp):
         return spark.read.parquet(path)
     t0 = time.time()
+    # Spark's full overwrite replaces the whole directory — carry the
+    # commit log across it so lineage stays append-only (r4; the
+    # incremental dynamic-overwrite path never wipes the root)
+    prior_history = snapshot_history(path)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if prior_history:
+        with open(os.path.join(path, "_snapshots.json"), "w") as f:
+            json.dump(prior_history, f)
     files = _data_files(path)
     with open(_manifest_path(path), "w") as f:
         json.dump({"fingerprint": fp,
@@ -145,6 +152,68 @@ def write_stage(df: DataFrame, path: str, fp: str,
         "total_bytes": sum(x["bytes"] for x in files),
         "n_data_files": len(files)})
     return spark.read.parquet(path)
+
+
+def audit_stage(path: str) -> dict:
+    """Verify a stage directory against its committed manifest — the
+    table-inspector slice of Iceberg's metadata (round 4): every
+    manifested data file must exist with the recorded byte size and
+    parquet-footer row count, no unmanifested parquet file may lurk in
+    the stage dir, and the snapshot log must be a well-formed
+    parent-linked sequence ending at the manifest's fingerprint.
+    Footer-only reads — no data pages are scanned, so auditing a
+    100 TB table costs one metadata pass. Returns
+    ``{"ok": bool, "n_files": int, "total_rows": int,
+    "problems": [str, ...]}`` — catches partial writes, external edits
+    and manifest drift before a downstream stage consumes them."""
+    import pyarrow.parquet as pq
+    problems: list = []
+    try:
+        with open(_manifest_path(path)) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError) as exc:
+        return {"ok": False, "n_files": 0, "total_rows": 0,
+                "problems": [f"unreadable manifest: {exc}"]}
+    manifested = {x["path"]: x for x in manifest.get("data_files", [])}
+    for rel, entry in manifested.items():
+        full = os.path.join(path, rel)
+        if not os.path.exists(full):
+            problems.append(f"missing data file: {rel}")
+            continue
+        size = os.path.getsize(full)
+        if size != entry["bytes"]:
+            problems.append(f"byte-size drift: {rel} "
+                            f"manifest={entry['bytes']} disk={size}")
+            continue
+        try:
+            rows = pq.ParquetFile(full).metadata.num_rows
+        except Exception as exc:  # same-size overwrite / torn footer
+            problems.append(f"unreadable parquet footer: {rel} ({exc})")
+            continue
+        if rows != entry["rows"]:
+            problems.append(f"row-count drift: {rel} "
+                            f"manifest={entry['rows']} footer={rows}")
+    on_disk = {os.path.relpath(os.path.join(root, name), path)
+               for root, _dirs, names in os.walk(path)
+               for name in names if name.endswith(".parquet")}
+    for rel in sorted(on_disk - set(manifested)):
+        problems.append(f"unmanifested data file: {rel}")
+    history = snapshot_history(path)
+    if not history:
+        problems.append("empty snapshot log")
+    else:
+        for i, snap in enumerate(history):
+            want_parent = history[i - 1]["snapshot_id"] if i else None
+            if snap.get("parent_id") != want_parent or \
+                    snap.get("sequence_number") != i:
+                problems.append(
+                    f"broken snapshot chain at sequence {i}")
+                break
+        if history[-1].get("fingerprint") != manifest.get("fingerprint"):
+            problems.append("manifest fingerprint != last snapshot")
+    return {"ok": not problems, "n_files": len(manifested),
+            "total_rows": manifest.get("total_rows", 0),
+            "problems": problems}
 
 
 def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:

@@ -118,6 +118,42 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     assert manifest["snapshot_id"]
 
 
+def test_audit_stage_detects_drift(spark, tmp_path):
+    """Iceberg-style manifest audit (r4): clean stage passes; byte
+    drift, deletions and unmanifested files are each flagged without
+    scanning data pages; the snapshot chain is checked."""
+    import glob as _glob
+    import shutil
+
+    from propertygraph_spark.pipeline.materialize import audit_stage
+    df = spark.range(40).withColumn("v", F.col("id") * 3)
+    path = str(tmp_path / "astage")
+    write_stage(df, path, fingerprint("audit", 1))
+    a = audit_stage(path)
+    assert a["ok"] and a["problems"] == [] and a["n_files"] >= 1
+    assert a["total_rows"] == 40
+    data = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    # 1. byte drift (external append)
+    with open(data[0], "ab") as f:
+        f.write(b"XX")
+    assert any("byte-size drift" in p
+               for p in audit_stage(path)["problems"])
+    # 2. unmanifested stray file
+    shutil.copy(data[0], os.path.join(path, "part-stray.parquet"))
+    assert any("unmanifested" in p for p in audit_stage(path)["problems"])
+    os.remove(os.path.join(path, "part-stray.parquet"))
+    # 3. missing data file
+    os.remove(data[0])
+    assert any("missing data file" in p
+               for p in audit_stage(path)["problems"])
+    # 4. a fresh overwrite commit re-audits clean, chain intact
+    write_stage(df, path, fingerprint("audit", 2))
+    a2 = audit_stage(path)
+    assert a2["ok"], a2["problems"]
+    from propertygraph_spark.pipeline.materialize import snapshot_history
+    assert len(snapshot_history(path)) == 2
+
+
 def test_write_stage_skips_when_current(spark, tmp_path):
     df = spark.range(10).withColumn("v", F.col("id") * 2)
     path = str(tmp_path / "stage")
