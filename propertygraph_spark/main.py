@@ -47,10 +47,13 @@ def _docs_from_dir(spark, input_dir: str):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="propertygraph_spark pipeline")
-    src = ap.add_mutually_exclusive_group(required=True)
+    src = ap.add_mutually_exclusive_group()
     src.add_argument("--input-dir", help="directory of .java files")
     src.add_argument("--input-parquet",
                      help="parquet docs table (doc_id, spans)")
+    ap.add_argument("--audit", action="store_true",
+                    help="audit stage manifests under --out and exit "
+                         "(footer-only, no Spark session)")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--graphs", default="ast,cfg,pdg",
                     help="comma list: ast,cfg,pdg (reference -a/-c/-p)")
@@ -62,6 +65,31 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--buckets", type=int, default=32)
     args = ap.parse_args(argv)
+
+    if args.audit:
+        from propertygraph_spark.pipeline.materialize import audit_stage
+        rc = 0
+        for stage in ("extracted", "linked", "canonical", "nodes", "edges"):
+            p = os.path.join(args.out, stage)
+            if not os.path.isdir(p):
+                continue
+            if not os.path.exists(os.path.join(p, "_manifest.json")):
+                # bucket-incremental stage: content state lives in
+                # _buckets.json (per-bucket fingerprints), not a
+                # file-list manifest — resume tests cover it
+                print(f"audit {stage}: SKIP (bucket-incremental; "
+                      f"state in _buckets.json)")
+                continue
+            a = audit_stage(p)
+            status = "OK" if a["ok"] else "FAIL"
+            extra = "" if a["ok"] else f" problems={a['problems']}"
+            print(f"audit {stage}: {status} files={a['n_files']} "
+                  f"rows={a['total_rows']}{extra}")
+            rc |= 0 if a["ok"] else 1
+        return rc
+    if not (args.input_dir or args.input_parquet):
+        ap.error("one of --input-dir/--input-parquet is required "
+                 "(or --audit)")
 
     from propertygraph_spark.pipeline.session import get_spark
     spark = get_spark("propertygraph_spark", cpus=args.cpus)

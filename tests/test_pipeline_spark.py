@@ -112,6 +112,10 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     # footer row counts, auditable without scanning data
     with open(os.path.join(out, "edges", "_manifest.json")) as f:
         manifest = json.load(f)
+    # CLI audit mode (r4): every committed stage passes footer-only
+    # verification; exit code 0
+    from propertygraph_spark.main import main as cli_main
+    assert cli_main(["--audit", "--out", out]) == 0
     assert manifest["data_files"]
     assert all("bucket" in x["partition"] for x in manifest["data_files"])
     assert manifest["total_rows"] == m1["total"]
