@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fuzzy_vocab"] = lambda s, d: text.vocab_fuzzy_pairs(
         _docs_with_typos(s, d))
     q["text_winnow"] = lambda s, d: text.winnow_fingerprint(_docs(s, d))
+    q["text_bpe_pairs"] = lambda s, d: text.bpe_pair_counts(_docs(s, d))
     q["text_boilerplate"] = lambda s, d: text.boilerplate_ngrams(_docs(s, d))
     q["text_zipf"] = lambda s, d: text.zipf_topk(_docs(s, d))
 
@@ -275,7 +276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                  mixture_sample,
                                                  sample_balanced,
                                                  sample_stratified,
+                                                 select_token_budget,
                                                  shuffle_shards)
+    q["dataset_token_budget"] = lambda s, d: select_token_budget(
+        _docs(s, d))
     q["dataset_sample_stratified"] = lambda s, d: sample_stratified(
         _docs(s, d))
     q["dataset_sample_balanced"] = lambda s, d: sample_balanced(_docs(s, d))
@@ -1084,6 +1088,34 @@ SELECT n.doc_id, n.n_tokens,
             AS BIGINT) AS dup_pm
 FROM n LEFT JOIN c USING (doc_id)
 ORDER BY doc_id
+"""
+    o["text_bpe_pairs"] = f"""
+WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest({_sql_tokens()}) AS word FROM documents)
+           GROUP BY 1),
+p AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM (
+        SELECT freq, unnest(list_transform(
+            generate_series(1, len(word) - 1),
+            i -> substring(word, i, 2))) AS pair
+        FROM w WHERE len(word) >= 2)
+      GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+            AS BIGINT) AS rank,
+       pair, n_occurrences
+FROM p ORDER BY n_occurrences DESC, pair LIMIT 30
+"""
+    o["dataset_token_budget"] = f"""
+WITH d AS (SELECT doc_id, lang AS stratum,
+                  CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, stratum, n_tokens,
+             CAST(sum(n_tokens) OVER (
+                 PARTITION BY stratum ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM d)
+SELECT doc_id, stratum, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 2000 ORDER BY stratum, doc_id
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH sh AS ({_shingle_sql()}),

@@ -37,6 +37,31 @@ def split_assign(docs: DataFrame, val_pm: int = 50,
                        bucket.cast("long").alias("bucket_pm"))
 
 
+def select_token_budget(docs: DataFrame, budget: int = 2000,
+                        stratum: str = "lang") -> DataFrame:
+    """Budgeted corpus selection: per stratum, keep documents in
+    deterministic doc_id order while the stratum's RUNNING token total
+    stays within ``budget`` — the 'fill each language's token quota'
+    step of a training-mix assembly. A doc is kept iff the cumulative
+    count INCLUDING it is <= budget (prefix-greedy, order-deterministic
+    so the oracle reproduces it exactly).
+
+    Scale shape: one hash exchange on the stratum carries the single
+    cumulative-sum window; no global sort, no collect. Skewed strata
+    are bounded by the budget itself — the window scan can stop
+    mattering after ~budget tokens but stays a linear pass; for
+    pathological mega-strata pre-filter with a per-doc cap first.
+    Returns (doc_id, stratum, n_tokens, cum_tokens) for kept docs."""
+    from propertygraph_spark.ops.text import tokens_col
+    d = docs.select("doc_id", F.col(stratum).alias("stratum"),
+                    F.size(tokens_col()).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("stratum").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget)
+            .orderBy("stratum", "doc_id"))
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256,
                    shard_by: list | None = None,
                    allow_global: bool = False) -> DataFrame:

@@ -382,6 +382,38 @@ def zipf_topk(docs: DataFrame, top_n: int = 30) -> DataFrame:
                  .select("rank", "token", "n_occurrences")
 
 
+def bpe_pair_counts(docs: DataFrame, top_n: int = 30) -> DataFrame:
+    """Tokenizer induction, first BPE merge scoring: corpus-weighted
+    counts of ADJACENT CHARACTER PAIRS within words — the statistic the
+    first byte-pair-encoding merge is chosen from (Sennrich et al.).
+
+    Spark-first shape: the word-frequency table is ONE token groupBy
+    (map-side partials; vocabulary-sized, orders of magnitude smaller
+    than the corpus), pair explosion runs over that aggregated table —
+    never over raw corpus positions — so the pair count rows are
+    O(|vocab| x word_len); top-N lands via TakeOrderedAndProject and
+    the rank window only ever sees ``top_n`` rows."""
+    toks = tokens_col()
+    words = (docs.select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("freq")))
+    # adjacent char pairs: substring(word, i, 2) for i in 1..len-1
+    # (expr form — Python-lambda transform can't pass a column start to
+    # F.substring)
+    pair_arr = F.expr(
+        "transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))")
+    pairs = (words.filter(F.length("word") >= 2)
+             .select("freq", F.explode(pair_arr).alias("pair"))
+             .groupBy("pair").agg(F.sum("freq").alias("n_occurrences"))
+             .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+             .limit(top_n))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return pairs.withColumn("rank", F.row_number().over(w)) \
+                .select("rank", "pair",
+                        F.col("n_occurrences").cast("long")
+                        .alias("n_occurrences"))
+
+
 def salient_terms(docs: DataFrame, k: int = 5, salt: int = 16) -> DataFrame:
     """Per-document top-k salient terms — tf-idf-flavor keyword
     extraction with exact integer scoring:

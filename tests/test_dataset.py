@@ -189,3 +189,26 @@ def test_pivot_dense_counts(spark):
     assert out["a"]["src0"] == 2 and out["a"]["src1"] == 1
     assert out["a"]["src19"] == 0       # empty cell densified
     assert out["b"]["src19"] == 1 and out["b"]["src0"] == 0
+
+
+def test_select_token_budget_prefix_greedy(spark):
+    from propertygraph_spark.ops.dataset import select_token_budget
+    rows = [(1, "en", "a b c"), (2, "en", "d e"), (3, "en", "f g h i"),
+            (4, "de", "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = [(r["doc_id"], r["stratum"], r["n_tokens"], r["cum_tokens"])
+           for r in select_token_budget(docs, budget=5).collect()]
+    # en: doc1 (3, cum 3) + doc2 (2, cum 5) fit; doc3 would hit 9 -> cut
+    # de: doc4 (2, cum 2) fits
+    assert got == [(4, "de", 2, 2), (1, "en", 3, 3), (2, "en", 2, 5)]
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from propertygraph_spark.ops.text import bpe_pair_counts
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "aab x")], "doc_id long, text string")
+    # word freqs: aa:2 ab:1 aab:1 x:1(len-1 skipped)
+    # pair 'aa' = 2 (aa) + 1 (aab) = 3; 'ab' = 1 (ab) + 1 (aab) = 2
+    got = [(r["rank"], r["pair"], r["n_occurrences"])
+           for r in bpe_pair_counts(docs).collect()]
+    assert got == [(1, "aa", 3), (2, "ab", 2)]
