@@ -347,6 +347,45 @@ def test_decontaminate_anti_join_is_keyed(spark, docs):
     assert "LeftAnti" in p
 
 
+def test_substring_dup_spans_plan_is_shingle_keyed(spark, docs):
+    """r4 substring marking: no cartesian anywhere, no per-pair arrays
+    (collect_list), joins keyed on the shingle / doc_id."""
+    from propertygraph_spark.ops.dedup import substring_dup_spans
+    p = plan(substring_dup_spans(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "collect_list" not in p
+    assert "partial_count" in p  # df + cover counts aggregate map-side
+
+
+def test_token_budget_single_stratum_exchange(spark, docs):
+    """r4 budgeted selection: ONE hashpartitioning(stratum) exchange
+    carries the cumulative window — never a single-partition window.
+    (A literal stratum column would be constant-folded out of the
+    window partitioning, so the probe input must vary it.)"""
+    from propertygraph_spark.ops.dataset import select_token_budget
+    d = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de"))
+    p = plan(select_token_budget(d))
+    assert "hashpartitioning(stratum" in p
+    # the only window runs over the stratum partitioning (formatted
+    # mode prints each node once in the tree and once as a "(n) Window"
+    # detail header — count the headers)
+    assert p.count(") Window") == 1
+
+
+def test_bpe_pairs_aggregates_before_explode(spark, docs):
+    """r4 BPE scoring: the pair explode runs over the AGGREGATED word
+    table (partial_count proves map-side vocab agg feeds it) and the
+    top-N lands via TakeOrderedAndProject, never a global sort."""
+    from propertygraph_spark.ops.text import bpe_pair_counts
+    p = plan(bpe_pair_counts(docs))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p   # word-freq agg is map-side partial
+    assert "partial_sum" in p     # pair counts aggregate map-side too
+    assert "explode" in p
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
     """The brief's co-location story, demonstrated end to end: two
     tables bucketed AND sorted on the join key produce a SortMergeJoin
