@@ -129,6 +129,7 @@ def main() -> None:
     #     "extended_total" carries their sum ---
     from propertygraph_spark.ops.dataset import (mixture_sample,
                                                  pivot_lang_source,
+                                                 select_token_budget,
                                                  shuffle_shards)
     from propertygraph_spark.ops.multimodal import feature_extract, frame_sample
     extended = {
@@ -191,6 +192,13 @@ def main() -> None:
             spark, sf_dir),
         "dataset_pivot": lambda: pivot_lang_source(docs(spark, sf_dir)),
         "text_salient_terms": lambda: text.salient_terms(
+            docs(spark, sf_dir)),
+        # r4 additions (extended_total grows accordingly)
+        "dedup_substring_spans": lambda: dedup.substring_dup_spans(
+            docs(spark, sf_dir)),
+        "text_bpe_pairs": lambda: text.bpe_pair_counts(
+            docs(spark, sf_dir)),
+        "dataset_token_budget": lambda: select_token_budget(
             docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
