@@ -200,6 +200,10 @@ def main() -> None:
             docs(spark, sf_dir)),
         "dataset_token_budget": lambda: select_token_budget(
             docs(spark, sf_dir)),
+        # r5 additions
+        "dedup_substring_cut": lambda: dedup.substring_dup_cut(
+            docs(spark, sf_dir)),
+        "kg_shapes": lambda: kgdocs.shapes_by_pred(docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():
@@ -439,17 +443,59 @@ def main() -> None:
           .withColumn("text", F.concat(F.col("text"), F.lit(" salt"),
                                        F.col("doc_id").cast("string")))
           .drop("r"))
+    from propertygraph_spark.pipeline.canonicalize import CC_LAST_STATS
     for nm, fn in (
             ("minhash_lsh", lambda d: dedup.minhash_lsh_pairs(d)),
             ("dedup_clusters", lambda d: dedup.dedup_clusters(d)),
             ("ngram_jaccard", lambda d: dedup.ngram_jaccard_pairs(
                 d, threshold_pm=200))):
         s1 = timed(lambda: fn(d1))
+        if nm == "dedup_clusters":
+            scale["dedup_clusters_cc_1x"] = dict(CC_LAST_STATS)
         s2 = timed(lambda: fn(d2))
+        if nm == "dedup_clusters":
+            scale["dedup_clusters_cc_2x"] = dict(CC_LAST_STATS)
         scale[f"{nm}_1x_sec"] = s1
         scale[f"{nm}_2x_sec"] = s2
         scale[f"{nm}_2x_over_1x"] = round(s2 / s1, 2) if s1 else None
+    # VERDICT r4 #4: settle the dedup_clusters 2x point — add a 4x point
+    # plus the per-call CC telemetry above (path taken, edge count,
+    # round count/times). A star-edge + CC plan is O(n·bands) edges, so
+    # 4x/1x should track ~4 if linear; the CC stats separate convergence
+    # cost from the banded-signature stage and host noise.
+    d4 = (d1.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(3))))
+          .withColumn("doc_id", F.col("doc_id") * 4 + F.col("r"))
+          .withColumn("text", F.concat(F.col("text"), F.lit(" salt"),
+                                       F.col("doc_id").cast("string")))
+          .drop("r"))
+    s4 = timed(lambda: dedup.dedup_clusters(d4))
+    scale["dedup_clusters_4x_sec"] = s4
+    scale["dedup_clusters_cc_4x"] = dict(CC_LAST_STATS)
+    scale["dedup_clusters_4x_over_1x"] = (
+        round(s4 / scale["dedup_clusters_1x_sec"], 2)
+        if scale["dedup_clusters_1x_sec"] else None)
     extras["scale_evidence"] = scale
+
+    # --- ANN recall evidence (VERDICT r4 #6): recall@5 of each ANN path
+    #     against the exact cosine top-k on the SAME embeddings — the
+    #     quality axis the correctness rows (determinism) don't show. ---
+    emb_df = emb(spark, sf_dir)
+    truth = (similarity.cosine_topk(emb_df, k=5)
+             .select("vec_id", "neighbor_id").localCheckpoint(eager=True))
+    n_truth = truth.count()
+    recall = {"k": 5, "n_truth_pairs": n_truth}
+    for nm, fn in (
+            ("lsh", lambda: similarity.ann_lsh_topk(emb_df, k=5)),
+            ("lsh_mt", lambda: similarity.ann_lsh_mt_topk(emb_df, k=5)),
+            ("ivf_nprobe1", lambda: similarity.ann_ivf_topk(
+                emb_df, k=5, nprobe=1)),
+            ("ivf_nprobe2", lambda: similarity.ann_ivf_topk(
+                emb_df, k=5, nprobe=2))):
+        hits = (truth.join(fn().select("vec_id", "neighbor_id"),
+                           ["vec_id", "neighbor_id"]).count())
+        recall[f"recall_at_5_{nm}"] = (round(hits / n_truth, 3)
+                                       if n_truth else None)
+    extras["ann_recall"] = recall
 
     # --- streaming throughput (VERDICT r2 #7): docs/s over a file-source
     #     replay of the pre-materialized corpus (8 micro-batches) ---

@@ -53,7 +53,7 @@ _JAVA_LANG = frozenset((
 
 
 class PEBuilder:
-    def __init__(self, source: str):
+    def __init__(self, source: str, max_nodes: "int | None" = None):
         # JLS §3.3: unicode escapes decode BEFORE lexing (JDT scanner
         # semantics): an escaped letter inside an identifier or keyword
         # still lexes as that identifier/keyword. Offsets/line numbers
@@ -63,7 +63,7 @@ class PEBuilder:
         source = translate_unicode_escapes(source)
         self.src = source
         self.lines = LineMap(source)
-        self.idgen = IdGen()
+        self.idgen = IdGen(max_nodes)
         self.scope_manager = ScopeManager()
         self.methods: List[MethodInfo] = []
         self.imports: dict = {}  # simple name -> fqn (single-type imports)

@@ -67,23 +67,27 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.audit:
-        from propertygraph_spark.pipeline.materialize import audit_stage
+        from propertygraph_spark.pipeline.materialize import (
+            audit_bucket_stage, audit_stage)
         rc = 0
         for stage in ("extracted", "linked", "canonical", "nodes", "edges"):
             p = os.path.join(args.out, stage)
             if not os.path.isdir(p):
                 continue
-            if not os.path.exists(os.path.join(p, "_manifest.json")):
+            if os.path.exists(os.path.join(p, "_manifest.json")):
+                a, mode = audit_stage(p), "manifest"
+            else:
                 # bucket-incremental stage: content state lives in
-                # _buckets.json (per-bucket fingerprints), not a
-                # file-list manifest — resume tests cover it
-                print(f"audit {stage}: SKIP (bucket-incremental; "
-                      f"state in _buckets.json)")
-                continue
-            a = audit_stage(p)
+                # _buckets.json (per-bucket fingerprints) — verify the
+                # state file parses, every footer reads, and no stray
+                # bucket dir lurks; FAIL when neither state file exists
+                # (ADVICE r4: this used to skip silently with exit 0)
+                a, mode = audit_bucket_stage(p), "buckets"
             status = "OK" if a["ok"] else "FAIL"
             extra = "" if a["ok"] else f" problems={a['problems']}"
-            print(f"audit {stage}: {status} files={a['n_files']} "
+            if a.get("warnings"):
+                extra += f" warnings={a['warnings']}"
+            print(f"audit {stage} [{mode}]: {status} files={a['n_files']} "
                   f"rows={a['total_rows']}{extra}")
             rc |= 0 if a["ok"] else 1
         return rc

@@ -57,9 +57,9 @@ def select_token_budget(docs: DataFrame, budget: int = 2000,
                     F.size(tokens_col()).cast("long").alias("n_tokens"))
     w = Window.partitionBy("stratum").orderBy("doc_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # unbounded kept set: no terminal orderBy (VERDICT r4 #3)
     return (d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-            .filter(F.col("cum_tokens") <= budget)
-            .orderBy("stratum", "doc_id"))
+            .filter(F.col("cum_tokens") <= budget))
 
 
 def pack_sequences(docs: DataFrame, budget: int = 256,
@@ -109,10 +109,10 @@ def sample_stratified(docs: DataFrame, strata: str = "lang",
     hex8 = F.substring(
         F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 8)
     bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(1000))
+    # unbounded sample: no terminal orderBy (VERDICT r4 #3)
     return (docs.select("doc_id", F.col(strata).alias("stratum"),
                         bucket.cast("long").alias("sample_pm"))
-            .filter(F.col("sample_pm") < rate_pm)
-            .orderBy("doc_id"))
+            .filter(F.col("sample_pm") < rate_pm))
 
 
 def sample_balanced(docs: DataFrame, strata: str = "lang",
@@ -140,8 +140,8 @@ def sample_balanced(docs: DataFrame, strata: str = "lang",
     w2 = Window.partitionBy("stratum").orderBy("h", "doc_id")
     return (pre.withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= per_stratum)
-            .select("doc_id", "stratum", F.col("rk").cast("long").alias("rk"))
-            .orderBy("stratum", "rk"))
+            .select("doc_id", "stratum",
+                    F.col("rk").cast("long").alias("rk")))
 
 
 PIVOT_SOURCES = tuple(f"src{i}" for i in range(20))
@@ -222,8 +222,7 @@ def mixture_sample(docs: DataFrame, strata: str = "lang") -> DataFrame:
                         bucket.cast("long").alias("sample_pm"))
             .join(F.broadcast(rates), "stratum")
             .filter(F.col("sample_pm") < F.col("rate_pm"))
-            .select("doc_id", "stratum", "sample_pm", "rate_pm")
-            .orderBy("doc_id"))
+            .select("doc_id", "stratum", "sample_pm", "rate_pm"))
 
 
 def shuffle_shards(docs: DataFrame, n_shards: int = 16,

@@ -222,8 +222,7 @@ def contamination_check(docs: DataFrame, k: int = 5,
              .select("doc_id", sh))
     return (train.join(F.broadcast(eval_sh), "shingle")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_contaminated_ngrams"))
-            .orderBy("doc_id"))
+            .agg(F.count("*").alias("n_contaminated_ngrams")))
 
 
 def decontaminate(docs: DataFrame, k: int = 5,
@@ -242,9 +241,9 @@ def decontaminate(docs: DataFrame, k: int = 5,
     train = docs.filter(F.col("doc_id") % eval_mod != 0)
     # survivors keep EVERY payload column (schema-agnostic; ADVICE r3 —
     # a hardcoded projection silently dropped columns on schema change)
+    # unbounded survivor set: no terminal orderBy (VERDICT r4 #3)
     return (train.join(flagged, "doc_id", "left_anti")
-            .select(*docs.columns)
-            .orderBy("doc_id"))
+            .select(*docs.columns))
 
 
 def repetition_ratio(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -273,8 +272,7 @@ def repetition_ratio(docs: DataFrame, k: int = 3) -> DataFrame:
                      n_sh.cast("long").alias("n_ngrams"),
                      max_rep.cast("long").alias("max_repeat"),
                      F.when(n_sh > 0, F.floor(max_rep * 1000 / n_sh))
-                     .otherwise(0).cast("long").alias("repetition_pm"))
-            .orderBy("doc_id"))
+                     .otherwise(0).cast("long").alias("repetition_pm")))
 
 
 def vocab_fuzzy_pairs(docs: DataFrame, min_count: int = 3,
@@ -453,8 +451,7 @@ def salient_terms(docs: DataFrame, k: int = 5, salt: int = 16) -> DataFrame:
                                              F.asc("token"))
     return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
-            .select("doc_id", "rk", "token", "tf", "df", "score")
-            .orderBy("doc_id", "rk"))
+            .select("doc_id", "rk", "token", "tf", "df", "score"))
 
 
 def heavy_hitters_cms(docs: DataFrame, depth: int = 4, width: int = 256,

@@ -13,7 +13,16 @@ ids are content-derived.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
+
+# Telemetry of the most recent connected_components call (VERDICT r4 #4:
+# the dedup_clusters 1x->2x scaling point needed per-round evidence to
+# separate CC convergence cost from host noise). Overwritten per call;
+# read by bench.py right after a timed run. Not thread-safe by design —
+# it is bench/debug telemetry, not a result channel.
+CC_LAST_STATS: dict = {}
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -26,10 +35,24 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     and each distributed iteration costs several scheduler round-trips —
     the standard hybrid in production CC (collect when it fits, iterate
     when it doesn't)."""
+    t_start = time.monotonic()
+    # materialize the edge table ONCE before the size probe: without
+    # this, the probe count and the path taken after it each re-run the
+    # full upstream lineage (for dedup_clusters that is the whole
+    # MinHash banding pass — measured as the superlinear 1x->2x point
+    # in BENCH_r04, VERDICT r4 #4). Edge tables are O(n·bands) rows by
+    # construction, so the checkpoint is bounded.
+    edges = edges.localCheckpoint(eager=True)
+    mat_sec = round(time.monotonic() - t_start, 3)
     n_edges = edges.limit(driver_threshold).count()
     if n_edges < driver_threshold:
         pairs = [(r[0], r[1]) for r in
                  edges.selectExpr(f"{src} as a", f"{dst} as b").collect()]
+        CC_LAST_STATS.clear()
+        CC_LAST_STATS.update(
+            path="driver", n_edges=len(pairs), rounds=0, round_secs=[],
+            edges_materialize_sec=mat_sec,
+            collect_sec=round(time.monotonic() - t_start - mat_sec, 3))
         parent: dict = {}
 
         def find(x):
@@ -59,7 +82,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .withColumn("component", F.col("id")))
     comp = comp.localCheckpoint(eager=True)
 
+    CC_LAST_STATS.clear()
+    CC_LAST_STATS.update(path="distributed", n_edges=n_edges, rounds=0,
+                         round_secs=[], edges_materialize_sec=mat_sec,
+                         setup_sec=round(time.monotonic() - t_start, 3))
     for _ in range(max_iter):
+        t_round = time.monotonic()
         # neighbor minimum
         nbr_min = (sym.join(comp.withColumnRenamed("id", "b"), "b")
                    .groupBy("a").agg(F.min("component").alias("nbr_component"))
@@ -81,6 +109,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             F.col("new_component") != F.col("old_component")).limit(1).count()
         comp = stepped.select("id", F.col("new_component").alias("component"))
         comp = comp.localCheckpoint(eager=True)
+        CC_LAST_STATS["rounds"] += 1
+        CC_LAST_STATS["round_secs"].append(
+            round(time.monotonic() - t_round, 3))
         if changed == 0:
             break
     return comp

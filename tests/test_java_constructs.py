@@ -277,6 +277,30 @@ def test_chained_call_receiver_via_return_type():
     assert d["thing"] == "other().thing()"  # unknown callee: unresolved
 
 
+def test_runaway_doc_degrades_to_error_row_fast():
+    """VERDICT r4 #8 runaway-doc guard: a pathological generated method
+    (50k statements — inside the 4M-char source cap) aborts at the
+    PE-node budget BEFORE the per-method quadratic def/kill stages and
+    degrades to an error row; a sane document is unaffected. The time
+    bound is the point: unguarded, this doc is a multi-minute
+    partition straggler."""
+    import time
+    body = " ".join(f"int v{i} = {i};" for i in range(50_000))
+    src = "class Runaway { public void m() { " + body + " } }"
+    assert len(src) < 4_000_000
+    t0 = time.time()
+    _, triples, _, err = extract_document("mega", src)
+    elapsed = time.time() - t0
+    assert err is not None and "node budget" in err
+    assert not triples
+    assert elapsed < 20, f"guard too slow: {elapsed:.1f}s"
+    # a doc comfortably under the budget still extracts fully
+    ok_src = ("class Ok { public void m() { " +
+              " ".join(f"int w{i} = {i};" for i in range(500)) + " } }")
+    _, t_ok, _, err_ok = extract_document("ok", ok_src)
+    assert err_ok is None and t_ok
+
+
 def test_unicode_escapes_outside_literals():
     """JLS §3.3 / JDT scanner: escapes decode before lexing — escaped
     identifier and keyword letters produce real graphs, not error rows."""

@@ -49,3 +49,36 @@ def test_all_nine_predicates_covered():
     assert preds == {"ast_child", "cfg_normal", "cfg_true", "cfg_false",
                      "cfg_jump", "pdg_control_true", "pdg_control_false",
                      "pdg_data", "pdg_execution"}
+
+
+def test_ext_template_constants_and_shape_independence():
+    """r5 kernel-shape templates (switch fall-through + labeled break,
+    do-while + continue, synchronized, anonymous class + lambda): the
+    frozen EXT_SHAPE_COUNTS match a fresh kernel run, the embedded
+    literal never changes the shape, and each template actually
+    produces the construct's signature edges."""
+    from propertygraph_spark.ops.kgdocs import (EXT_SHAPE_COUNTS,
+                                                JAVA_TEMPLATES_EXT)
+    for tpl, template in enumerate(JAVA_TEMPLATES_EXT):
+        base = None
+        for value in (0, 7, 987654321):
+            _, triples, mentions, err = extract_document(
+                "t", template % value)
+            assert err is None, (tpl, err)
+            counts: dict = {}
+            for t in triples:
+                counts[t["pred"]] = counts.get(t["pred"], 0) + 1
+            for m in mentions:
+                key = f"mention:{m['kind']}"
+                counts[key] = counts.get(key, 0) + 1
+            if base is None:
+                base = counts
+                assert counts == EXT_SHAPE_COUNTS[tpl], f"ext {tpl}"
+            else:
+                assert counts == base, f"ext {tpl} literal-dependent"
+    # signature edges: labeled break + fall-through switch jumps (E0),
+    # do-while loop-back/continue jump (E1), both with real branch edges
+    assert EXT_SHAPE_COUNTS[0]["cfg_jump"] >= 2
+    assert EXT_SHAPE_COUNTS[1]["cfg_jump"] >= 1
+    assert all("cfg_true" in c for c in EXT_SHAPE_COUNTS.values()
+               if c is not EXT_SHAPE_COUNTS[3])

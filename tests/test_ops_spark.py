@@ -134,6 +134,36 @@ def test_substring_dup_spans_marks_covered_positions(spark):
     assert out[3] == (5, 0, 0)       # unique doc, shorter than k: zero
 
 
+def test_substring_cut_removes_spans_and_is_idempotent(spark):
+    """VERDICT r4 #3 (removal half): the cut drops exactly the marked
+    positions, merges adjacent spans by construction, keeps unique
+    docs byte-identical — and re-running DETECTION on the cleaned
+    corpus finds nothing (idempotence: a cross-doc span is cut from
+    every doc that carried it)."""
+    from pyspark.sql import functions as F
+    shared = " ".join(f"s{i}" for i in range(13))
+    rows = [(1, shared + " uniq1 a b"),
+            (2, "x y " + shared),
+            (3, "totally different words only here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"],
+                         r["clean_text"])
+           for r in dedup.substring_dup_cut(docs).collect()}
+    assert out[1] == (16, 3, "uniq1 a b")
+    assert out[2] == (15, 2, "x y")
+    assert out[3] == (5, 5, "totally different words only here")
+    # idempotence: detection over the cleaned corpus is all-zero
+    cleaned = spark.createDataFrame(
+        [(d, t) for d, (_n, _k, t) in out.items()],
+        "doc_id long, text string")
+    redetect = dedup.substring_dup_spans(cleaned).collect()
+    assert all(r["n_dup_tokens"] == 0 for r in redetect)
+    # and a second cut is the identity on the cleaned text
+    recut = {r["doc_id"]: r["clean_text"]
+             for r in dedup.substring_dup_cut(cleaned).collect()}
+    assert recut == {d: t for d, (_n, _k, t) in out.items()}
+
+
 def test_ngram_verification_never_ships_arrays(spark):
     """VERDICT r3 #4: verification must intersect (doc, shingle-hash)
     ROWS, never replicate a per-doc shingle array to each candidate
@@ -227,6 +257,33 @@ def test_ann_lsh_recall_on_clear_neighbors(emb):
                for r in similarity.lsh_bucket(emb).collect()}
     assert buckets[0] == buckets[1]
     assert buckets[0] != buckets[3]  # opposite vectors differ in every plane
+
+
+def test_ann_lsh_multitable_recall_and_dedup(emb):
+    """r5 multi-table LSH: (0,1) co-bucket in EVERY table (no sign can
+    flip: |s1*0.1| < |s0*0.99|), so the pair must surface despite the
+    12-fold bucket explosion; the opposite vector 3 differs from 0 in
+    every table. The union dedup must leave exactly one row per
+    (vec_id, neighbor_id) with dense per-vec ranks."""
+    out = similarity.ann_lsh_mt_topk(emb, k=2).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    nbrs0 = {r["neighbor_id"]: r["cos_pm"] for r in by_vec[0]}
+    assert 1 in nbrs0 and nbrs0[1] > 990_000
+    assert 3 not in nbrs0  # never co-buckets with its negation
+    for vid, rows in by_vec.items():
+        pairs = [(r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), f"dup pair for {vid}"
+        assert sorted(r["rnk"] for r in rows) == list(
+            range(1, len(rows) + 1))
+    # every vector sharing ANY table bucket with 0 is a candidate, so
+    # the near-dup appears exactly once even though 12 tables found it
+    mt = similarity.lsh_multitable_buckets(emb).collect()
+    tables0 = {r["bucket"] for r in mt if r["vec_id"] == 0}
+    tables1 = {r["bucket"] for r in mt if r["vec_id"] == 1}
+    assert tables0 == tables1  # co-bucket in all 12 tables
+    assert len(tables0) == 12
 
 
 def test_media_decode_roundtrip(docs):

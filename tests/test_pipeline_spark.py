@@ -108,18 +108,19 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     # outputs partitioned by bucket on disk
     assert any(p.startswith("bucket=") for p in os.listdir(
         os.path.join(out, "edges")))
-    # Iceberg-style snapshot manifest: file list + partition values +
-    # footer row counts, auditable without scanning data
-    with open(os.path.join(out, "edges", "_manifest.json")) as f:
-        manifest = json.load(f)
+    # edges/nodes/linked commit bucket-incrementally (r5): per-bucket
+    # content state + an append-only snapshot log with the dirty set
+    with open(os.path.join(out, "edges", "_buckets.json")) as f:
+        bstate = json.load(f)
+    assert bstate  # one fp per bucket present in the corpus
+    from propertygraph_spark.pipeline.materialize import snapshot_history
+    snaps = snapshot_history(os.path.join(out, "edges"))
+    assert snaps and snaps[0]["operation"] == "dynamic-overwrite"
+    assert set(snaps[-1]["dirty_buckets"]) <= {int(b) for b in bstate}
     # CLI audit mode (r4): every committed stage passes footer-only
     # verification; exit code 0
     from propertygraph_spark.main import main as cli_main
     assert cli_main(["--audit", "--out", out]) == 0
-    assert manifest["data_files"]
-    assert all("bucket" in x["partition"] for x in manifest["data_files"])
-    assert manifest["total_rows"] == m1["total"]
-    assert manifest["snapshot_id"]
 
 
 def test_audit_stage_detects_drift(spark, tmp_path):
@@ -156,6 +157,49 @@ def test_audit_stage_detects_drift(spark, tmp_path):
     assert a2["ok"], a2["problems"]
     from propertygraph_spark.pipeline.materialize import snapshot_history
     assert len(snapshot_history(path)) == 2
+
+
+def test_audit_legacy_and_bucket_stages(spark, tmp_path):
+    """ADVICE r4: (a) a pre-snapshot-log stage (valid manifest, no
+    _snapshots.json) audits OK with a warning, not FAIL; (b) a
+    bucket-incremental stage is actually verified against _buckets.json
+    (stray bucket dirs flagged); (c) a stage with NEITHER state file
+    fails the CLI audit with a nonzero exit."""
+    import shutil
+
+    from propertygraph_spark.main import main as cli_main
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, audit_stage)
+
+    # (a) legacy stage: drop the snapshot log after a clean commit
+    df = spark.range(25).withColumn("v", F.col("id") + 1)
+    legacy = str(tmp_path / "out" / "linked")
+    write_stage(df, legacy, fingerprint("legacy", 1))
+    os.remove(os.path.join(legacy, "_snapshots.json"))
+    a = audit_stage(legacy)
+    assert a["ok"] and a["problems"] == []
+    assert any("legacy" in w for w in a["warnings"])
+
+    # (b) bucket-incremental stage: dynamic-overwrite layout + state file
+    bstage = str(tmp_path / "out" / "extracted")
+    (df.withColumn("bucket", (F.col("id") % 3).cast("int"))
+       .write.partitionBy("bucket").parquet(bstage))
+    os.remove(os.path.join(bstage, "_SUCCESS"))
+    with open(os.path.join(bstage, "_buckets.json"), "w") as f:
+        json.dump({"0": "fp0", "1": "fp1", "2": "fp2"}, f)
+    b = audit_bucket_stage(bstage)
+    assert b["ok"] and b["total_rows"] == 25 and b["n_files"] >= 3
+    assert cli_main(["--audit", "--out", str(tmp_path / "out")]) == 0
+    # stray bucket dir not in the state file -> flagged
+    shutil.copytree(os.path.join(bstage, "bucket=0"),
+                    os.path.join(bstage, "bucket=9"))
+    b2 = audit_bucket_stage(bstage)
+    assert not b2["ok"] and any("bucket=9" in p for p in b2["problems"])
+    shutil.rmtree(os.path.join(bstage, "bucket=9"))
+
+    # (c) neither _manifest.json nor _buckets.json -> nonzero exit
+    os.remove(os.path.join(bstage, "_buckets.json"))
+    assert cli_main(["--audit", "--out", str(tmp_path / "out")]) == 1
 
 
 def test_write_stage_skips_when_current(spark, tmp_path):
@@ -262,6 +306,94 @@ def test_pipeline_rerun_after_edit_refreshes_downstream(spark, tmp_path):
     assert m2["total"] == fresh["total"]
     assert m2["nodes"] == fresh["nodes"]
     assert m2["canonical_entities"] == fresh["canonical_entities"]
+
+
+def test_downstream_stages_replay_only_dirty_buckets(spark, tmp_path):
+    """VERDICT r4 #7: a one-doc edit must replay ONLY the dirty bucket
+    in every bucket-local stage (extracted, linked, nodes, edges) —
+    checked via each stage's snapshot dirty set AND on-disk mtimes —
+    and the global CC stage must SKIP when the edit doesn't change any
+    (mention, fqn) alias pair (a literal-only edit). The incremental
+    rerun must equal a from-scratch run."""
+    import glob as globmod
+
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+    from propertygraph_spark.pipeline.materialize import snapshot_history
+
+    def mk(lits: dict):
+        rows = [(f"doc{i}",
+                 [("code", f"class C{i} {{ int m(int a) {{ "
+                           f"return a + {lits.get(i, i)}; }} }}", "", 0)])
+                for i in range(8)]
+        return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+    out = str(tmp_path / "kg_inc")
+    stages = ["extracted", "linked", "nodes", "edges"]
+    m1 = run_pipeline(spark, mk({}), out, n_buckets=8)
+    assert m1["total"] > 0
+
+    def mtimes():
+        return {p: os.path.getmtime(p)
+                for p in globmod.glob(f"{out}/**/*.parquet", recursive=True)
+                if "_runmetrics" not in p}
+
+    with open(os.path.join(out, "canonical", "_manifest.json")) as f:
+        canon_fp1 = json.load(f)["fingerprint"]
+    before = mtimes()
+    snaps_before = {s: len(snapshot_history(os.path.join(out, s)))
+                    for s in stages}
+
+    # unchanged rerun: zero dirty buckets anywhere, zero rewrites
+    m2 = run_pipeline(spark, mk({}), out, n_buckets=8)
+    assert m2["total"] == m1["total"]
+    assert mtimes() == before
+    for s in stages:
+        assert len(snapshot_history(os.path.join(out, s))) == \
+            snaps_before[s], s
+
+    # literal-only edit of ONE doc: same mention set, different triples
+    m3 = run_pipeline(spark, mk({3: 99}), out, n_buckets=8)
+    dirty_sets = {}
+    for s in stages:
+        snaps = snapshot_history(os.path.join(out, s))
+        assert len(snaps) == snaps_before[s] + 1, s
+        dirty_sets[s] = snaps[-1]["dirty_buckets"]
+        assert len(dirty_sets[s]) == 1, (s, dirty_sets[s])
+        assert snaps[-1]["removed_buckets"] == []
+    assert len(set(map(tuple, dirty_sets.values()))) == 1  # same bucket
+    (dirty_bucket,) = dirty_sets["edges"]
+    changed = {p for p, t in mtimes().items() if before.get(p) != t}
+    assert changed
+    assert all(f"bucket={dirty_bucket}" in p for p in changed), changed
+    # alias pairs unchanged -> canonical stage skipped (same fp)
+    with open(os.path.join(out, "canonical", "_manifest.json")) as f:
+        assert json.load(f)["fingerprint"] == canon_fp1
+
+    # incremental == from-scratch over the edited corpus
+    fresh = run_pipeline(spark, mk({3: 99}), str(tmp_path / "kg_fresh"),
+                         n_buckets=8)
+    assert m3["total"] == fresh["total"]
+    assert m3["nodes"] == fresh["nodes"]
+    assert m3["canonical_entities"] == fresh["canonical_entities"]
+
+    # a NEW class declaration in one doc changes the corpus symbol
+    # table -> every bucket's linked fp changes (global input folded
+    # into each bucket fp) and the alias state moves -> CC re-runs
+    rows = [(f"doc{i}",
+             [("code", f"class C{i} {{ int m(int a) {{ "
+                       f"return a + {99 if i == 3 else i}; }} }}", "", 0)])
+            for i in range(8)]
+    rows[5] = ("doc5",
+               [("code", "package org.acme; class Fresh { int m(int a) "
+                         "{ return a; } }", "", 0)])
+    m4 = run_pipeline(spark, spark.createDataFrame(rows, DOCS_SCHEMA),
+                      out, n_buckets=8)
+    linked_snaps = snapshot_history(os.path.join(out, "linked"))
+    assert len(linked_snaps[-1]["dirty_buckets"]) > 1  # global relink
+    fresh4 = run_pipeline(spark, spark.createDataFrame(rows, DOCS_SCHEMA),
+                          str(tmp_path / "kg_fresh4"), n_buckets=8)
+    assert m4["total"] == fresh4["total"]
+    assert m4["canonical_entities"] == fresh4["canonical_entities"]
 
 
 def test_dirty_bucket_drops_vanished_row_kinds(spark, tmp_path):

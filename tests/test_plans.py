@@ -358,6 +358,32 @@ def test_substring_dup_spans_plan_is_shingle_keyed(spark, docs):
     assert "partial_count" in p  # df + cover counts aggregate map-side
 
 
+def test_unbounded_outputs_have_no_terminal_global_sort(spark, docs):
+    """VERDICT r4 #3: per-doc (unbounded) outputs must not end in a
+    global Sort — it existed only to canonicalize oracle order, which
+    the driver's hash compare never needed, and it is a pointless total
+    exchange at 10^12 rows. Top-k/windowed ops keep their SEMANTIC
+    sorts (window-local, rangepartitioning-free tails checked here)."""
+    from propertygraph_spark.ops.dataset import (mixture_sample,
+                                                 sample_balanced,
+                                                 sample_stratified,
+                                                 select_token_budget)
+    from propertygraph_spark.ops.dedup import (dedup_clusters,
+                                               substring_dup_spans)
+    from propertygraph_spark.ops.text import (contamination_check,
+                                              decontaminate,
+                                              repetition_ratio)
+    unbounded = [substring_dup_spans(docs), dedup_clusters(docs),
+                 decontaminate(docs), contamination_check(docs),
+                 repetition_ratio(docs), sample_stratified(docs),
+                 mixture_sample(docs), select_token_budget(docs),
+                 sample_balanced(docs)]
+    for df in unbounded:
+        p = plan(df)
+        # a terminal global orderBy compiles to Exchange rangepartitioning
+        assert "rangepartitioning" not in p, p[:800]
+
+
 def test_token_budget_single_stratum_exchange(spark, docs):
     """r4 budgeted selection: ONE hashpartitioning(stratum) exchange
     carries the cumulative window — never a single-partition window.
