@@ -960,37 +960,55 @@ def test_connected_components_random_graphs_match_host(spark):
                 label[x] = m
         expect[(scope, "labels")] = label
     df = spark.createDataFrame(rows, "scope string, src long, dst long")
-    out = connected_components(df, scope="scope").collect()
-    got_labels: dict = {}
-    got_counts: dict = {}
-    got_largest: dict = {}
-    sizes: dict = {}
-    for r in out:
-        got_labels.setdefault(r["scope"], {})[r["node"]] = r["component"]
-        sizes.setdefault((r["scope"], r["component"]), 0)
-        sizes[(r["scope"], r["component"])] += 1
-    for (scope, _c), sz in sizes.items():
-        got_counts[scope] = got_counts.get(scope, 0) + 1
-        got_largest[scope] = max(got_largest.get(scope, 0), sz)
-    for g in range(15):
-        scope = f"g{g}"
-        assert got_labels[scope] == expect[(scope, "labels")], scope
-        assert (got_counts[scope], got_largest[scope]) == expect[scope]
+    # both physical strategies must produce the identical labeling:
+    # the scoped union-find fast path (default) and the distributed
+    # min-label + pointer-jump loop (bounded_scopes=False)
+    for bounded in (True, False):
+        out = connected_components(df, scope="scope",
+                                   bounded_scopes=bounded).collect()
+        got_labels: dict = {}
+        got_counts: dict = {}
+        got_largest: dict = {}
+        sizes: dict = {}
+        for r in out:
+            got_labels.setdefault(r["scope"], {})[r["node"]] = r["component"]
+            sizes.setdefault((r["scope"], r["component"]), 0)
+            sizes[(r["scope"], r["component"])] += 1
+        for (scope, _c), sz in sizes.items():
+            got_counts[scope] = got_counts.get(scope, 0) + 1
+            got_largest[scope] = max(got_largest.get(scope, 0), sz)
+        for g in range(15):
+            scope = f"g{g}"
+            assert got_labels[scope] == expect[(scope, "labels")], \
+                (bounded, scope)
+            assert (got_counts[scope], got_largest[scope]) == \
+                expect[scope], (bounded, scope)
 
 
 def test_connected_components_empty_and_plan(spark):
     from propertygraph_spark.ops.graph import connected_components
     empty = spark.createDataFrame([], "scope string, src long, dst long")
     assert connected_components(empty, scope="scope").collect() == []
+    assert connected_components(empty, scope="scope",
+                                bounded_scopes=False).collect() == []
     import contextlib, io
     edges = spark.createDataFrame([("m", 1, 2), ("m", 2, 3)],
                                   "scope string, src long, dst long")
+    for kw in ({}, {"bounded_scopes": False, "max_iter": 2}):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            connected_components(edges, scope="scope", **kw) \
+                .explain("formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the scoped fast path is ONE exchange (scope hash) + a map stage —
+    # no iterative barrier rounds
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        connected_components(edges, scope="scope", max_iter=2) \
-            .explain("formatted")
+        connected_components(edges, scope="scope").explain("formatted")
     p = buf.getvalue()
-    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "MapInPandas" in p
+    assert p.count("+- Exchange") == 1, p
 
 
 def test_json_props_malformed_payload_yields_null_not_crash(spark):
