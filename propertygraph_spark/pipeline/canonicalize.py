@@ -105,10 +105,18 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                            F.coalesce(F.col("grand"), F.col("component")),
                        ).alias("new_component"),
                        F.col("component").alias("old_component")))
-        changed = stepped.filter(
-            F.col("new_component") != F.col("old_component")).limit(1).count()
-        comp = stepped.select("id", F.col("new_component").alias("component"))
-        comp = comp.localCheckpoint(eager=True)
+        # convergence check rides the checkpoint job as an Observation —
+        # a separate filter+count would recompute the round's joins (r5;
+        # same single-job-per-round shape as ops/graph.py)
+        from pyspark.sql import Observation
+        obs = Observation(f"canon_cc_round_{CC_LAST_STATS['rounds']}")
+        observed = stepped.observe(
+            obs, F.sum((F.col("new_component") != F.col("old_component"))
+                       .cast("long")).alias("n_changed"))
+        comp = (observed
+                .select("id", F.col("new_component").alias("component"))
+                .localCheckpoint(eager=True))
+        changed = obs.get["n_changed"] or 0
         CC_LAST_STATS["rounds"] += 1
         CC_LAST_STATS["round_secs"].append(
             round(time.monotonic() - t_round, 3))
