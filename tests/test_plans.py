@@ -252,10 +252,14 @@ def test_triangle_count_joins_are_keyed_not_cartesian(spark):
     edges = spark.createDataFrame(
         [("m", 1, 2), ("m", 2, 3), ("m", 1, 3)],
         "scope string, src long, dst long")
-    p = plan(triangle_count(edges, scope="scope"))
+    # distributed wedge-join path (unbounded scopes)
+    p = plan(triangle_count(edges, scope="scope", bounded_scopes=False))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     # both joins carry (scope, node) equi-keys
     assert p.count("Join") >= 2
+    # bounded-scope default: one scope exchange + a map stage, no joins
+    p = plan(triangle_count(edges, scope="scope"))
+    assert "MapInPandas" in p and "Join" not in p
 
 
 def test_q2_window_shares_group_shuffle(spark):
@@ -325,8 +329,27 @@ def test_bfs_levels_joins_are_scoped(spark):
     edges = spark.createDataFrame(
         [("m", 1, 2), ("m", 2, 3), ("n", 1, 2)],
         "scope string, src long, dst long")
-    p = plan(bfs_levels(edges, scope="scope", max_iter=2))
+    p = plan(bfs_levels(edges, scope="scope", max_iter=2,
+                        bounded_scopes=False))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # bounded-scope default: one scope exchange + a map stage, no joins
+    p = plan(bfs_levels(edges, scope="scope"))
+    assert "MapInPandas" in p and "Join" not in p
+
+
+def test_scoped_fastpath_plans_single_exchange(spark):
+    """Every bounded-scope fast path is exactly ONE scope-hash exchange
+    feeding a MapInPandas — no joins, no iterative barrier rounds."""
+    from propertygraph_spark.ops.graph import (kcore_nodes, pagerank_int,
+                                               transitive_closure)
+    edges = spark.createDataFrame(
+        [("m", 1, 2), ("m", 2, 3), ("n", 1, 2)],
+        "scope string, src long, dst long")
+    for fn in (transitive_closure, pagerank_int, kcore_nodes):
+        p = plan(fn(edges, scope="scope"))
+        assert "MapInPandas" in p and "Join" not in p, (fn.__name__, p)
+        # formatted mode lists each node twice (tree + detail section)
+        assert p.count("hashpartitioning") == 1, (fn.__name__, p)
 
 
 def test_corpus_cube_single_exchange_with_partials(spark, docs):
