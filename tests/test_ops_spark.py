@@ -898,6 +898,38 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
         assert fast and fast == slow, fn.__name__
 
 
+def test_scoped_fastpath_accumulates_across_arrow_batches(spark):
+    """A scope whose edge list straddles Arrow batch boundaries must be
+    computed on its FULL subgraph: force 4-row Arrow batches so one
+    40-edge path graph arrives in ~10 separate batches of the same
+    partition, and assert closure and CC match the distributed twins
+    (batch-local evaluation would see 4-edge fragments and lose all
+    long-range reachability)."""
+    from propertygraph_spark.ops.graph import (connected_components,
+                                               transitive_closure)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        rows = [("p", i, i + 1) for i in range(40)]       # path 0->40
+        rows += [("q", 0, 1), ("q", 2, 3)]                # 2 components
+        df = (spark.createDataFrame(rows, "scope string, src long, dst long")
+              .coalesce(1))
+        for fn in (transitive_closure, connected_components):
+            fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
+            # max_iter only affects the distributed loop (the fast path
+            # always reaches the fixpoint); 40-edge path needs 40 rounds
+            slow = sorted(tuple(r) for r in
+                          fn(df, scope="scope", max_iter=50,
+                             bounded_scopes=False).collect())
+            assert fast == slow, fn.__name__
+        # closure of the 41-node path alone is 41*40/2 = 820 pairs
+        n_p = sum(1 for r in fast if r[0] == "p")  # fast == CC rows here
+        assert n_p == 41
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_salient_terms_matches_pandas_replay(spark):
     """Seeded random corpus: the distributed tf-idf top-k must equal an
     independent pandas/python replay of the integer scoring."""
