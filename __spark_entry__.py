@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, d: similarity.ann_ivf_topk(_emb(s, d), k=5)
     q["ann_ivf_nprobe_topk"] = lambda s, d: similarity.ann_ivf_topk(
         _emb(s, d), k=5, nprobe=2)
+    q["ann_ivfpq_topk"] = lambda s, d: similarity.ann_ivfpq_topk(
+        _emb(s, d), k=5)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
     q["emb_matryoshka"] = lambda s, d: similarity.matryoshka_truncate(
@@ -1406,6 +1408,76 @@ WITH nv AS (
   FROM pairs
 )
 SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
+"""
+
+    # IVF-PQ ADC (r5): same md5-seeded IVF cells; PQ codebook = the 16
+    # raw md5-smallest vectors, subspace m's codeword c = row c's dims
+    # [m*8, m*8+8). Every arithmetic step is floor-quantized PER
+    # DIMENSION then integer-summed (matches _pq_term_lut exactly — a
+    # float sum would round differently between numpy and this fold).
+    # `part` doubles as encoding input AND the ADC lookup table: queries
+    # and index share the corpus, so part(a, m, code_of_b) IS the
+    # asymmetric partial distance.
+    o["ann_ivfpq_topk"] = f"""
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, embedding, nrm,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS seed_rank
+  FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+), assign AS (
+  SELECT e.vec_id, e.embedding, s.seed_rank,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY CAST(floor(({_qcos}) * 1000000000)
+                                          AS BIGINT) DESC,
+                                     s.seed_rank ASC) AS rk
+  FROM nv e CROSS JOIN seeds s
+), cellv AS (
+  SELECT vec_id, seed_rank AS cell FROM assign WHERE rk = 1
+), pq_seeds AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS code
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+), cw AS (
+  SELECT m, code, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS sub
+  FROM pq_seeds CROSS JOIN (SELECT unnest(range(8)) AS m)
+), part AS (
+  SELECT v.vec_id, c.m, c.code,
+         CAST(list_sum(list_transform(
+              list_zip(list_slice(v.embedding, c.m * 8 + 1, c.m * 8 + 8),
+                       c.sub),
+              p -> floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * 1000000))) AS BIGINT) AS d_pm
+  FROM embeddings v CROSS JOIN cw c
+), enc AS (
+  SELECT vec_id, m, code,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d_pm ASC, code ASC) AS rk
+  FROM part
+), codes AS (
+  SELECT vec_id, m, code FROM enc WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(SUM(pa.d_pm) AS BIGINT) AS adc_pm
+  FROM cellv a
+  JOIN cellv b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN codes cb ON cb.vec_id = b.vec_id
+  JOIN part pa ON pa.vec_id = a.vec_id AND pa.m = cb.m
+              AND pa.code = cb.code
+  GROUP BY a.vec_id, b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, adc_pm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY adc_pm ASC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, adc_pm, rnk FROM ranked WHERE rnk <= 5
 """
 
     o["ann_cosine_topk"] = """

@@ -482,6 +482,161 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
             .filter(F.col("rnk") <= k))
 
 
+# ----------------------------------------------------------- IVF-PQ ANN
+
+N_PQ_SUBSPACES = 8
+N_PQ_CODES = 16
+
+
+def _pq_codebook(emb: DataFrame, n_codes: int = N_PQ_CODES):
+    """Deterministic PQ codebook seeds: the ``n_codes`` RAW vectors with
+    the smallest md5(vec_id) digests (same content-stable seeding rule
+    as ``_ivf_centroids``, but un-normalized — PQ quantizes raw
+    subvector geometry; the coarse IVF quantizer handles direction).
+    Subspace m's codeword ``c`` is row c's dims [m*sub, (m+1)*sub)."""
+    import numpy as np
+
+    seeds = (emb.select("vec_id", "embedding",
+                        F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h").limit(n_codes).collect())
+    if not seeds:  # empty corpus: 0-code codebook, not a crash
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
+
+
+def _pq_term_lut(X, codebook, n_subspaces: int):
+    """Quantized per-(vector, codeword, subspace) squared-L2 partials:
+    lut[i, m, c] = sum over subspace m's dims of
+    floor((x_d - c_d)^2 * 1e6). The floor happens PER DIMENSION, so the
+    sum is an integer sum — order-independent, hence bit-identical
+    between numpy here and the SQL oracle's list fold (a float-sum of 8
+    doubles would round differently under numpy's pairwise summation
+    vs SQL's sequential fold)."""
+    import numpy as np
+
+    n_codes, dims = codebook.shape
+    sub = dims // n_subspaces
+    # (B, K, D) per-dimension quantized terms, then per-subspace sums
+    term = np.floor(((X[:, None, :] - codebook[None, :, :]) ** 2)
+                    * 1_000_000).astype(np.int64)
+    return (term.reshape(len(X), n_codes, n_subspaces, sub)
+            .sum(axis=3).transpose(0, 2, 1))  # (B, M, K)
+
+
+def ivfpq_encode(emb: DataFrame, n_cells: int = 8,
+                 n_subspaces: int = N_PQ_SUBSPACES,
+                 n_codes: int = N_PQ_CODES,
+                 centroids=None, codebook=None) -> DataFrame:
+    """IVF cell assignment + PQ encoding in ONE map-only Arrow pass:
+    (vec_id, embedding, cell, codes array<int>). codes[m] = argmin over
+    the codebook of the quantized subspace-m squared-L2 (first-min rule
+    == the SQL twin's ``d_pm ASC, code ASC`` tiebreak; codebook rows are
+    in md5-seed order). At 10^12 vectors this is the pass that shrinks
+    the index to n_subspaces bytes + 1 cell id per vector — the
+    inverted-file + product-quantization layout of Jégou et al. 2011
+    ("Product quantization for nearest neighbor search", public), which
+    is the standard architecture at this scale."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = _ivf_centroids(emb, n_cells)
+    if codebook is None:
+        codebook = _pq_codebook(emb, n_codes)
+    sc = emb.sparkSession.sparkContext
+    bc_cent = sc.broadcast(centroids)
+    bc_cb = sc.broadcast(codebook)
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+        StructField("cell", IntegerType(), False),
+        StructField("codes", ArrayType(IntegerType()), False),
+    ])
+
+    def encode(it):
+        import pandas as pd
+        cent, cb = bc_cent.value, bc_cb.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(e) for e in pdf["embedding"]],
+                         dtype=np.float64)
+            Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            # identical quantized cell criterion to ivf_assign
+            cos_q = np.floor((Xn @ cent.T) * 1_000_000_000)
+            cells = cos_q.argmax(axis=1).astype(np.int32)
+            lut = _pq_term_lut(X, cb, n_subspaces)     # (B, M, K)
+            codes = lut.argmin(axis=2).astype(np.int32)  # first-min rule
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "embedding": pdf["embedding"],
+                "cell": cells, "codes": list(codes)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(encode, schema)
+
+
+def ann_ivfpq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
+                   n_subspaces: int = N_PQ_SUBSPACES,
+                   n_codes: int = N_PQ_CODES,
+                   query_chunk: int = 1024) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k — the 10^12-vector scale path:
+    candidates bounded by the IVF cell, scored against PQ codes via an
+    ADC lookup table (query builds an (M x K) integer LUT once, every
+    candidate costs M integer gathers — no float math per pair, and the
+    index stores M small ints per vector instead of dims floats).
+    Ranking: quantized squared L2 ASC, neighbor_id ASC. One shuffle
+    (the cell key); queries are chunked so the (chunk x cell x M)
+    gather tensor stays O(MBs) however large a cell gets.
+
+    Exactness contract with the SQL oracle: every arithmetic step is
+    floor-quantized per dimension then integer-summed (see
+    ``_pq_term_lut``), so the DuckDB twin reproduces scores exactly."""
+    import numpy as np
+
+    C = _ivf_centroids(emb, n_cells)
+    cb = _pq_codebook(emb, n_codes)
+    encoded = ivfpq_encode(emb, n_cells, n_subspaces, n_codes,
+                           centroids=C, codebook=cb)
+    bc_cb = emb.sparkSession.sparkContext.broadcast(cb)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("adc_pm", LongType(), False),
+        StructField("rnk", LongType(), False),
+    ])
+
+    def per_cell(pdf):
+        import pandas as pd
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id",
+                                         "adc_pm", "rnk"])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        codes = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+        m_idx = np.arange(n_subspaces)
+        out = []
+        for lo in range(0, len(ids), query_chunk):
+            hi = min(lo + query_chunk, len(ids))
+            lut = _pq_term_lut(X[lo:hi], bc_cb.value, n_subspaces)
+            # adc[i, j] = sum_m lut[i, m, codes[j, m]] — integer gathers:
+            # index arrays (M,) x (B, M) broadcast to (B, M), applied to
+            # lut's trailing two axes -> (chunk, B, M), then sum over M
+            adc = lut[:, m_idx[None, :], codes].sum(axis=2)
+            for qi in range(hi - lo):
+                mask = ids != ids[lo + qi]
+                cand_ids, cand = ids[mask], adc[qi][mask]
+                order = np.lexsort((cand_ids, cand))[:k]
+                out.extend((ids[lo + qi], cand_ids[j], cand[j], r)
+                           for r, j in enumerate(order, start=1))
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id",
+                                          "adc_pm", "rnk"])
+
+    return (encoded.groupBy("cell").applyInPandas(per_cell, schema))
+
+
 def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via the LSH
     buckets — the embedding leg of the dedup suite. Same bucket-grouped

@@ -200,6 +200,45 @@ def streaming_near_dedup(docs_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["band", "bucket"]))
 
 
+def streaming_near_dedup_strict(docs_stream: DataFrame,
+                                watermark: str = "10 minutes",
+                                window: str = "1 minute") -> DataFrame:
+    """Batch-recall streaming near-dedup (closes the documented
+    ``streaming_near_dedup`` recall gap): a doc is a keeper only if it
+    wins the first-seen race in ALL of its N_BANDS (band, bucket) keys.
+    Losing >= 1 band means the doc shares an LSH bucket with an earlier
+    doc — exactly the batch ``dedup_clusters`` drop rule (any shared
+    bucket with an earlier cluster member), applied greedily in arrival
+    order.
+
+    Two stateful operators chained in ONE streaming query (supported
+    since Spark's multiple-stateful-operator work):
+    ``dropDuplicatesWithinWatermark`` per (band, bucket), then a
+    windowed per-doc surviving-band count that finalizes in append mode
+    when the doc's event-time window passes the watermark. State stays
+    bounded: stage 1 holds one digest per live bucket
+    (watermark-evicted), stage 2 one counter per (window, doc) — both
+    O(arrival-window), never O(corpus), which is what survives 10^12
+    docs. Output: (doc_id, window_start, n_bands_survived) — keepers
+    only.
+
+    Caveat vs batch CC semantics: greedy first-wins can keep a doc the
+    batch path would merge transitively through a LATER doc (order
+    matters in a stream); exact duplicates and direct near-dups of any
+    earlier doc are always dropped, which is the monotone half batch
+    consumers rely on. tests/test_streaming.py pins equality against a
+    greedy arrival-order reference."""
+    from propertygraph_spark.ops.dedup import N_BANDS
+
+    survived = streaming_near_dedup(docs_stream, watermark)
+    return (survived
+            .groupBy(F.window("ts", window).alias("win"), "doc_id")
+            .agg(F.count("*").alias("n_bands_survived"))
+            .filter(F.col("n_bands_survived") == N_BANDS)
+            .select("doc_id", F.col("win.start").alias("window_start"),
+                    "n_bands_survived"))
+
+
 def streaming_contamination(docs_stream: DataFrame,
                             eval_docs: DataFrame, k: int = 5) -> DataFrame:
     """Stream-static broadcast probe: incoming docs checked against a

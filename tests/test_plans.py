@@ -501,3 +501,17 @@ def test_json_props_extraction_stays_jvm_side(spark):
     # get_json_object runs in codegen — no Python evaluation node
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p  # map-side partials under the agg
+
+
+def test_ivfpq_topk_single_cell_exchange_no_joins(spark):
+    """IVF-PQ ADC top-k (the 10^12-vector layout): the whole query is
+    encode (map-only Arrow pass) -> ONE hashpartitioning(cell) exchange
+    -> per-cell ADC kernel. No joins, no second shuffle — the index's
+    codes ride the same rows as the queries."""
+    from propertygraph_spark.ops import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(similarity.ann_ivfpq_topk(emb, k=5))
+    assert "MapInPandas" in p                  # encode pass
+    assert "FlatMapGroupsInPandas" in p        # per-cell ADC rerank
+    assert "Join" not in p
+    assert p.count("hashpartitioning(cell") == 1, p

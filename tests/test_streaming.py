@@ -309,6 +309,74 @@ def test_streaming_near_dedup_matches_batch_banding(spark, tmp_path):
     assert 3 not in band_counts
 
 
+def test_streaming_near_dedup_strict_matches_greedy_reference(spark, tmp_path):
+    """streaming_near_dedup_strict = batch-recall keepers: a doc kept
+    only if it wins ALL its (band, bucket) first-seen races. Pinned
+    against a greedy arrival-order reference computed from the batch
+    banding, on a corpus with all three collision regimes: exact dup
+    (all bands lost), partial near-dup (1 of N_BANDS lost — the case
+    plain streaming_near_dedup RETAINS and strict drops), unrelated."""
+    from propertygraph_spark.ops.dedup import N_BANDS, _minhash_banded
+    from propertygraph_spark.streaming.events import (
+        run_to_memory, streaming_near_dedup_strict)
+    src = str(tmp_path / "nds_in")
+    os.makedirs(src)
+    rows = [
+        (1, "2024-01-01 00:00:01",
+         "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "2024-01-01 00:00:02",
+         "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "2024-01-01 00:00:03",
+         "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "2024-01-01 00:00:04",
+         "completely unrelated text about spark structured streaming state"),
+        (5, "2024-01-01 00:00:05",
+         "mostly unrelated body discussing product quantization codebooks today"),
+        # sentinel an hour later: advances the watermark past the first
+        # minute window so the append-mode windowed count finalizes (its
+        # own window never closes — it must NOT appear in the output)
+        (99, "2024-01-01 01:00:00",
+         "watermark advancing sentinel document text body"),
+    ]
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], "doc_id long, ts string, text string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(f"{src}/f{i:02d}")
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = run_to_memory(streaming_near_dedup_strict(stream), "nd_strict",
+                      output_mode="append")
+    try:
+        out = spark.sql("select * from nd_strict").collect()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in out}
+    assert all(r["n_bands_survived"] == N_BANDS for r in out)
+
+    # greedy arrival-order reference from the batch banding (identical
+    # signatures — pinned by test_streaming_near_dedup_matches_batch_banding)
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, _ts, t in rows[:-1]], "doc_id long, text string")
+    per_doc: dict = {}
+    for r in _minhash_banded(all_docs).collect():
+        per_doc.setdefault(r["doc_id"], set()).add((r["band"], r["bucket"]))
+    seen: set = set()
+    ref = set()
+    for d in sorted(per_doc):  # arrival order == doc_id order
+        if not (per_doc[d] & seen):
+            ref.add(d)
+        seen |= per_doc[d]
+    assert got == ref
+    # the corpus exercises what strict adds over plain near-dedup:
+    ov12 = per_doc[1] & per_doc[2]
+    assert 0 < len(ov12) < N_BANDS   # partial collision exists...
+    assert 2 not in got              # ...and strict drops it
+    assert 3 not in got              # exact dup: all bands lost
+    assert {1, 4, 5} == got
+    assert 99 not in got             # sentinel window never finalized
+
+
 def test_streaming_contamination_stream_static_join(spark, tmp_path):
     from propertygraph_spark.streaming.events import streaming_contamination
     src = str(tmp_path / "ct_in")
