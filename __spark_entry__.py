@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dupes(
         _emb(s, d), threshold_pm=300_000)
+    q["dedup_semantic_clusters"] = lambda s, d: \
+        similarity.semantic_dedup_clusters(_emb(s, d), threshold_pm=300_000)
 
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), k=5)
@@ -1330,6 +1332,35 @@ SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos} AS cos_pm
 FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cos} >= 300000
+"""
+
+    # SemDeDup clusters (r5): the dedup_embedding pair predicate feeds
+    # the same recursive-CTE CC + min-rep rule the dedup_clusters oracle
+    # uses, over vec_ids
+    o["dedup_semantic_clusters"] = f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         {bucket} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos} >= 300000
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT v.vec_id, coalesce(c.component, v.vec_id) AS cluster_id,
+       CAST(coalesce(c.component, v.vec_id) = v.vec_id AS INT) AS is_keeper
+FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
 """
 
     # IVF: md5-seeded centroids + argmax-cosine assignment, then the same

@@ -669,6 +669,38 @@ def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFra
             .groupBy("bucket").applyInPandas(per_bucket, schema))
 
 
+def semantic_dedup_clusters(emb: DataFrame,
+                            threshold_pm: int = 950_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public): cluster high-cosine embedding pairs into
+    connected components and keep ONE representative per component —
+    the embedding-space twin of ``ops.dedup.dedup_clusters``.
+
+    Pairs come from the LSH-bucketed BLAS kernel
+    (``embedding_near_dupes`` — candidates bounded per bucket, never
+    all-pairs); components from the shared CC engine (driver union-find
+    fast path under its size threshold, pointer-jumping loop above it);
+    representative = min vec_id. Returns (vec_id, cluster_id,
+    is_keeper) for EVERY vector — singletons are their own keepers."""
+    from propertygraph_spark.pipeline.canonicalize import (
+        connected_components)
+
+    pairs = (embedding_near_dupes(emb, threshold_pm)
+             .select(F.col("vec_a").alias("src"),
+                     F.col("vec_b").alias("dst")))
+    comp = connected_components(pairs)
+    # unbounded output: no terminal orderBy (the oracle hash compare is
+    # order-insensitive; a global sort would be a pointless exchange)
+    return (emb.select("vec_id")
+            .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("component", "vec_id").alias("cluster_id"))
+            .withColumn("is_keeper",
+                        (F.col("cluster_id") == F.col("vec_id"))
+                        .cast("int")))
+
+
 def centroid_by_label(emb: DataFrame) -> DataFrame:
     """Per-label centroid + dispersion: element-wise mean via posexplode +
     groupBy (the classic columnar unpivot — shuffles (label, dim) keyed

@@ -1123,3 +1123,41 @@ def test_jsonl_source_equivalent_to_parquet(spark):
         a = sorted(map(tuple, op(pq).collect()))
         b = sorted(map(tuple, op(js).collect()))
         assert a == b, op.__name__
+
+
+def test_semantic_dedup_clusters_reps_and_singletons(emb):
+    """SemDeDup clusters: vectors 0 and 1 (cos ~ 0.995) merge into one
+    component with min-id 0 as keeper; every other vector is its own
+    singleton keeper. Exactly one keeper per cluster_id."""
+    out = {r["vec_id"]: (r["cluster_id"], r["is_keeper"]) for r in
+           similarity.semantic_dedup_clusters(
+               emb, threshold_pm=900_000).collect()}
+    assert len(out) == 5                      # every vector gets a row
+    assert out[0] == (0, 1)
+    assert out[1] == (0, 0)                   # absorbed, not a keeper
+    for v in (2, 3, 4):
+        assert out[v] == (v, 1)
+    clusters: dict = {}
+    for v, (c, k) in out.items():
+        clusters.setdefault(c, []).append(k)
+    assert all(sum(ks) == 1 for ks in clusters.values())
+
+
+def test_ann_ivfpq_matches_bruteforce_on_separated_clusters(spark):
+    """IVF-PQ ADC ordering agrees with exact cosine ranking when
+    clusters are well separated: each vector's top-1 neighbor must be
+    its own clone (ADC distance ~ 0), never a cross-cluster vector."""
+    rows = []
+    for g in range(4):                         # 4 tight groups of 6
+        base = [0.0] * 64
+        base[g * 16] = 1.0
+        base[g * 16 + 1] = 0.5
+        for i in range(6):
+            v = list(base)
+            v[g * 16 + 2] = 0.01 * i           # tiny within-group jitter
+            rows.append((g * 6 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_ivfpq_topk(df, k=1, n_cells=4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["vec_id"] // 6 == r["neighbor_id"] // 6, r
