@@ -399,3 +399,46 @@ def test_streaming_contamination_stream_static_join(spark, tmp_path):
         q.stop()
     assert got.get(1, 0) >= 1
     assert 2 not in got  # clean docs are not emitted at all
+
+
+def test_streaming_link_mentions_matches_batch(spark, tmp_path):
+    """Incremental extract+link == the batch path row-for-row: the
+    stream-static broadcast join with an in-row argmax fold must pick
+    the same fqn at the same score as batch link_mentions' max_by
+    aggregation, across micro-batch boundaries."""
+    from propertygraph_spark.ops.kgdocs import docs_with_spans
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    from propertygraph_spark.streaming.events import (
+        run_to_memory, streaming_link_mentions)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    spans = docs_with_spans(docs)
+    src = str(tmp_path / "lm_in")
+    spans.filter("CAST(doc_id AS INT) % 2 = 0").coalesce(1) \
+        .write.parquet(f"{src}/f1")
+    spans.filter("CAST(doc_id AS INT) % 2 = 1").coalesce(1) \
+        .write.parquet(f"{src}/f2")
+    sym = symbol_dictionary(spark, 500)
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = run_to_memory(streaming_link_mentions(stream, sym), "linked_stream",
+                      timeout_sec=120.0)
+    try:
+        got = sorted(
+            (r["doc_id"], r["method_id"], r["node_id"], r["mention"],
+             r["kind"], r["fqn"], int(r["score"] * 1000 // 1))
+            for r in spark.sql("select * from linked_stream").collect())
+    finally:
+        q.stop()
+    mentions = split_union(extract_docs(spans, route=False))[2]
+    want = sorted(
+        (r["doc_id"], r["method_id"], r["node_id"], r["mention"],
+         r["kind"], r["fqn"], int(r["score"] * 1000 // 1))
+        for r in link_mentions(mentions, sym).collect())
+    assert len(want) > 0
+    assert got == want
