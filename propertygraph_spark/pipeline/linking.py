@@ -156,7 +156,7 @@ def qualify_cross_file(mentions: DataFrame,
 
 
 def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
-                  strategy: str = "broadcast", salt: int = 16) -> DataFrame:
+                  strategy: str = "packed", salt: int = 16) -> DataFrame:
     """mentions(doc_id, method_id, node_id, mention, kind, candidate)
     -> linked rows with the best-scored fqn per mention occurrence.
 
@@ -169,8 +169,52 @@ def link_mentions(mentions: DataFrame, symbol_dict: DataFrame,
     +0.25 when the candidate merely has call form for this simple name
         (ends with ``name()``) — weak evidence that still prefers
         method-kind fqns. Exact string compares (right()/concat), no LIKE
-        wildcards, so the host replay is bit-identical."""
+        wildcards, so the host replay is bit-identical.
+
+    Strategies:
+    - ``packed`` (default, r5): the dictionary is pre-grouped to ONE row
+      per simple name carrying a (fqn, weight) candidate array; each
+      mention occurrence broadcast-joins exactly one row and the argmax
+      is an in-row ``array_max`` over scored structs. MAP-ONLY — no
+      occurrence groupBy, so the 10^12-row mention table never
+      shuffles, and hot simple names cause no skew by construction
+      (one dictionary row regardless of popularity). Weights are
+      pairwise-distinct within a simple-name group (symbol_rows
+      docstring), so the argmax is tie-free and all three strategies
+      are row-identical (pinned in tests/test_linking_canon.py).
+      Stateless, so the streaming path reuses it verbatim.
+    - ``broadcast``: exploded-dictionary broadcast join + max_by
+      aggregation (one occurrence-keyed shuffle).
+    - ``salted``: the shuffle-join variant for a dictionary too large
+      to broadcast; the salt spreads hot simple names over ``salt``
+      partitions."""
     m = mentions.withColumn("simple_name", F.col("mention"))
+    if strategy == "packed":
+        packed = (symbol_dict.groupBy("simple_name")
+                  .agg(F.collect_list(F.struct("fqn", "weight"))
+                       .alias("cands")))
+        joined = m.join(F.broadcast(packed), "simple_name", "inner")
+        stem = F.expr("substring(candidate, 1, length(candidate) - 2)")
+        cand, sn = F.col("candidate"), F.col("simple_name")
+
+        def _score(x):
+            typed_hit = (cand.isNotNull() & cand.endswith("()")
+                         & ((x["fqn"] == stem)
+                            | x["fqn"].endswith(F.concat(F.lit("."), stem))))
+            call_form = (cand.isNotNull()
+                         & cand.endswith(F.concat(sn, F.lit("()")))
+                         & x["fqn"].endswith(sn))
+            return (x["weight"]
+                    + F.when(typed_hit, F.lit(0.5)).otherwise(F.lit(0.0))
+                    + F.when(call_form, F.lit(0.25)).otherwise(F.lit(0.0)))
+
+        best = F.array_max(F.transform(
+            "cands", lambda x: F.struct(_score(x).alias("score"),
+                                        x["fqn"].alias("fqn"))))
+        return (joined.withColumn("best", best)
+                .select("doc_id", "method_id", "node_id", "mention", "kind",
+                        F.col("best.fqn").alias("fqn"),
+                        F.col("best.score").alias("score")))
     if strategy == "broadcast":
         joined = m.join(F.broadcast(symbol_dict), "simple_name", "inner")
     elif strategy == "salted":

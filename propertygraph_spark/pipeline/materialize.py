@@ -537,14 +537,14 @@ def write_metrics(triples: DataFrame, out_dir: str) -> dict:
 def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
                  n_buckets: int = N_BUCKETS_DEFAULT,
                  docs_fingerprint: str = "",
-                 link_strategy: str = "broadcast",
+                 link_strategy: str = "packed",
                  graphs: tuple = ("ast", "cfg", "pdg"),
                  xfile_link: bool = True) -> dict:
     """Full KG-construction pipeline with per-stage checkpoint/resume.
 
     docs -> [extract: map-only Arrow kernel] -> union rows (partitioned by
     row_kind: partition pruning splits node/triple/mention reads for free)
-    -> [link: broadcast/salted join] -> [canonicalize: CC loop]
+    -> [link: packed broadcast join, map-only] -> [canonicalize: CC loop]
     -> node/edge tables partitioned by doc bucket + metrics.
     """
     from .canonicalize import canonicalize_entities

@@ -208,51 +208,23 @@ def streaming_link_mentions(docs_stream: DataFrame,
     argmax folded INSIDE the row — no groupBy, no streaming state, so
     the query stays append-mode at 10^12 docs.
 
-    The batch path (pipeline.linking.link_mentions) joins against the
-    exploded dictionary and takes ``max_by(fqn, score)`` per mention
-    occurrence — a stateful aggregation a stream can't run unbounded.
-    Here the dictionary is pre-grouped to one row per simple name with
-    a (fqn, weight) candidate array (bounded: it's the broadcast side),
-    so every mention occurrence joins exactly ONE row and the best
-    candidate is an in-row ``array_max`` over scored structs. Scoring
-    replicates linking.py term-for-term (weight + 0.5 typed-receiver
-    stem hit + 0.25 call form, same float-addition order); weights are
+    This IS the batch ``packed`` strategy (pipeline.linking
+    .link_mentions) applied to a streaming frame — the in-row
+    ``array_max`` fold is stateless, so the identical code path serves
+    both; the legacy ``broadcast``/``salted`` strategies end in a
+    max_by aggregation a stream can't run unbounded. Weights are
     pairwise-distinct within a simple-name group (linking.symbol_rows
     docstring), so the argmax is tie-free and batch == streaming
     row-for-row (pinned in tests/test_streaming.py). Global CC
     canonicalization stays a batch stage by design — it needs the
     whole alias graph."""
     from propertygraph_spark.pipeline.extract import MENTION_COLS
+    from propertygraph_spark.pipeline.linking import link_mentions
 
     mentions = (streaming_extract(docs_stream)
                 .filter(F.col("row_kind") == "mention")
-                .select(*MENTION_COLS)
-                .withColumn("simple_name", F.col("mention")))
-    packed = (symbol_dict.groupBy("simple_name")
-              .agg(F.collect_list(F.struct("fqn", "weight")).alias("cands")))
-    joined = mentions.join(F.broadcast(packed), "simple_name", "inner")
-
-    stem = F.expr("substring(candidate, 1, length(candidate) - 2)")
-    cand, sn = F.col("candidate"), F.col("simple_name")
-
-    def _score(x):
-        typed_hit = (cand.isNotNull() & cand.endswith("()")
-                     & ((x["fqn"] == stem)
-                        | x["fqn"].endswith(F.concat(F.lit("."), stem))))
-        call_form = (cand.isNotNull()
-                     & cand.endswith(F.concat(sn, F.lit("()")))
-                     & x["fqn"].endswith(sn))
-        return (x["weight"]
-                + F.when(typed_hit, F.lit(0.5)).otherwise(F.lit(0.0))
-                + F.when(call_form, F.lit(0.25)).otherwise(F.lit(0.0)))
-
-    best = F.array_max(F.transform(
-        "cands", lambda x: F.struct(_score(x).alias("score"),
-                                    x["fqn"].alias("fqn"))))
-    return (joined.withColumn("best", best)
-            .select("doc_id", "method_id", "node_id", "mention", "kind",
-                    F.col("best.fqn").alias("fqn"),
-                    F.col("best.score").alias("score")))
+                .select(*MENTION_COLS))
+    return link_mentions(mentions, symbol_dict, strategy="packed")
 
 
 def streaming_near_dedup_strict(docs_stream: DataFrame,

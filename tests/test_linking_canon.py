@@ -112,9 +112,13 @@ def test_salted_join_matches_broadcast(spark):
     sym = symbol_dictionary(spark, n_symbols=200)
     a = link_mentions(mentions, sym, strategy="broadcast").collect()
     b = link_mentions(mentions, sym, strategy="salted", salt=4).collect()
+    c = link_mentions(mentions, sym, strategy="packed").collect()
     key = lambda r: (r["doc_id"], r["node_id"])
-    assert sorted((key(r), r["fqn"], r["score"]) for r in a) == \
-           sorted((key(r), r["fqn"], r["score"]) for r in b)
+    canon = lambda rs: sorted((key(r), r["fqn"], r["score"]) for r in rs)
+    assert canon(a) == canon(b)
+    # the map-only packed fold is row-identical INCLUDING the float
+    # score (same addition order: weight + typed-hit + call-form)
+    assert canon(a) == canon(c)
     linked = {r["mention"]: r["fqn"] for r in a}
     assert linked["String"] == "java.lang.String"
     assert "nosuch" not in linked

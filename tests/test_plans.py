@@ -515,3 +515,27 @@ def test_ivfpq_topk_single_cell_exchange_no_joins(spark):
     assert "FlatMapGroupsInPandas" in p        # per-cell ADC rerank
     assert "Join" not in p
     assert p.count("hashpartitioning(cell") == 1, p
+
+
+def test_packed_linking_is_map_only(spark):
+    """Entity linking's packed strategy: one broadcast hash join + an
+    in-row argmax fold — the 10^12-row mention table must NOT shuffle
+    (the legacy broadcast strategy pays a full occurrence-keyed
+    exchange for its max_by; packed exchanges only the tiny dictionary
+    pre-grouping)."""
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    mentions = spark.createDataFrame(
+        [("d1", "m0", 1, "String", "call_site", "String()")],
+        "doc_id string, method_id string, node_id long, mention string,"
+        " kind string, candidate string")
+    p = plan(link_mentions(mentions, symbol_dictionary(spark, 200)))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the only exchanges allowed are on the dictionary side (simple_name
+    # pre-grouping + broadcast); mention columns never key an exchange
+    assert "hashpartitioning(doc_id" not in p
+    assert "hashpartitioning(node_id" not in p
+    import re
+    keys = re.findall(r"hashpartitioning\(([^,)]*)", p)
+    assert all(k.startswith("simple_name") for k in keys), keys
