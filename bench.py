@@ -204,6 +204,10 @@ def main() -> None:
         "dedup_substring_cut": lambda: dedup.substring_dup_cut(
             docs(spark, sf_dir)),
         "kg_shapes": lambda: kgdocs.shapes_by_pred(docs(spark, sf_dir)),
+        "ann_ivfpq_topk": lambda: similarity.ann_ivfpq_topk(
+            emb(spark, sf_dir), k=5),
+        "dedup_semantic_clusters": lambda: similarity.semantic_dedup_clusters(
+            emb(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

@@ -279,6 +279,27 @@ JAVA_TEMPLATES_EXT = [
     ("class E3 { public int m(int a, int b) { int t = %d; "
      "Runnable r = new Runnable() { public void run() { int q = 1; } }; "
      "Supplier f = () -> a + b; t = t + a; return t; } }"),
+    # r5 widening: the remaining MUST_EXTRACT constructs previously
+    # covered only by pytest (tests/test_java_constructs.py), now
+    # value-checked end to end through the distributed path too
+    ("class E4 { public int m(int x) { int t = %d; "
+     "switch (x) { case 1 -> t = t + 1; default -> t = t - 1; } "
+     "int y = switch (x) { case 1 -> 10; default -> 0; }; "
+     "return t + y; } }"),
+    ("class E5 { public int m(int a) { int t = %d; "
+     "try (AutoCloseable r = open(); AutoCloseable c2 = o()) "
+     "{ t = t + a; } "
+     "catch (IOException | RuntimeException e) { t = 0; } "
+     "finally { t = t + 1; } assert t > 0 : \"bad\"; return t; } }"),
+    ("class E6 { public int m(Object o, int a) { int t = %d; "
+     "var y = a > 0 ? a > 5 ? 1 : 2 : 3; "
+     "if (o instanceof String s) { t = t + s.length(); } "
+     "outer: for (int i = 0; i < a; i++) { if (i > y) "
+     "{ continue outer; } t = t + i; } return t; } }"),
+    ("class E7 { public int m(List l, String s) { int t = %d; "
+     "l.forEach(System.out::println); f(v -> v + 1); "
+     "String u = s + 1 + 'c' + 2.5 + true + null; int[] b = {1, 2, 3}; "
+     "if (t > b[0]) { t = t + u.length(); } return t; } }"),
 ]
 
 # Frozen kernel output per ext template: {tpl: {key: count}} where key is
@@ -533,7 +554,10 @@ def shapes_by_pred(documents: DataFrame) -> DataFrame:
     """Kernel-shape driver oracle over JAVA_TEMPLATES_EXT: every doc
     contributes ONE code span whose compilation unit exercises a CFG/PE
     shape the main corpus lacks (switch fall-through, labeled break,
-    do-while+continue, synchronized, anonymous class + lambda), and the
+    do-while+continue, synchronized, anonymous class + lambda; r5
+    widening: switch arrow/expression, try-with-resources + multi-catch
+    + assert, instanceof pattern + nested ternary + labeled continue,
+    method ref + expression lambda + concat chain + array init), and the
     full kernel's triple AND mention output rolls up to
     (tpl, pred, n) — pred is a triple predicate or 'mention:<kind>'.
     The oracle is pure doc_id arithmetic over the frozen per-template

@@ -82,3 +82,9 @@ def test_ext_template_constants_and_shape_independence():
     assert EXT_SHAPE_COUNTS[1]["cfg_jump"] >= 1
     assert all("cfg_true" in c for c in EXT_SHAPE_COUNTS.values()
                if c is not EXT_SHAPE_COUNTS[3])
+    # r5 widening: labeled continue jump (E6); every new template (E4-E7)
+    # carries real branch edges
+    assert len(EXT_SHAPE_COUNTS) == 8
+    assert EXT_SHAPE_COUNTS[6]["cfg_jump"] >= 1
+    for tpl in (4, 5, 6, 7):
+        assert EXT_SHAPE_COUNTS[tpl]["cfg_true"] >= 1, tpl
