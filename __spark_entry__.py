@@ -58,9 +58,20 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
+# 45 r3-checked + 6 new r5 queries = 51 unchecked > the ~50 window; the
+# overflow must be deterministic, so the single best-covered unchecked
+# query (driver-green in r3, 40 plan-shape tests, judge parity every
+# round since r1) is ordered LAST among the unchecked and absorbs it.
+_WINDOW_OVERFLOW = ("q1_pricing_summary",)
+
+
 def _window_reorder(d: dict) -> dict:
-    """Driver-window rotation: last round's checked queries go last."""
-    out = {k: v for k, v in d.items() if k not in _PREV_DRIVER_CHECKED}
+    """Driver-window rotation: last round's checked queries go last;
+    designated overflow queries sit at the tail of the unchecked block."""
+    out = {k: v for k, v in d.items()
+           if k not in _PREV_DRIVER_CHECKED and k not in _WINDOW_OVERFLOW}
+    out.update((k, v) for k, v in d.items()
+               if k not in _PREV_DRIVER_CHECKED and k in _WINDOW_OVERFLOW)
     out.update((k, v) for k, v in d.items() if k in _PREV_DRIVER_CHECKED)
     return out
 
@@ -84,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- KG construction (the reference-derived core) ---
     q["kg_triples_by_pred"] = lambda s, d: kgdocs.triples_by_pred(_docs(s, d))
     q["kg_shapes_by_pred"] = lambda s, d: kgdocs.shapes_by_pred(_docs(s, d))
+    q["kg_error_drops"] = lambda s, d: kgdocs.drops_by_kind(_docs(s, d))
     q["kg_mentions_by_kind"] = lambda s, d: kgdocs.mentions_by_kind(_docs(s, d))
     q["kg_spans_roundtrip"] = lambda s, d: kgdocs.spans_roundtrip(_docs(s, d))
     q["kg_pdg_closure"] = lambda s, d: kgdocs.pdg_closure_by_template(
@@ -379,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
     # --- KG: value-checked against frozen per-template kernel constants ---
     o["kg_triples_by_pred"] = kgdocs.triple_count_oracle_sql()
     o["kg_shapes_by_pred"] = kgdocs.shapes_oracle_sql()
+    o["kg_error_drops"] = kgdocs.drops_oracle_sql()
     o["kg_mentions_by_kind"] = kgdocs.mention_count_oracle_sql()
     o["kg_xfile_qualified"] = kgdocs.xfile_oracle_sql()
     o["kg_spans_roundtrip"] = kgdocs.spans_roundtrip_oracle_sql()

@@ -601,6 +601,102 @@ ORDER BY tpl, pred
 """
 
 
+# Graceful-drop corpus: template 0 parses (rows), template 1 is a
+# truncated unit (one error row per doc — PEGenerator catches the JDT
+# compile-error analog, reference S3 drop semantics), template 2 is
+# prose (parses to an EMPTY unit: silently dropped, zero rows of any
+# kind — the reference's no-method-declarations case).
+ERROR_TEMPLATES = [
+    JAVA_TEMPLATES_EXT[0].replace("E0", "D0"),
+    ("class D1 { public int m(int a) { int t = %d; "
+     "if (a > t) { return"),
+    ("this is just prose with a number %d, not a compilation unit"),
+]
+
+# {tpl: {key: count-per-doc}} with error messages digit-normalized so
+# the constant is doc_id-independent; regenerated at import, pinned by
+# tests/test_kg_templates.py.
+ERROR_DROP_COUNTS: dict[int, dict[str, int]] = {}
+
+
+def _freeze_error_constants() -> None:
+    import re as _re
+
+    from propertygraph_spark.kernel.extract import extract_document
+    for tpl, template in enumerate(ERROR_TEMPLATES):
+        base = None
+        for doc_id in (7, 987654321):
+            nodes, triples, _m, err = extract_document(
+                f"err{tpl}", template % doc_id)
+            by_key: dict[str, int] = {}
+            for t in triples:
+                by_key[t["pred"]] = by_key.get(t["pred"], 0) + 1
+            if nodes:
+                by_key["node"] = len(nodes)
+            if err is not None:
+                by_key[f"error:{_re.sub(r'[0-9]+', 'N', err)}"] = 1
+            if base is None:
+                base = by_key
+            else:
+                assert by_key == base, f"error template {tpl} unstable"
+        ERROR_DROP_COUNTS[tpl] = base
+    assert any(k.startswith("error:") for k in ERROR_DROP_COUNTS[1])
+    assert ERROR_DROP_COUNTS[2] == {}
+
+
+_freeze_error_constants()
+
+
+def drops_by_kind(documents: DataFrame) -> DataFrame:
+    """Graceful-drop driver oracle (reference S3 semantics,
+    JavaFileScanner drop behavior): a 3-way corpus — valid unit /
+    truncated unit / prose — run through the FULL distributed kernel;
+    output (tpl, pred, n) where pred is a triple predicate, 'node', or
+    'error:<digit-normalized message>'. Proves through the distributed
+    path that a broken doc degrades to exactly one error row, prose
+    drops silently with zero rows, and healthy docs in the same
+    partition are unaffected. Oracle = frozen per-template constants x
+    doc-count arithmetic."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    code_span = _span("code", _code_col(ERROR_TEMPLATES), F.lit(""), 0)
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(code_span).alias("spans"))
+    union = extract_docs(docs, route=False)
+    nodes, triples, _mentions, errors = split_union(union)
+    tpl = F.pmod(F.col("doc_id").cast("bigint"),
+                 F.lit(len(ERROR_TEMPLATES)))
+    t = triples.select(tpl.alias("tpl"), "pred")
+    n = nodes.select(tpl.alias("tpl"), F.lit("node").alias("pred"))
+    e = errors.select(
+        tpl.alias("tpl"),
+        F.concat(F.lit("error:"),
+                 F.regexp_replace("error", "[0-9]+", "N")).alias("pred"))
+    return (t.unionByName(n).unionByName(e)
+            .groupBy("tpl", "pred").agg(F.count("*").alias("n"))
+            .orderBy("tpl", "pred"))
+
+
+def drops_oracle_sql() -> str:
+    """DuckDB twin of drops_by_kind: frozen constants x doc counts."""
+    rows = []
+    for tpl, counts in sorted(ERROR_DROP_COUNTS.items()):
+        for key, n in sorted(counts.items()):
+            lit = key.replace("'", "''")   # error text quotes the token
+            rows.append(f"({tpl}, '{lit}', {n})")
+    values = ", ".join(rows)
+    n_tpl = len(ERROR_TEMPLATES)
+    return f"""
+WITH c(tpl, pred, n_per_doc) AS (SELECT * FROM (VALUES {values})),
+d AS (SELECT CAST(doc_id % {n_tpl} AS BIGINT) AS tpl,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1)
+SELECT c.tpl, c.pred, CAST(c.n_per_doc * d.n_docs AS BIGINT) AS n
+FROM c JOIN d USING (tpl)
+ORDER BY tpl, pred
+"""
+
+
 def linked_mentions(documents: DataFrame) -> DataFrame:
     """Entity linking over the synthesized corpus: extraction mentions x
     broadcast symbol dictionary, best-scored fqn per occurrence, rolled up

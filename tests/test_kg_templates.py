@@ -88,3 +88,20 @@ def test_ext_template_constants_and_shape_independence():
     assert EXT_SHAPE_COUNTS[6]["cfg_jump"] >= 1
     for tpl in (4, 5, 6, 7):
         assert EXT_SHAPE_COUNTS[tpl]["cfg_true"] >= 1, tpl
+
+
+def test_error_drop_constants():
+    """Graceful-drop corpus invariants: the valid template produces rows
+    and no error; the truncated one exactly ONE digit-normalized error
+    row and nothing else; prose produces nothing at all (reference
+    silent-drop semantics for unit-less sources)."""
+    from propertygraph_spark.ops.kgdocs import ERROR_DROP_COUNTS
+    assert len(ERROR_DROP_COUNTS) == 3
+    valid = ERROR_DROP_COUNTS[0]
+    assert valid.get("node", 0) > 0
+    assert not any(k.startswith("error:") for k in valid)
+    broken = ERROR_DROP_COUNTS[1]
+    assert list(broken.values()) == [1]
+    (key,) = broken.keys()
+    assert key.startswith("error:") and "N" in key  # digits normalized
+    assert ERROR_DROP_COUNTS[2] == {}
