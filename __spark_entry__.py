@@ -62,7 +62,7 @@ _PREV_DRIVER_CHECKED = frozenset({
 # overflow must be deterministic, so the single best-covered unchecked
 # query (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) is ordered LAST among the unchecked and absorbs it.
-_WINDOW_OVERFLOW = ("q1_pricing_summary",)
+_WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), k=5, nprobe=2)
     q["ann_ivfpq_topk"] = lambda s, d: similarity.ann_ivfpq_topk(
         _emb(s, d), k=5)
+    q["ann_ivfpq_refine_topk"] = lambda s, d: \
+        similarity.ann_ivfpq_refine_topk(_emb(s, d), k=5)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
     q["emb_matryoshka"] = lambda s, d: similarity.matryoshka_truncate(
@@ -1522,6 +1524,31 @@ WITH nv AS (
   FROM pairs
 )
 SELECT vec_id, neighbor_id, adc_pm, rnk FROM ranked WHERE rnk <= 5
+"""
+
+    # IVF-PQ + refine (r5): the ADC shortlist (top-32 by quantized
+    # distance, neighbor tiebreak) pays the exact cosine; top-5 on the
+    # exact score. Shares every CTE with the plain ivfpq oracle.
+    _ivfpq_base = o["ann_ivfpq_topk"].split("), ranked AS")[0]
+    o["ann_ivfpq_refine_topk"] = f"""{_ivfpq_base}), shortlist AS (
+  SELECT vec_id, neighbor_id, adc_pm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY adc_pm ASC, neighbor_id ASC)
+           AS rnk_adc
+  FROM pairs
+), exact AS (
+  SELECT s.vec_id, s.neighbor_id, {_cos} AS cos_pm
+  FROM shortlist s
+  JOIN nv a ON a.vec_id = s.vec_id
+  JOIN nv b ON b.vec_id = s.neighbor_id
+  WHERE s.rnk_adc <= 32
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_pm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_pm DESC, neighbor_id ASC) AS rnk
+  FROM exact
+)
+SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
 """
 
     o["ann_cosine_topk"] = """

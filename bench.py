@@ -507,7 +507,9 @@ def main() -> None:
                 emb_df, k=5, nprobe=1)),
             ("ivf_nprobe2", lambda: similarity.ann_ivf_topk(
                 emb_df, k=5, nprobe=2)),
-            ("ivfpq", lambda: similarity.ann_ivfpq_topk(emb_df, k=5))):
+            ("ivfpq", lambda: similarity.ann_ivfpq_topk(emb_df, k=5)),
+            ("ivfpq_refine", lambda: similarity.ann_ivfpq_refine_topk(
+                emb_df, k=5))):
         hits = (truth.join(fn().select("vec_id", "neighbor_id"),
                            ["vec_id", "neighbor_id"]).count())
         recall[f"recall_at_5_{nm}"] = (round(hits / n_truth, 3)

@@ -637,6 +637,80 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     return (encoded.groupBy("cell").applyInPandas(per_cell, schema))
 
 
+def ann_ivfpq_refine_topk(emb: DataFrame, k: int = 5, refine: int = 32,
+                          n_cells: int = 8,
+                          n_subspaces: int = N_PQ_SUBSPACES,
+                          n_codes: int = N_PQ_CODES,
+                          query_chunk: int = 1024) -> DataFrame:
+    """IVF-PQ with an exact REFINE stage — the production IVFPQ+refine
+    layout: per query, the cheap ADC integer scan shortlists the
+    ``refine`` best candidates (by quantized distance, neighbor_id
+    tiebreak), then ONLY those pay an exact cosine, and the top-k is
+    taken on the exact score. Recovers the recall the PQ distortion
+    loses (up to the IVF cell-restriction ceiling — compare
+    ``recall_at_5_ivfpq`` vs ``recall_at_5_ivfpq_refine`` vs
+    ``recall_at_5_ivf_nprobe1`` in the bench record) while still
+    scanning the cell with M-byte codes: exact distances touch
+    ``refine`` vectors per query, not |cell|. Measured on the sf0.1
+    synthetic embeddings (isotropic — near-worst-case for PQ, no
+    cluster structure for the codebook to exploit): recall@5
+    0.062 (no refine) -> 0.168 / 0.216 / 0.249 at refine 32/64/128 vs
+    the 0.259 in-cell ceiling; real corpora with cluster structure sit
+    far closer to the ceiling at small ``refine``. Same single cell-key
+    shuffle, no joins; output matches the other ANN paths
+    (vec_id, neighbor_id, cos_pm, rnk) so the recall harness and
+    oracle conventions carry over."""
+    import numpy as np
+
+    C = _ivf_centroids(emb, n_cells)
+    cb = _pq_codebook(emb, n_codes)
+    encoded = ivfpq_encode(emb, n_cells, n_subspaces, n_codes,
+                           centroids=C, codebook=cb)
+    bc_cb = emb.sparkSession.sparkContext.broadcast(cb)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("cos_pm", LongType(), False),
+        StructField("rnk", LongType(), False),
+    ])
+
+    def per_cell(pdf):
+        import pandas as pd
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id",
+                                         "cos_pm", "rnk"])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        codes = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        m_idx = np.arange(n_subspaces)
+        out = []
+        for lo in range(0, len(ids), query_chunk):
+            hi = min(lo + query_chunk, len(ids))
+            lut = _pq_term_lut(X[lo:hi], bc_cb.value, n_subspaces)
+            adc = lut[:, m_idx[None, :], codes].sum(axis=2)
+            for qi in range(hi - lo):
+                q = lo + qi
+                mask = ids != ids[q]
+                cand_ids, cand_adc = ids[mask], adc[qi][mask]
+                short = np.lexsort((cand_ids, cand_adc))[:refine]
+                sids = cand_ids[short]
+                # exact cosine only for the shortlist (gather rows)
+                Xc = X[mask][short]
+                cos = (X[q] @ Xc.T) / (nrm[q] * np.sqrt((Xc * Xc)
+                                                        .sum(axis=1)))
+                cos_pm = np.floor(cos * 1_000_000).astype(np.int64)
+                order = np.lexsort((sids, -cos_pm))[:k]
+                out.extend((ids[q], sids[j], cos_pm[j], r)
+                           for r, j in enumerate(order, start=1))
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id",
+                                          "cos_pm", "rnk"])
+
+    return (encoded.groupBy("cell").applyInPandas(per_cell, schema))
+
+
 def embedding_near_dupes(emb: DataFrame, threshold_pm: int = 950_000) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via the LSH
     buckets — the embedding leg of the dedup suite. Same bucket-grouped

@@ -510,11 +510,13 @@ def test_ivfpq_topk_single_cell_exchange_no_joins(spark):
     codes ride the same rows as the queries."""
     from propertygraph_spark.ops import similarity
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    p = plan(similarity.ann_ivfpq_topk(emb, k=5))
-    assert "MapInPandas" in p                  # encode pass
-    assert "FlatMapGroupsInPandas" in p        # per-cell ADC rerank
-    assert "Join" not in p
-    assert p.count("hashpartitioning(cell") == 1, p
+    for fn in (similarity.ann_ivfpq_topk,
+               similarity.ann_ivfpq_refine_topk):
+        p = plan(fn(emb, k=5))
+        assert "MapInPandas" in p              # encode pass
+        assert "FlatMapGroupsInPandas" in p    # per-cell ADC (+refine)
+        assert "Join" not in p
+        assert p.count("hashpartitioning(cell") == 1, p
 
 
 def test_packed_linking_is_map_only(spark):
