@@ -58,10 +58,10 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 6 new r5 queries = 51 unchecked > the ~50 window; the
-# overflow must be deterministic, so the single best-covered unchecked
-# query (driver-green in r3, 40 plan-shape tests, judge parity every
-# round since r1) is ordered LAST among the unchecked and absorbs it.
+# 45 r3-checked + 7 new r5 queries = 52 unchecked > the ~50 window; the
+# overflow must be deterministic, so the TWO best-covered unchecked
+# queries (driver-green in r3, 40 plan-shape tests, judge parity every
+# round since r1) are ordered LAST among the unchecked and absorb it.
 _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped")
 
 

@@ -126,45 +126,62 @@ def bfs_levels(edges: DataFrame, src: str = "src", dst: str = "dst",
 def _scoped_map_kernel(edges: DataFrame, src: str, dst: str, scope: str,
                        kernel, out_schema) -> DataFrame:
     """Bounded-scope fast path shared by the scoped graph operators
-    (r5, generalizing ``_scoped_cc_unionfind``): ONE scope-hash exchange
-    + an Arrow-batched per-partition pass (mapInPandas) that groups each
-    scope's edge list host-side and runs ``kernel(edge_list) ->
-    iterable[tuple]``, emitting one output row per tuple with the scope
-    value prepended.
+    (r5): ONE scope-hash exchange + partition-local sort on the scope +
+    an Arrow-batched streaming pass (mapInPandas) that runs
+    ``kernel(edge_list) -> iterable[tuple]`` per scope, emitting one
+    output row per tuple with the scope value prepended.
 
     Valid ONLY under the bounded-scope premise (a scope = one method
     graph, node count bounded by method size — the same premise the
-    kernel's cost routing rests on). Per-scope edge lists are
-    accumulated across ALL Arrow batches of the partition before any
-    kernel runs: a scope's edges can straddle a batch boundary, and
-    batch-local evaluation would compute on a partial subgraph.
-    Partition-resident state is bounded by the shuffle partition size —
-    the same bound every groupBy in this repo lives under. At 10^9
-    methods the job stays one shuffle + one map stage, where the
-    iterative loops pay a full scheduler barrier per round (VERDICT r4:
-    round count IS the cost at cluster scale)."""
+    kernel's cost routing rests on). Memory contract: the
+    ``sortWithinPartitions(scope)`` (Spark's spillable sort, NO second
+    exchange) makes each scope's edges arrive contiguously, so the
+    Python worker holds only the CURRENT scope's edge list plus a
+    bounded output buffer — never the whole shuffle partition as
+    unspillable Python objects (r5 review: with 10^6 scopes per
+    partition the previous accumulate-everything dict was an OOM at
+    exactly the 10^9-method scale this path exists for). A scope
+    straddling an Arrow batch boundary flushes only when the NEXT scope
+    value appears, so every kernel still sees its full subgraph. At
+    10^9 methods the job stays one shuffle + a sort + one map stage,
+    where the iterative loops pay a full scheduler barrier per round
+    (VERDICT r4: round count IS the cost at cluster scale)."""
     cols = [f.name for f in out_schema.fields]  # cols[0] is the scope
+    buf_rows = 65536
 
     def part(pdfs):
         import pandas as pd
-        per_scope: dict = {}
+        out: dict = {c: [] for c in cols}
+
+        def run_scope(s, es):
+            for tup in kernel(es):
+                out[cols[0]].append(s)
+                for c, v in zip(cols[1:], tup):
+                    out[c].append(v)
+
+        have = False
+        cur_scope, cur_edges = None, []
         for pdf in pdfs:
             for s, a, b in zip(pdf[scope].tolist(), pdf[src].tolist(),
                                pdf[dst].tolist()):
-                per_scope.setdefault(s, []).append((a, b))
-        if not per_scope:
-            return
-        data: dict = {c: [] for c in cols}
-        for s, es in per_scope.items():
-            for tup in kernel(es):
-                data[cols[0]].append(s)
-                for c, v in zip(cols[1:], tup):
-                    data[c].append(v)
-        if data[cols[0]]:
-            yield pd.DataFrame(data)
+                if not have:
+                    cur_scope, have = s, True
+                elif s != cur_scope:
+                    run_scope(cur_scope, cur_edges)
+                    cur_scope, cur_edges = s, []
+                    if len(out[cols[0]]) >= buf_rows:
+                        yield pd.DataFrame(out)
+                        for c in cols:      # keep the dict object the
+                            out[c] = []     # closure in run_scope sees
+                cur_edges.append((a, b))
+        if have:
+            run_scope(cur_scope, cur_edges)
+        if out[cols[0]]:
+            yield pd.DataFrame(out)
 
     return (edges.select(scope, src, dst)
             .repartition(F.col(scope))
+            .sortWithinPartitions(scope)
             .mapInPandas(part, out_schema))
 
 
@@ -271,65 +288,38 @@ def _k_kcore(k: int):
     return kern
 
 
-def _scoped_cc_unionfind(edges: DataFrame, src: str, dst: str,
-                         scope: str) -> DataFrame:
-    """Scoped CC as ONE scope-hash exchange + per-partition union-find
-    (Arrow-batched mapInPandas): every edge of a scope lands in one
-    partition, so a partition-local union-find over composite
-    (scope, node) keys labels each node with the min reachable id —
-    zero iterative barrier rounds, the dominant cost of the distributed
-    path at cluster scale. Valid ONLY under the bounded-scope premise
-    (a scope = one method graph, node count bounded by method size —
-    the same premise the kernel's cost routing rests on); the caller
-    falls back to the distributed loop when scopes can be unbounded."""
-    out_schema = (edges.select(F.col(scope),
-                               F.col(src).alias("node"))
-                  .withColumn("component", F.col("node")).schema)
+def _k_cc(es):
+    """Per-scope kernel: union-find with path compression over the
+    scope's undirected edges; every node labeled with the minimum
+    reachable id — the same fixpoint the distributed min-label
+    propagation converges to. (r5 review: this replaced a standalone
+    partition-wide union-find pass that duplicated the
+    ``_scoped_map_kernel`` exchange/accumulate scaffolding and held the
+    whole shuffle partition resident; the kernel now rides the shared
+    streaming path, one scope at a time.)"""
+    parent: dict = {}
 
-    def part(pdfs):
-        import pandas as pd
-        # ONE union-find over the whole partition: mapInPandas iterates
-        # ARROW BATCHES, and a scope's edges can straddle a batch
-        # boundary — batch-local union-finds would split components.
-        # Partition-resident state is bounded by the shuffle partition
-        # size (the same bound every groupBy in this repo lives under).
-        parent: dict = {}
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for pdf in pdfs:
-            for s, a, b in zip(pdf[scope].tolist(), pdf[src].tolist(),
-                               pdf[dst].tolist()):
-                ka, kb = (s, a), (s, b)
-                parent.setdefault(ka, ka)
-                parent.setdefault(kb, kb)
-                ra, rb = find(ka), find(kb)
-                if ra != rb:
-                    parent[rb] = ra
-        if not parent:
-            return
-        groups: dict = {}
-        for k in parent:
-            groups.setdefault(find(k), []).append(k)
-        rows_s, rows_n, rows_c = [], [], []
-        for members in groups.values():
-            comp = min(n for _s, n in members)
-            for s, n in members:
-                rows_s.append(s)
-                rows_n.append(n)
-                rows_c.append(comp)
-        yield pd.DataFrame({scope: rows_s, "node": rows_n,
-                            "component": rows_c})
-
-    return (edges.select(scope, src, dst)
-            .repartition(F.col(scope))
-            .mapInPandas(part, out_schema))
+    for a, b in es:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups: dict = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    for members in groups.values():
+        comp = min(members)
+        for n in members:
+            yield (n, comp)
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -343,11 +333,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     graph property, independent of partition/iteration order):
 
     - ``scope`` given and ``bounded_scopes`` (default): one scope-hash
-      exchange + per-partition union-find (``_scoped_cc_unionfind``) —
-      no global barrier rounds at all. Method graphs are bounded by
-      method size, so a scope's whole subgraph fits one Arrow batch;
-      at 10^9 methods the job stays one shuffle + a map stage, where
-      the iterative loop would pay several full-cluster barriers.
+      exchange + per-scope union-find on the shared streaming path
+      (``_scoped_map_kernel`` + ``_k_cc``) — no global barrier rounds
+      at all, and only one scope resident in the Python worker at a
+      time. At 10^9 methods the job stays one shuffle + a sort + a map
+      stage, where the iterative loop would pay several full-cluster
+      barriers.
     - otherwise: distributed min-label propagation (each round, a
       node's label drops to the smallest label among itself and its
       neighbors; fixpoint = components) for graphs whose components
@@ -371,7 +362,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     and partition order never show in the result.
     Returns (scope?, node, component)."""
     if scope and bounded_scopes:
-        return _scoped_cc_unionfind(edges, src, dst, scope)
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("component", F.col("node")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_cc,
+                                  out_schema)
     from pyspark.sql import Observation
     keys = [scope] if scope else []
     sym = edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))

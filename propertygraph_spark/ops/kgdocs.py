@@ -583,7 +583,9 @@ def shapes_by_pred(documents: DataFrame) -> DataFrame:
 
 def shapes_oracle_sql() -> str:
     """DuckDB twin of shapes_by_pred: frozen per-template constants x
-    per-template doc counts (doc_id %% 4 arithmetic only)."""
+    per-template doc counts (doc_id % len(JAVA_TEMPLATES_EXT)
+    arithmetic only — mod 8 since the r5 widening, unlike the main
+    corpus' mod-4 rule)."""
     rows = []
     for tpl, counts in sorted(EXT_SHAPE_COUNTS.items()):
         for key, n in sorted(counts.items()):

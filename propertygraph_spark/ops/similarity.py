@@ -558,20 +558,27 @@ def ivfpq_encode(emb: DataFrame, n_cells: int = 8,
     def encode(it):
         import pandas as pd
         cent, cb = bc_cent.value, bc_cb.value
+        # chunk the Arrow batch: _pq_term_lut's (B, K, D) per-dimension
+        # tensor at the default 10k-row batch would be ~100s of MB per
+        # task; 1024-row chunks keep it O(10 MB) regardless of batch
+        # size (the same bound the query-side query_chunk enforces).
+        # Row-independent math, so chunking never changes a code.
+        chunk = 1024
         for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = np.array([list(e) for e in pdf["embedding"]],
-                         dtype=np.float64)
-            Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
-            # identical quantized cell criterion to ivf_assign
-            cos_q = np.floor((Xn @ cent.T) * 1_000_000_000)
-            cells = cos_q.argmax(axis=1).astype(np.int32)
-            lut = _pq_term_lut(X, cb, n_subspaces)     # (B, M, K)
-            codes = lut.argmin(axis=2).astype(np.int32)  # first-min rule
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"], "embedding": pdf["embedding"],
-                "cell": cells, "codes": list(codes)})
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo:lo + chunk]
+                X = np.array([list(e) for e in sub["embedding"]],
+                             dtype=np.float64)
+                Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+                # identical quantized cell criterion to ivf_assign
+                cos_q = np.floor((Xn @ cent.T) * 1_000_000_000)
+                cells = cos_q.argmax(axis=1).astype(np.int32)
+                lut = _pq_term_lut(X, cb, n_subspaces)     # (B, M, K)
+                codes = lut.argmin(axis=2).astype(np.int32)  # first-min
+                yield pd.DataFrame({
+                    "vec_id": sub["vec_id"].reset_index(drop=True),
+                    "embedding": sub["embedding"].reset_index(drop=True),
+                    "cell": cells, "codes": list(codes)})
 
     return emb.select("vec_id", "embedding").mapInPandas(encode, schema)
 
@@ -693,12 +700,18 @@ def ann_ivfpq_refine_topk(emb: DataFrame, k: int = 5, refine: int = 32,
             adc = lut[:, m_idx[None, :], codes].sum(axis=2)
             for qi in range(hi - lo):
                 q = lo + qi
-                mask = ids != ids[q]
-                cand_ids, cand_adc = ids[mask], adc[qi][mask]
+                # integer index of the non-self candidates: the exact
+                # stage below gathers `refine` ROWS of X, never a
+                # |cell|-wide boolean-masked copy per query (which would
+                # make the refine pass O(|cell|^2 x dims) in memory
+                # traffic on exactly the big skewed cells it exists for)
+                idx = np.flatnonzero(ids != ids[q])
+                cand_ids, cand_adc = ids[idx], adc[qi][idx]
                 short = np.lexsort((cand_ids, cand_adc))[:refine]
-                sids = cand_ids[short]
+                sel = idx[short]
+                sids = ids[sel]
                 # exact cosine only for the shortlist (gather rows)
-                Xc = X[mask][short]
+                Xc = X[sel]
                 cos = (X[q] @ Xc.T) / (nrm[q] * np.sqrt((Xc * Xc)
                                                         .sum(axis=1)))
                 cos_pm = np.floor(cos * 1_000_000).astype(np.int64)

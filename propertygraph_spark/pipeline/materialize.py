@@ -226,6 +226,18 @@ def write_stage_buckets(df: DataFrame, path: str, bucket_fps: dict,
             os.remove(_manifest_path(path))
         except OSError:
             pass
+        # ... nor its ROOT-LEVEL part files: a legacy (non-partitioned)
+        # write_stage commit leaves part-*.parquet at the stage root,
+        # and after the bucket=*/ rewrite above a mixed-depth layout
+        # would crash the closing read ("conflicting directory
+        # structures") and double-count footer sums. previous == {}
+        # means every current bucket was dirty, so the bucket dirs now
+        # hold the COMPLETE dataset and any root data file is stale by
+        # construction. Deleted only after the write committed.
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if name.endswith(".parquet") and os.path.isfile(full):
+                os.remove(full)
         _append_snapshot(
             path, "dynamic-overwrite",
             fingerprint(*(f"{b}={current[b]}"
@@ -363,9 +375,19 @@ def audit_bucket_stage(path: str) -> dict:
                 continue
             full = os.path.join(root, name)
             rel = os.path.relpath(full, path)
+            in_bucket = False
             for part in rel.split(os.sep)[:-1]:
                 if part.startswith("bucket="):
                     buckets_on_disk.add(part.split("=", 1)[1])
+                    in_bucket = True
+            if not in_bucket:
+                # a data file outside any bucket= dir is ungoverned by
+                # _buckets.json and can never be replaced by dynamic
+                # partition overwrite (e.g. a stale root-level part file
+                # from a pre-conversion full-overwrite commit): reads
+                # crash on the mixed-depth layout or double-count
+                problems.append(f"data file outside bucket layout: {rel}")
+                continue
             try:
                 total_rows += pq.ParquetFile(full).metadata.num_rows
             except Exception as exc:  # torn/partial write
@@ -546,6 +568,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     row_kind: partition pruning splits node/triple/mention reads for free)
     -> [link: packed broadcast join, map-only] -> [canonicalize: CC loop]
     -> node/edge tables partitioned by doc bucket + metrics.
+
+    ``docs_fingerprint`` is accepted for backward compatibility but
+    IGNORED since the r5 bucket-incremental rework: staleness is keyed
+    purely on per-bucket CONTENT fingerprints (plus the symbol-table /
+    alias-set fingerprints for the global stages), so relabeling an
+    unchanged corpus correctly skips every stage and editing a doc under
+    the same label correctly replays its bucket.
     """
     from .canonicalize import canonicalize_entities
     from .extract import MENTION_COLS, NODE_COLS, TRIPLE_COLS, extract_docs
@@ -569,11 +598,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     # a one-doc edit used to recompute link/canonicalize/materialize
     # globally; now it replays only the dirty bucket in every
     # bucket-local stage)
-    try:
-        with open(os.path.join(union_path, "_buckets.json")) as f:
-            extract_bfps: dict = json.load(f)
-    except (OSError, ValueError):
-        extract_bfps = {}
+    # STRICT read, no fallback: extract_incremental wrote this file a
+    # moment ago, so a read/parse failure here is a real I/O fault. A
+    # silent {} would make every downstream write_stage_buckets call see
+    # zero current buckets, classify ALL committed buckets as removed,
+    # and delete them — total silent data loss. Fail loudly instead.
+    with open(os.path.join(union_path, "_buckets.json")) as f:
+        extract_bfps: dict = json.load(f)
     stage_times["extract"] = round(time.time() - t0, 3)
     stage_times["extract_dirty_buckets"] = len(dirty_buckets)
 

@@ -499,3 +499,81 @@ def test_snapshot_lineage_log(spark, tmp_path):
     assert h2[1]["parent_id"] == h1[0]["snapshot_id"]
     assert 0 < len(h2[1]["dirty_buckets"]) < 4
     assert h2[1]["sequence_number"] == 1
+
+
+def test_bucket_conversion_purges_legacy_root_files(spark, tmp_path):
+    """r5 review #1/#6: (a) routing a stage previously committed via
+    full-overwrite ``write_stage`` (root-level part files +
+    _manifest.json) through ``write_stage_buckets`` must purge the
+    root-level data files after the bucket=*/ rewrite — a mixed-depth
+    layout crashes the closing read and double-counts footer sums;
+    (b) ``audit_bucket_stage`` must flag any data file living outside a
+    bucket= dir instead of silently counting it."""
+    import shutil
+
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, write_stage_buckets)
+
+    path = str(tmp_path / "linked")
+    df = spark.range(30).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    # legacy commit: full overwrite, no partitioning -> root part files
+    write_stage(df, path, fingerprint("legacy", 1), spark=spark)
+    assert any(n.endswith(".parquet") for n in os.listdir(path))
+
+    out = write_stage_buckets(df, path,
+                              {b: f"fp{b}" for b in range(3)}, spark=spark)
+    # converted: data only under bucket=*/, no root-level part files left
+    assert not any(n.endswith(".parquet")
+                   for n in os.listdir(path)
+                   if os.path.isfile(os.path.join(path, n)))
+    assert out.count() == 30
+    a = audit_bucket_stage(path)
+    assert a["ok"] and a["total_rows"] == 30, a["problems"]
+
+    # (b) plant a root-level data file -> audit flags it, n_files/rows
+    # exclude it
+    bucket_file = next(
+        os.path.join(r, n) for r, _d, ns in os.walk(path) for n in ns
+        if n.endswith(".parquet"))
+    shutil.copy(bucket_file, os.path.join(path, "stray-root.parquet"))
+    a2 = audit_bucket_stage(path)
+    assert not a2["ok"]
+    assert any("outside bucket layout" in p for p in a2["problems"])
+    assert a2["total_rows"] == 30  # stray file not counted
+
+
+def test_pipeline_fails_loudly_on_corrupt_bucket_state(spark, tmp_path,
+                                                       monkeypatch):
+    """r5 review #2: an unreadable extracted/_buckets.json used to be
+    silently swallowed into ``extract_bfps = {}``, which made every
+    downstream stage classify ALL its committed buckets as removed and
+    delete them — a completed pipeline with zero rows. It must raise
+    instead, leaving the committed stages untouched."""
+    import glob as globmod
+
+    import propertygraph_spark.pipeline.materialize as mat
+    from propertygraph_spark.pipeline.fixtures import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [(f"doc{i}", [("code", f"class C{i} {{ int m(int a) "
+                               f"{{ return a + {i}; }} }}", "", 0)])
+         for i in range(4)], DOCS_SCHEMA)
+    out = str(tmp_path / "kg")
+    m1 = mat.run_pipeline(spark, docs, out, n_buckets=4)
+    assert m1["total"] > 0
+    nodes_before = sorted(globmod.glob(f"{out}/nodes/bucket=*"))
+    assert nodes_before
+
+    real = mat.extract_incremental
+
+    def sabotaged(*args, **kwargs):
+        res = real(*args, **kwargs)
+        with open(os.path.join(out, "extracted", "_buckets.json"), "w") as f:
+            f.write("{ torn write")
+        return res
+
+    monkeypatch.setattr(mat, "extract_incremental", sabotaged)
+    with pytest.raises(ValueError):
+        mat.run_pipeline(spark, docs, out, n_buckets=4)
+    # committed downstream buckets survived the abort
+    assert sorted(globmod.glob(f"{out}/nodes/bucket=*")) == nodes_before

@@ -350,6 +350,9 @@ def test_scoped_fastpath_plans_single_exchange(spark):
         assert "MapInPandas" in p and "Join" not in p, (fn.__name__, p)
         # formatted mode lists each node twice (tree + detail section)
         assert p.count("hashpartitioning") == 1, (fn.__name__, p)
+        # the scope sort that makes scopes contiguous for the streaming
+        # kernel is partition-LOCAL (spillable, no second exchange)
+        assert "rangepartitioning" not in p, (fn.__name__, p)
 
 
 def test_corpus_cube_single_exchange_with_partials(spark, docs):
