@@ -58,11 +58,12 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 7 new r5 queries = 52 unchecked > the ~50 window; the
-# overflow must be deterministic, so the TWO best-covered unchecked
+# 45 r3-checked + 8 new r5 queries = 53 unchecked > the ~50 window; the
+# overflow must be deterministic, so the THREE best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it.
-_WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped")
+_WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
+                    "q5_supplier_volume")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda s, d: text.language_id(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     q["text_ttr"] = lambda s, d: text.type_token_ratio(_docs(s, d))
+    q["text_lm_fluency"] = lambda s, d: text.lm_bigram_fluency(_docs(s, d))
     q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_docs(s, d))
     q["text_contamination"] = lambda s, d: text.contamination_check(
         _docs(s, d))
@@ -939,6 +941,37 @@ SELECT doc_id, n AS n_tokens,
             THEN CAST(floor(len(list_distinct(toks)) * 1000 / n) AS BIGINT)
             ELSE 0 END AS ttr_pm
 FROM b
+"""
+    # bigram-LM fluency: add-one-smoothed p(w2|w1) over a doc_id%10
+    # held-in model slice, integer ppm arithmetic (// is DuckDB integer
+    # floor division; both operands nonnegative so it matches Spark div)
+    o["text_lm_fluency"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+bg AS (SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {{'w1': toks[i],
+                       'bigram': toks[i] || ' ' || toks[i + 1]}})) AS p
+       FROM t),
+b AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM bg),
+uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM t WHERE doc_id % 10 = 0)
+        GROUP BY w1),
+c2t AS (SELECT bigram, count(*) AS c2 FROM b
+        WHERE doc_id % 10 = 0 GROUP BY bigram),
+vt AS (SELECT count(DISTINCT w1) AS v
+       FROM (SELECT unnest(toks) AS w1 FROM t WHERE doc_id % 10 = 0)),
+prob AS (SELECT doc_id,
+                (coalesce(c2, 0) + 1) * 1000000 // (coalesce(c1, 0) + v)
+                AS p_ppm
+         FROM b LEFT JOIN c2t USING (bigram) LEFT JOIN uni USING (w1)
+         CROSS JOIN vt),
+pd AS (SELECT doc_id, count(*) AS n_bigrams,
+              sum(p_ppm) // count(*) AS fluency_ppm
+       FROM prob GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(fluency_ppm, 0) AS BIGINT) AS fluency_ppm
+FROM t LEFT JOIN pd USING (doc_id)
 """
     # PII scrub: same three patterns, same replacement order, 'g' flag
     # (DuckDB replaces only the first match by default)

@@ -174,6 +174,8 @@ def main() -> None:
         "text_boilerplate": lambda: text.boilerplate_ngrams(
             docs(spark, sf_dir)),
         "text_zipf": lambda: text.zipf_topk(docs(spark, sf_dir)),
+        "text_lm_fluency": lambda: text.lm_bigram_fluency(
+            docs(spark, sf_dir)),
         "text_heavy_hitters": lambda: text.heavy_hitters_cms(
             docs(spark, sf_dir)),
         "text_contamination": lambda: text.contamination_check(
@@ -450,8 +452,14 @@ def main() -> None:
     # --- scale evidence: the heavy dedup ops at 1x vs 2x documents
     #     (deterministic replication; replicas get distinct texts via an
     #     id-salted suffix so the 2x corpus isn't one giant duplicate
-    #     class) — near-linear ratios back the asymptotic claims
-    #     (a quadratic op would scale ~4x) ---
+    #     class). NOTE the replicas are still NEAR-duplicates of their
+    #     source (same text + a short salt), so every dup class doubles
+    #     and the matching-PAIR output grows ~4x by construction; the
+    #     pair/candidate counts recorded below are what a time ratio
+    #     must be read against — between 2x and 4x is linear in the
+    #     OUTPUT, not a quadratic plan (a plan quadratic in the CORPUS
+    #     would blow past 4x as the candidate filters stopped
+    #     discriminating) ---
     scale = {}
     d1 = docs(spark, sf_dir)
     d2 = (d1.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(1))))
@@ -474,6 +482,20 @@ def main() -> None:
         scale[f"{nm}_1x_sec"] = s1
         scale[f"{nm}_2x_sec"] = s2
         scale[f"{nm}_2x_over_1x"] = round(s2 / s1, 2) if s1 else None
+        if nm != "dedup_clusters":  # clusters: CC stats carry n_edges
+            scale[f"{nm}_rows_out_1x"] = fn(d1).count()
+            scale[f"{nm}_rows_out_2x"] = fn(d2).count()
+    # candidate-pair counts for the jaccard prefix join at both scales
+    # (aggregation-only, no join executed): the denominator that makes
+    # the time ratio interpretable — per-candidate cost is the claim
+    pc1, _ = dedup.ngram_candidate_counts(d1, threshold_pm=200)
+    pc2, _ = dedup.ngram_candidate_counts(d2, threshold_pm=200)
+    scale["ngram_candidates_1x"] = pc1
+    scale["ngram_candidates_2x"] = pc2
+    scale["ngram_sec_per_1k_candidates_1x"] = (
+        round(1000 * scale["ngram_jaccard_1x_sec"] / pc1, 3) if pc1 else None)
+    scale["ngram_sec_per_1k_candidates_2x"] = (
+        round(1000 * scale["ngram_jaccard_2x_sec"] / pc2, 3) if pc2 else None)
     # VERDICT r4 #4: settle the dedup_clusters 2x point — add a 4x point
     # plus the per-call CC telemetry above (path taken, edge count,
     # round count/times). A star-edge + CC plan is O(n·bands) edges, so

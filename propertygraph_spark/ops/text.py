@@ -141,6 +141,71 @@ def type_token_ratio(docs: DataFrame) -> DataFrame:
         .otherwise(0).cast("long").alias("ttr_pm"))
 
 
+def lm_bigram_fluency(docs: DataFrame, model_mod: int = 10) -> DataFrame:
+    """CCNet-style LM fluency scoring (Wenzek et al. 2020, the
+    perplexity-filter stage): score every document by the mean
+    probability its token bigrams get under an add-one-smoothed bigram
+    language model trained on a deterministic held-in slice of the same
+    corpus (``doc_id % model_mod == 0`` — in production this would be a
+    curated reference corpus like the classic pipeline's Wikipedia
+    KenLM; the training side is pluggable, the scoring join is the
+    operator).
+
+    The classic pipeline thresholds on KenLM *perplexity*; the score
+    here is the integer-rational proxy "mean per-bigram probability,
+    parts-per-million": p(w2|w1) = (c2(w1 w2)+1)/(c1(w1)+V), fluency =
+    mean over the doc's bigrams of floor(1e6 * p). Monotone the same
+    direction (improbable token sequences -> low score -> dropped), but
+    exact in integer arithmetic — a cross-engine float ``ln`` in the
+    oracle comparison is a determinism hazard (module docstring). Long
+    arithmetic bound: (c2+1)*1e6 overflows only when one single bigram
+    occurs >9.2e12 times (~37%% of a 100 TB corpus' bigram mass — no
+    natural bigram comes close).
+
+    Scale: model = two map-side-partial groupBys over the held-in
+    slice's bigrams/unigrams (output is vocabulary-sized, orders of
+    magnitude smaller than the corpus); scoring = corpus bigram explode
+    joined on bigram then on w1 (both shuffle joins keyed on
+    vocabulary strings — AQE handles stopword-bigram skew), the scalar
+    V rides a 1-row broadcast crossJoin; one final doc_id groupBy.
+    Short docs (<2 tokens) keep a row with n_bigrams=0, fluency 0 —
+    exactly the docs a fluency filter should drop, and the row count
+    stays corpus-aligned."""
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)) \
+           .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at("toks", i + 1).alias("w1"),
+            F.array_join(F.slice("toks", i + 1, 2), " ").alias("bigram")))
+    bg = (d.select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", "p.w1", "p.bigram"))
+    model = d.filter(F.col("doc_id") % model_mod == 0)
+    uni = (model.select(F.explode("toks").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    c2 = (bg.filter(F.col("doc_id") % model_mod == 0)
+          .groupBy("bigram").agg(F.count("*").alias("c2")))
+    vocab = (model.select(F.explode("toks").alias("w"))
+             .agg(F.count_distinct("w").alias("v")))
+    prob = (bg.join(c2, "bigram", "left")
+            .join(uni, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id",
+                    F.expr("(coalesce(c2, 0L) + 1L) * 1000000L div "
+                           "(coalesce(c1, 0L) + v)").alias("p_ppm")))
+    per_doc = (prob.groupBy("doc_id")
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.expr("sum(p_ppm) div count(*)").alias("fluency_ppm")))
+    return (d.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("fluency_ppm", F.lit(0))
+                    .alias("fluency_ppm")))
+
+
 # PII patterns shared with the SQL oracle (RE2/Java-regex common subset:
 # no backrefs, no lookaround). Replacement order is fixed (email -> url
 # -> long digit runs) and identical on both engines.

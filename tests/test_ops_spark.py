@@ -964,6 +964,44 @@ def test_salient_terms_matches_pandas_replay(spark):
     assert got == want
 
 
+def test_lm_fluency_matches_python_replay(spark):
+    """Seeded random corpus: the distributed bigram-LM fluency score
+    (add-one smoothing, doc_id%%3 held-in model slice, integer ppm
+    arithmetic) must equal an independent python replay; short docs
+    keep a 0/0 row."""
+    import random
+
+    from propertygraph_spark.ops.text import lm_bigram_fluency
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # host replay of the model + score
+    c1: dict = {}
+    c2: dict = {}
+    model_vocab = set()
+    for i, txt in rows:
+        toks = txt.split()
+        if i % 3 == 0:
+            for t in toks:
+                c1[t] = c1.get(t, 0) + 1
+                model_vocab.add(t)
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(model_vocab)
+    want = {}
+    for i, txt in rows:
+        toks = txt.split()
+        ps = [(c2.get((a, b), 0) + 1) * 1_000_000 // (c1.get(a, 0) + v)
+              for a, b in zip(toks, toks[1:])]
+        want[i] = ((len(ps), sum(ps) // len(ps)) if ps else (0, 0))
+    got = {r["doc_id"]: (r["n_bigrams"], r["fluency_ppm"])
+           for r in lm_bigram_fluency(docs, model_mod=3).collect()}
+    assert got == want
+    assert any(nb == 0 for nb, _f in want.values())  # short docs present
+
+
 def test_bfs_levels_empty_input_is_empty(spark):
     from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
                                                pagerank_int,
