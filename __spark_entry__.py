@@ -58,12 +58,14 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 8 new r5 queries = 53 unchecked > the ~50 window; the
-# overflow must be deterministic, so the THREE best-covered unchecked
+# 45 r3-checked + 9 new r5 queries = 54 unchecked > the ~50 window; the
+# overflow must be deterministic, so the FOUR best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
-# round since r1) are ordered LAST among the unchecked and absorb it.
+# round since r1) are ordered LAST among the unchecked and absorb it
+# (tuple order = their original registration order, which is what
+# _window_reorder preserves).
 _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
-                    "q5_supplier_volume")
+                    "q4_order_priority", "q5_supplier_volume")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -312,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
     q["dataset_pivot"] = lambda s, d: pivot_lang_source(_docs(s, d))
+    from propertygraph_spark.ops.dataset import dsir_sample
+    q["dataset_dsir_sample"] = lambda s, d: dsir_sample(_docs(s, d))
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -1210,6 +1214,46 @@ c AS (SELECT doc_id, stratum, n_tokens,
       FROM d)
 SELECT doc_id, stratum, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 2000 ORDER BY stratum, doc_id
+"""
+    # DSIR importance resampling: 4-hex-char md5 bucket of each token,
+    # add-one-smoothed target/source ratio in ppm (HUGEINT product //
+    # HUGEINT product — nonnegative, so // == Spark's DIV), importance =
+    # integer mean over the doc's tokens, deterministic md5 coin.
+    _dsir_hv4 = " + ".join(
+        "CAST(" + _sql_hexval(f"substr(md5(tok), {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (3 - i)}" for i in range(4))
+    _dsir_hv8 = " + ".join(
+        "CAST(" + _sql_hexval(f"substr(h8, {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (7 - i)}" for i in range(8))
+    o["dataset_dsir_sample"] = f"""
+WITH t AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents),
+ex AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+hb AS (SELECT doc_id, lang, ({_dsir_hv4}) % 64 AS bucket FROM ex),
+src AS (SELECT bucket, count(*) AS c_s FROM hb GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS c_t FROM hb
+        WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT count(*) AS n_s,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+        FROM hb),
+ratio AS (SELECT bucket,
+                 CAST((CAST(coalesce(c_t, 0) + 1 AS HUGEINT)
+                       * (n_s + 64) * 1000000)
+                      // (CAST(c_s + 1 AS HUGEINT) * (n_t + 64))
+                      AS BIGINT) AS r_ppm
+          FROM src LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+pd AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(r_ppm) // count(*) AS BIGINT) AS importance_ppm
+       FROM hb JOIN ratio USING (bucket) GROUP BY doc_id),
+dr AS (SELECT doc_id, lang,
+              substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+       FROM documents)
+SELECT dr.doc_id, dr.lang,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.importance_ppm, 0) AS BIGINT) AS importance_ppm,
+       CAST(({_dsir_hv8}) % 1000000 AS BIGINT) AS draw_ppm,
+       CAST((({_dsir_hv8}) % 1000000) * 2 < coalesce(pd.importance_ppm, 0)
+            AS INT) AS kept
+FROM dr LEFT JOIN pd USING (doc_id)
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH sh AS ({_shingle_sql()}),

@@ -212,3 +212,58 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     got = [(r["rank"], r["pair"], r["n_occurrences"])
            for r in bpe_pair_counts(docs).collect()]
     assert got == [(1, "aa", 3), (2, "ab", 2)]
+
+
+def _dsir_reference(rows, n_buckets=64, lam=2):
+    """Pure-Python twin of dsir_sample's integer-rational arithmetic."""
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:4],
+                           16) % n_buckets
+    toks = {d: (txt.split() if txt else []) for d, _, txt in rows}
+    langs = {d: lg for d, lg, _ in rows}
+    c_s, c_t, n_s, n_t = {}, {}, 0, 0
+    for d, ts in toks.items():
+        for t in ts:
+            b = bucket(t)
+            c_s[b] = c_s.get(b, 0) + 1
+            n_s += 1
+            if langs[d] == "en":
+                c_t[b] = c_t.get(b, 0) + 1
+                n_t += 1
+    r_ppm = {b: ((c_t.get(b, 0) + 1) * (n_s + n_buckets) * 1000000)
+             // ((cs + 1) * (n_t + n_buckets)) for b, cs in c_s.items()}
+    out = {}
+    for d, ts in toks.items():
+        imp = (sum(r_ppm[bucket(t)] for t in ts) // len(ts)) if ts else 0
+        draw = int(hashlib.md5(f"dsir|{d}".encode()).hexdigest()[:8],
+                   16) % 1000000
+        out[d] = (len(ts), imp, draw, int(draw * lam < imp))
+    return out
+
+
+def test_dsir_sample_matches_python_reference(spark):
+    from propertygraph_spark.ops.dataset import dsir_sample
+    rows = ([(i, "en", "the quick brown fox and the lazy dog") for i in
+             range(8)]
+            + [(100 + i, "de", "der schnelle braune fuchs und der hund")
+               for i in range(4)]
+            + [(200, "en", "der the mixed fox hund") , (201, "de", "")])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    want = _dsir_reference(rows)
+    got = {r["doc_id"]: (r["n_tokens"], r["importance_ppm"], r["draw_ppm"],
+                         r["kept"]) for r in dsir_sample(docs).collect()}
+    assert got == want
+    # on-target (en-token) docs must score above the off-target docs
+    assert got[0][1] > got[100][1]
+    # empty doc keeps a row, never kept
+    assert got[201] == (0, 0, want[201][2], 0)
+
+
+def test_dsir_sample_stable_under_repartition(spark):
+    from propertygraph_spark.ops.dataset import dsir_sample
+    rows = [(i, "en" if i % 3 else "de",
+             " ".join(f"w{(i * 7 + j) % 23}" for j in range(1 + i % 9)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = {tuple(r) for r in dsir_sample(docs.repartition(11)).collect()}
+    b = {tuple(r) for r in dsir_sample(docs.repartition(3)).collect()}
+    assert a == b and len(a) == 60

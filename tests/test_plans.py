@@ -390,7 +390,8 @@ def test_unbounded_outputs_have_no_terminal_global_sort(spark, docs):
     the driver's hash compare never needed, and it is a pointless total
     exchange at 10^12 rows. Top-k/windowed ops keep their SEMANTIC
     sorts (window-local, rangepartitioning-free tails checked here)."""
-    from propertygraph_spark.ops.dataset import (mixture_sample,
+    from propertygraph_spark.ops.dataset import (dsir_sample,
+                                                 mixture_sample,
                                                  sample_balanced,
                                                  sample_stratified,
                                                  select_token_budget)
@@ -403,7 +404,7 @@ def test_unbounded_outputs_have_no_terminal_global_sort(spark, docs):
                  decontaminate(docs), contamination_check(docs),
                  repetition_ratio(docs), sample_stratified(docs),
                  mixture_sample(docs), select_token_budget(docs),
-                 sample_balanced(docs)]
+                 sample_balanced(docs), dsir_sample(docs)]
     for df in unbounded:
         p = plan(df)
         # a terminal global orderBy compiles to Exchange rangepartitioning
@@ -544,3 +545,20 @@ def test_packed_linking_is_map_only(spark):
     import re
     keys = re.findall(r"hashpartitioning\(([^,)]*)", p)
     assert all(k.startswith("simple_name") for k in keys), keys
+
+
+def test_dsir_sample_broadcast_ratio_single_doc_exchange(spark, docs):
+    """DSIR: the 64-row ratio table must BROADCAST onto the exploded
+    tokens (never shuffle the corpus on bucket), the target-slice filter
+    must reach the parquet scan, and the only corpus-sized exchange is
+    the per-doc aggregation."""
+    from propertygraph_spark.ops.dataset import dsir_sample
+    p = plan(dsir_sample(docs))
+    assert "BroadcastHashJoin" in p
+    # BOTH distribution estimates ride ONE conditional partial agg over
+    # a single token explode (no second lang-filtered corpus pass)
+    assert "partial_sum(CASE WHEN" in p and "partial_count" in p
+    # corpus-sized exchanges: per-doc agg + the final doc_id join side;
+    # bucket-keyed exchanges are 64-row agg partials, never the corpus
+    assert "Exchange hashpartitioning(tok" not in p
+    assert "rangepartitioning" not in p
