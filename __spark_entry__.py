@@ -58,14 +58,15 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 9 new r5 queries = 54 unchecked > the ~50 window; the
-# overflow must be deterministic, so the FOUR best-covered unchecked
+# 45 r3-checked + 11 new r5 queries = 56 unchecked > the ~50 window; the
+# overflow must be deterministic, so the SIX best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
 # _window_reorder preserves).
 _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
-                    "q4_order_priority", "q5_supplier_volume")
+                    "q4_order_priority", "q5_supplier_volume",
+                    "q6_revenue_change", "q12_priority_shipmode")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_linked_mentions"] = lambda s, d: kgdocs.linked_mentions(_docs(s, d))
     q["kg_canonical_entities"] = lambda s, d: kgdocs.canonical_entities(
         _docs(s, d))
+    q["kg_call_graph"] = lambda s, d: kgdocs.call_graph(_docs(s, d))
     q["kg_pagerank"] = lambda s, d: kgdocs.pagerank_by_rank(_docs(s, d))
     q["kg_triangles"] = lambda s, d: kgdocs.triangles_by_template(
         _docs(s, d))
@@ -314,8 +316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
     q["dataset_pivot"] = lambda s, d: pivot_lang_source(_docs(s, d))
-    from propertygraph_spark.ops.dataset import dsir_sample
+    from propertygraph_spark.ops.dataset import dsir_sample, unimax_allocation
     q["dataset_dsir_sample"] = lambda s, d: dsir_sample(_docs(s, d))
+    q["dataset_unimax"] = lambda s, d: unimax_allocation(_docs(s, d))
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -407,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_degree_hist"] = kgdocs.degree_histogram_oracle_sql()
     o["kg_linked_mentions"] = kgdocs.linked_oracle_sql()
     o["kg_canonical_entities"] = kgdocs.canonical_oracle_sql()
+    o["kg_call_graph"] = kgdocs.call_graph_oracle_sql()
     o["kg_pagerank"] = kgdocs.pagerank_oracle_sql()
     o["kg_triangles"] = kgdocs.triangles_oracle_sql()
     o["kg_kcore"] = kgdocs.kcore_oracle_sql()
@@ -1225,6 +1229,42 @@ FROM c WHERE cum_tokens <= 2000 ORDER BY stratum, doc_id
     _dsir_hv8 = " + ".join(
         "CAST(" + _sql_hexval(f"substr(h8, {i + 1}, 1)")
         + f" AS BIGINT) * {16 ** (7 - i)}" for i in range(8))
+    # UniMax waterfill, closed form: capped set = the prefix (ascending
+    # token order) where cap_i*(L-i+1)+cumcap_{{i-1}} <= budget_pm; all
+    # uncapped langs share (budget_pm - cumcap_t) // (L - t). Integers
+    # throughout, operands nonnegative, so // == Spark's div.
+    _um_b_pm, _um_e = 20_000 * 1000, 3000
+    o["dataset_unimax"] = f"""
+WITH per AS (SELECT lang AS stratum, count(*) AS n_docs,
+                    CAST(sum(len({_sql_tokens()})) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+w AS (SELECT *, n_tokens * {_um_e} AS cap_pm,
+             row_number() OVER (ORDER BY n_tokens, stratum) AS i,
+             count(*) OVER () AS nlang,
+             CAST(coalesce(sum(n_tokens * {_um_e}) OVER (
+                 ORDER BY n_tokens, stratum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumcap_prev
+      FROM per),
+c AS (SELECT *, CASE WHEN cap_pm * (nlang - i + 1) + cumcap_prev
+                          <= {_um_b_pm} THEN 1 ELSE 0 END AS capped
+      FROM w),
+f AS (SELECT *, sum(capped) OVER () AS t,
+             CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap_pm END)
+                           OVER (), 0) AS BIGINT) AS cumcap_t
+      FROM c),
+a AS (SELECT *, CASE WHEN capped = 1 THEN cap_pm
+                     WHEN t = nlang THEN 0
+                     ELSE ({_um_b_pm} - cumcap_t) // (nlang - t)
+                END AS alloc_pm
+      FROM f)
+SELECT stratum, n_docs, n_tokens,
+       CAST(alloc_pm // 1000 AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN alloc_pm // n_tokens
+                 ELSE 0 END AS BIGINT) AS epochs_pm,
+       CAST(capped AS BIGINT) AS capped
+FROM a ORDER BY stratum
+"""
     o["dataset_dsir_sample"] = f"""
 WITH t AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents),
 ex AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),

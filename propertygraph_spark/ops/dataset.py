@@ -249,6 +249,67 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 16,
             .select("doc_id", "shard", "pos", "shuffle_key"))
 
 
+def unimax_allocation(docs: DataFrame, budget_tokens: int = 20_000,
+                      epoch_cap_pm: int = 3000,
+                      stratum: str = "lang") -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): distribute a total token budget across
+    languages as uniformly as possible, subject to a per-language epoch
+    cap (no language is repeated more than ``epoch_cap_pm/1000``
+    epochs). The published algorithm is a waterfill — visit languages
+    by ascending corpus size; each takes min(cap, remaining/left) — and
+    because both the caps and the equal share are monotone along that
+    order, the capped set is exactly a PREFIX: with
+    ``g(i) = cap_i * (L - i + 1) + cumcap_{i-1}`` (token-per-mille
+    units), language i is capped iff ``g(i) <= budget_pm``, and every
+    uncapped language gets the identical integer share
+    ``(budget_pm - cumcap_t) div (L - t)``. That closed form replaces
+    the sequential loop with two ordered windows over the BOUNDED
+    per-language table, and its all-integer arithmetic is the DuckDB
+    twin's arithmetic, bit for bit.
+
+    Scale shape: one map-side-combined agg to |languages| rows; every
+    window after that runs on the bounded table (a handful of rows at
+    any corpus size — the 10^12 documents are touched exactly once, in
+    the agg). Output (bounded, so the readable ordering is free):
+    one row per language with its token count, allocation, capped flag
+    and realized epochs in per-mille."""
+    per = (docs.groupBy(F.col(stratum).alias("stratum"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(tokens_col()).cast("long")).alias("n_tokens")))
+    b_pm = budget_tokens * 1000
+    # ascending corpus-size order (stratum tiebreak: determinism)
+    asc = Window.orderBy("n_tokens", "stratum")
+    run = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = asc.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    d = (per.withColumn("cap_pm", F.col("n_tokens") * epoch_cap_pm)
+         .withColumn("i", F.row_number().over(asc))
+         .withColumn("nlang", F.count("*").over(full))
+         .withColumn("cumcap_prev",
+                     F.sum("cap_pm").over(run) - F.col("cap_pm"))
+         .withColumn("capped",
+                     (F.col("cap_pm") * (F.col("nlang") - F.col("i") + 1)
+                      + F.col("cumcap_prev") <= F.lit(b_pm)).cast("int")))
+    d = (d.withColumn("t", F.sum("capped").over(full))
+         .withColumn("cumcap_t",
+                     F.coalesce(F.sum(F.when(F.col("capped") == 1,
+                                             F.col("cap_pm"))).over(full),
+                                F.lit(0))))
+    share = F.expr(f"({b_pm} - cumcap_t) div (nlang - t)")
+    alloc_pm = F.when(F.col("capped") == 1, F.col("cap_pm")) \
+                .otherwise(F.when(F.col("t") == F.col("nlang"), F.lit(0))
+                           .otherwise(share))
+    return (d.withColumn("alloc_pm", alloc_pm)
+            .select("stratum", "n_docs", "n_tokens",
+                    F.expr("alloc_pm div 1000").alias("alloc_tokens"),
+                    F.expr("CASE WHEN n_tokens > 0 THEN alloc_pm div"
+                           " n_tokens ELSE 0 END").alias("epochs_pm"),
+                    F.col("capped").cast("long").alias("capped"))
+            .orderBy("stratum"))
+
+
 def dsir_sample(docs: DataFrame, target_lang: str = "en",
                 n_buckets: int = 64, lam: int = 2) -> DataFrame:
     """DSIR-style importance resampling (Xie et al. 2023, "Data

@@ -720,6 +720,68 @@ def linked_mentions(documents: DataFrame) -> DataFrame:
             .orderBy("mention", "fqn", "score_pm"))
 
 
+def call_graph(documents: DataFrame) -> DataFrame:
+    """Corpus-level weighted call graph — the KG surface a code-graph
+    consumer actually queries (the reference materializes method nodes
+    and call edges into its graph store; PropertyGraph.java drives the
+    same extract→graph flow): linked call-site mentions rolled up to
+    (caller class, callee fqn, n_calls) edges. Caller identity is the
+    enclosing class of the mention's method_id (template ordinal ->
+    class name D<t> on the synthesized corpus). The oracle replays the
+    identical linking argmax host-side over the frozen per-template
+    call-site multiset (call_graph_oracle_sql).
+
+    Scale shape: the edge rollup is one groupBy over (caller, fqn) —
+    bounded by distinct class x symbol pairs, not by occurrences; the
+    linking stage feeding it is the packed map-only broadcast join, so
+    the only corpus-sized exchange is the final bounded-key agg."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    linked = link_mentions(mentions,
+                           symbol_dictionary(documents.sparkSession))
+    calls = linked.filter(F.col("kind") == "call_site")
+    caller = F.concat(F.lit("D"), _tpl_of_method().cast("string"))
+    return (calls.groupBy(caller.alias("caller"),
+                          F.col("fqn").alias("callee"))
+            .agg(F.count("*").alias("n_calls"))
+            .orderBy("caller", "callee"))
+
+
+def call_graph_oracle_sql() -> str:
+    """DuckDB twin of call_graph: host-replayed linking argmax over the
+    frozen call-site occurrences -> per-template per-doc edge constants,
+    scaled by the doc_id%4 template counts."""
+    agg: dict = {}
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is None:
+                continue
+            key = (tpl, best[0])
+            agg[key] = agg.get(key, 0) + 1
+    if not agg:
+        raise RuntimeError("frozen call-site multiset is empty")
+    values = ", ".join(f"({tpl}, '{fqn}', {c})"
+                       for (tpl, fqn), c in sorted(agg.items()))
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, callee, cnt) AS (VALUES {values})
+SELECT 'D' || CAST(c.tpl AS VARCHAR) AS caller, c.callee AS callee,
+       CAST(t.n * c.cnt AS BIGINT) AS n_calls
+FROM consts c JOIN tplcount t USING (tpl)
+ORDER BY caller, callee
+"""
+
+
 XFILE_DECL_SRC = "package org.acme.util; class Text { }"
 
 

@@ -267,3 +267,58 @@ def test_dsir_sample_stable_under_repartition(spark):
     a = {tuple(r) for r in dsir_sample(docs.repartition(11)).collect()}
     b = {tuple(r) for r in dsir_sample(docs.repartition(3)).collect()}
     assert a == b and len(a) == 60
+
+
+def _unimax_reference(lang_tokens, budget=20_000, e_pm=3000):
+    """Sequential waterfill (the published UniMax loop) — the closed-form
+    prefix implementation must reproduce it exactly."""
+    b_pm = budget * 1000
+    order = sorted(lang_tokens.items(), key=lambda kv: (kv[1], kv[0]))
+    out, remaining = {}, b_pm
+    for idx, (lang, n_tok) in enumerate(order):
+        k = len(order) - idx
+        cap = n_tok * e_pm
+        # exact-rational compare: cap <= remaining / k
+        alloc = cap if cap * k <= remaining else remaining // k
+        out[lang] = alloc
+        remaining -= alloc
+    return {lang: (a // 1000,
+                   (a // lang_tokens[lang]) if lang_tokens[lang] else 0)
+            for lang, a in out.items()}
+
+
+def test_unimax_matches_sequential_waterfill(spark):
+    from propertygraph_spark.ops.dataset import unimax_allocation
+    # 4 langs: tiny (capped), small (capped), medium, huge — budget binds
+    rows = ([(i, "ga", "a b") for i in range(5)]
+            + [(100 + i, "de", "a b c d") for i in range(50)]
+            + [(1000 + i, "fr", " ".join("w" * 1 for _ in range(8)))
+               for i in range(300)]
+            + [(10000 + i, "en", " ".join(f"t{j}" for j in range(12)))
+               for i in range(2000)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lang_tokens = {"ga": 10, "de": 200, "fr": 2400, "en": 24000}
+    want = _unimax_reference(lang_tokens)
+    got = {r["stratum"]: r for r in unimax_allocation(docs).collect()}
+    assert set(got) == set(want)
+    for lang, (alloc_tokens, epochs_pm) in want.items():
+        assert got[lang]["alloc_tokens"] == alloc_tokens, lang
+        assert got[lang]["epochs_pm"] == epochs_pm, lang
+        assert got[lang]["n_tokens"] == lang_tokens[lang]
+    # tiny langs hit the epoch cap (3 epochs), the huge lang shares budget
+    assert got["ga"]["capped"] == 1 and got["ga"]["epochs_pm"] == 3000
+    assert got["en"]["capped"] == 0 and got["en"]["epochs_pm"] < 3000
+    # budget is respected: total allocation <= budget
+    assert sum(r["alloc_tokens"] for r in got.values()) <= 20_000
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    """When the budget dwarfs the corpus every language is capped at the
+    epoch limit and part of the budget goes unused (t == L path)."""
+    from propertygraph_spark.ops.dataset import unimax_allocation
+    rows = [(1, "en", "a b c"), (2, "de", "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["stratum"]: r for r in unimax_allocation(docs).collect()}
+    assert all(r["capped"] == 1 and r["epochs_pm"] == 3000
+               for r in got.values())
+    assert got["en"]["alloc_tokens"] == 9 and got["de"]["alloc_tokens"] == 6

@@ -238,3 +238,31 @@ def test_closure_scope_isolation(spark):
     got = {(r["g"], r["a"], r["b"]) for r in
            transitive_closure(df, scope="g").collect()}
     assert got == {("m1", 1, 2), ("m2", 2, 3)}  # no 1->3 across scopes
+
+
+def test_call_graph_matches_host_replay(spark):
+    """kgdocs.call_graph: (caller class, callee fqn, n_calls) edges over
+    the synthesized corpus must equal the host replay of the linking
+    argmax over the frozen per-template call-site multiset, scaled by
+    each template's doc count (here: 3/3/2/2 over doc_ids 0..9)."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_LINK_OCCURRENCES,
+                                                _host_best_link, call_graph)
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(10)],
+                                 "doc_id long, text string")
+    rows = symbol_rows()
+    tpl_docs = {t: sum(1 for i in range(10) if i % 4 == t) for t in range(4)}
+    want: dict = {}
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is None:
+                continue
+            key = (f"D{tpl}", best[0])
+            want[key] = want.get(key, 0) + tpl_docs[tpl]
+    got = {(r["caller"], r["callee"]): r["n_calls"]
+           for r in call_graph(docs).collect()}
+    assert want, "no call-site edges in the frozen multiset"
+    assert got == want
