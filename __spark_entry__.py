@@ -58,15 +58,16 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 11 new r5 queries = 56 unchecked > the ~50 window; the
-# overflow must be deterministic, so the SIX best-covered unchecked
+# 45 r3-checked + 13 new r5 queries = 58 unchecked > the ~50 window; the
+# overflow must be deterministic, so the EIGHT best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
 # _window_reorder preserves).
 _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
-                    "q6_revenue_change", "q12_priority_shipmode")
+                    "q6_revenue_change", "q12_priority_shipmode",
+                    "q7_volume_shipping", "q14_promo_revenue")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -114,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_kcore"] = lambda s, d: kgdocs.kcore_by_template(_docs(s, d))
     q["kg_cfg_bfs"] = lambda s, d: kgdocs.cfg_bfs_by_level(_docs(s, d))
+    q["kg_communities"] = lambda s, d: kgdocs.communities_by_template(
+        _docs(s, d))
     q["kg_pdg_components"] = lambda s, d: kgdocs.pdg_components_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
@@ -154,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_weekly_retention"] = relational.weekly_retention
     q["events_top_per_user"] = relational.top_events_per_user
     q["events_rolling_sum"] = relational.events_rolling_sum
+    q["events_latest_state"] = relational.events_latest_state
     q["events_transitions"] = relational.event_transitions
     q["events_json_props"] = relational.events_json_props
 
@@ -411,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_linked_mentions"] = kgdocs.linked_oracle_sql()
     o["kg_canonical_entities"] = kgdocs.canonical_oracle_sql()
     o["kg_call_graph"] = kgdocs.call_graph_oracle_sql()
+    o["kg_communities"] = kgdocs.communities_oracle_sql()
     o["kg_pagerank"] = kgdocs.pagerank_oracle_sql()
     o["kg_triangles"] = kgdocs.triangles_oracle_sql()
     o["kg_kcore"] = kgdocs.kcore_oracle_sql()
@@ -806,6 +811,22 @@ WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, event_id
+"""
+    # latest-wins compaction: arg_max on the identical zero-padded
+    # '<epoch-sec>|<event_id>' string key (tie-free — event_id unique)
+    o["events_latest_state"] = """
+WITH e AS (SELECT user_id, event_type, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  CAST(round(value * 1000) AS BIGINT) AS v1000,
+                  printf('%020d|%020d',
+                         CAST(floor(epoch(ts)) AS BIGINT), event_id) AS o
+           FROM events)
+SELECT user_id, event_type,
+       arg_max(event_id, o) AS last_event_id,
+       arg_max(sec, o) AS last_sec,
+       arg_max(v1000, o) AS last_value_x1000,
+       count(*) AS n_events
+FROM e GROUP BY user_id, event_type
 """
     o["events_top_per_user"] = """
 SELECT user_id, rk, event_id, event_type, value

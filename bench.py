@@ -127,10 +127,11 @@ def main() -> None:
     # --- round-2 additions, timed OUTSIDE the headline total so the
     #     headline stays comparable with BENCH_r01 (judge diffs totals);
     #     "extended_total" carries their sum ---
-    from propertygraph_spark.ops.dataset import (mixture_sample,
+    from propertygraph_spark.ops.dataset import (dsir_sample, mixture_sample,
                                                  pivot_lang_source,
                                                  select_token_budget,
-                                                 shuffle_shards)
+                                                 shuffle_shards,
+                                                 unimax_allocation)
     from propertygraph_spark.ops.multimodal import feature_extract, frame_sample
     extended = {
         "q7_volume_shipping": lambda: relational.volume_shipping(spark, sf_dir),
@@ -210,6 +211,11 @@ def main() -> None:
             emb(spark, sf_dir), k=5),
         "dedup_semantic_clusters": lambda: similarity.semantic_dedup_clusters(
             emb(spark, sf_dir)),
+        "events_latest_state": lambda: relational.events_latest_state(
+            spark, sf_dir),
+        "dataset_dsir": lambda: dsir_sample(docs(spark, sf_dir)),
+        "dataset_unimax": lambda: unimax_allocation(docs(spark, sf_dir)),
+        "kg_call_graph": lambda: kgdocs.call_graph(docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():
@@ -263,6 +269,10 @@ def main() -> None:
     t0 = time.monotonic()
     _noop(connected_components(pdg_edges, scope="method_id"))
     ga["pdg_cc_sec"] = round(time.monotonic() - t0, 3)
+    from propertygraph_spark.ops.graph import label_propagation
+    t0 = time.monotonic()
+    _noop(label_propagation(pdg_edges, scope="method_id"))
+    ga["lpa_4iter_sec"] = round(time.monotonic() - t0, 3)
     # --- r5 fast-path evidence: the same two workloads through the
     #     distributed iterative loops (bounded_scopes=False) so the
     #     artifact carries the measured bounded-scope win, not just the

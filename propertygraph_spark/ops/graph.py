@@ -475,6 +475,92 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def _k_lpa(iters: int):
+    """Per-scope kernel factory: SYNCHRONOUS label propagation over the
+    undirected simple graph — every node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label, for exactly ``iters`` rounds (labels init to node ids). The
+    synchronous+deterministic variant (classic async LPA is
+    order-dependent) so the distributed twin is row-identical."""
+    def kern(es):
+        und = {(a, b) if a < b else (b, a) for a, b in es if a != b}
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = {x for e in es for x in e}
+        label = {n: n for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for n in nodes:
+                nbrs = adj.get(n)
+                if not nbrs:
+                    new[n] = label[n]
+                    continue
+                cnt: dict = {}
+                for m in nbrs:
+                    cnt[label[m]] = cnt.get(label[m], 0) + 1
+                new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            label = new
+        return label.items()
+
+    return kern
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      scope: str | None = None, iters: int = 4,
+                      bounded_scopes: bool = True) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, made deterministic): ``iters`` rounds of every node
+    adopting its neighborhood's most frequent label, ties to the
+    smallest label. Fixed round count + synchronous update + total
+    tie-break means the result is a pure function of the graph — the
+    same on any cluster size, engine or partitioning (async LPA's
+    update-order dependence is exactly what a distributed oracle-checked
+    engine cannot have).
+
+    Physical strategies (row-identical, pinned in tests):
+    - ``scope`` + ``bounded_scopes`` (default): the shared scoped
+      streaming kernel — one exchange, no per-round barriers.
+    - otherwise: per round, ONE join of the symmetrized edge list onto
+      the label table + a (node, label) count agg + a max_by argmax —
+      hashing on (scope, node) throughout; localCheckpoint truncates
+      the per-round lineage. Rounds are full-cluster barriers, so
+      ``iters`` is deliberately small and fixed (community labels
+      stabilize fast; this is the published early-stopping guidance).
+    Returns (scope?, node, label)."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("label", F.col("node")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_lpa(iters),
+                                  out_schema)
+    keys = [scope] if scope else []
+    sym = edges.filter(F.col(src) != F.col(dst)) \
+               .select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (sym.unionByName(sym.select(*keys, F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(*keys, F.col(src).alias("node"))
+             .unionByName(edges.select(*keys, F.col(dst).alias("node")))
+             .distinct())
+    labels = nodes.withColumn("label", F.col("node")) \
+                  .localCheckpoint(eager=True)
+    for _ in range(iters):
+        nbr = (und.join(labels.withColumnRenamed("node", "u"), keys + ["u"])
+               .select(*keys, F.col("v").alias("node"), "label")
+               .groupBy(*keys, "node", "label")
+               .agg(F.count("*").alias("cnt"))
+               .groupBy(*keys, "node")
+               .agg(F.max_by("label", F.struct(F.col("cnt"),
+                                               (-F.col("label"))))
+                    .alias("new_label")))
+        labels = (labels.join(nbr, keys + ["node"], "left")
+                  .select(*keys, "node",
+                          F.coalesce("new_label", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
 def _oriented_wedges(edges: DataFrame, src: str, dst: str,
                      keys: list[str]) -> tuple[DataFrame, DataFrame]:
     """Degree-ordered orientation + open-wedge generation.

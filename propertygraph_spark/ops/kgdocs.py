@@ -65,6 +65,7 @@ TEMPLATE_TRIANGLES: dict[int, int] = {}                  # filled below
 TEMPLATE_KCORE_NODES: dict[int, int] = {}                # filled below
 TEMPLATE_BFS_HIST: dict[int, dict[int, int]] = {}        # filled below
 TEMPLATE_PDG_COMPONENTS: dict[int, tuple] = {}           # filled below
+TEMPLATE_LPA_COMMUNITIES: dict[int, tuple] = {}          # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -194,6 +195,50 @@ def _pdg_components(triples: list) -> tuple:
     return total, largest
 
 
+def _lpa_stats(triples: list, iters: int = 4) -> tuple:
+    """Host replay of ops/graph.py label_propagation over each method's
+    undirected pdg_data graph: synchronous most-frequent-neighbor-label
+    update, ties to the smallest label, ``iters`` rounds, labels init to
+    node ids. Returns (total distinct communities, largest community's
+    node count) across the doc's methods — an independent dict-based
+    reimplementation, not an import of the distributed kernel."""
+    by_method: dict = {}
+    for t in triples:
+        if t["pred"] == "pdg_data":
+            by_method.setdefault(t["method_id"], set()).add(
+                (t["subj"], t["obj"]))
+    total, largest = 0, 0
+    for edges in by_method.values():
+        adj: dict = {}
+        nodes: set = set()
+        for a, b in edges:
+            nodes.add(a)
+            nodes.add(b)
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        label = {n: n for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for n in nodes:
+                nbrs = adj.get(n)
+                if not nbrs:
+                    new[n] = label[n]
+                    continue
+                cnt: dict = {}
+                for m in nbrs:
+                    cnt[label[m]] = cnt.get(label[m], 0) + 1
+                top = max(cnt.values())
+                new[n] = min(lb for lb, c in cnt.items() if c == top)
+            label = new
+        sizes: dict = {}
+        for n in nodes:
+            sizes[label[n]] = sizes.get(label[n], 0) + 1
+        total += len(sizes)
+        largest = max([largest] + list(sizes.values()))
+    return total, largest
+
+
 def _closure_pairs(triples: list) -> int:
     """Transitive-closure pair count over the pdg_data edges (reference
     Python BFS — the oracle constant the distributed semi-naive closure
@@ -239,6 +284,7 @@ def _freeze_constants() -> None:
         TEMPLATE_KCORE_NODES[tpl] = _kcore_size(triples)
         TEMPLATE_BFS_HIST[tpl] = _bfs_hist(triples)
         TEMPLATE_PDG_COMPONENTS[tpl] = _pdg_components(triples)
+        TEMPLATE_LPA_COMMUNITIES[tpl] = _lpa_stats(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -513,6 +559,47 @@ def pdg_components_by_template(documents: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_components"),
                  F.max("n_nodes").alias("largest_component"))
             .orderBy("tpl"))
+
+
+def communities_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed label-propagation community detection (ops/graph.py
+    label_propagation, 4 synchronous deterministic rounds) over every
+    method's undirected pdg_data graph at once, rolled up to a
+    per-template community count + largest community — the modularity
+    profile of the dependence graphs."""
+    from propertygraph_spark.ops.graph import label_propagation
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "pdg_data")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    labels = label_propagation(edges, scope="method_id")
+    comms = (labels.groupBy("method_id", "label")
+             .agg(F.count("*").alias("n_nodes")))
+    return (comms
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").alias("n_communities"),
+                 F.max("n_nodes").alias("largest_community"))
+            .orderBy("tpl"))
+
+
+def communities_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {big})"
+        for tpl, (n, big) in TEMPLATE_LPA_COMMUNITIES.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, comms, big) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.comms AS BIGINT) AS n_communities,
+       CAST(c.big AS BIGINT) AS largest_community
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.comms > 0
+ORDER BY c.tpl
+"""
 
 
 def kcore_by_template(documents: DataFrame) -> DataFrame:

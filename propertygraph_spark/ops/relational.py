@@ -830,6 +830,36 @@ def events_rolling_sum(spark: SparkSession, sf_dir: str,
             .orderBy("user_id", "event_id"))
 
 
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction (the CDC / SCD-type-1 upsert every
+    lakehouse ingestion pipeline runs): collapse the event stream to one
+    row per (user_id, event_type) carrying the LAST event — latest by
+    event time, event_id as the total-order tiebreak — plus the group's
+    event count.
+
+    One shuffle, one pass: max_by against a zero-padded
+    '<epoch-sec>|<event_id>' string key (fixed width, so lexicographic
+    order == (sec, id) numeric order; event_id is unique, so the key is
+    tie-free and max_by is deterministic). No window, no sort — the
+    groupBy does map-side partial max_by, so a 10^12-event log reduces
+    to |users x types| rows with one exchange. Epoch seconds via pure
+    NTZ arithmetic (TZ-proof, the events_rolling_sum recipe); value
+    scaled to integer x1000 for cross-engine equality."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                 "'1970-01-01 00:00:00', date_trunc('second', ts))")
+    key = F.format_string("%020d|%020d", sec, F.col("event_id"))
+    v1000 = F.round(F.col("value") * 1000).cast("long")
+    return (ev.select("user_id", "event_type", "event_id",
+                      sec.alias("sec"), v1000.alias("v1000"),
+                      key.alias("o"))
+            .groupBy("user_id", "event_type")
+            .agg(F.max_by("event_id", F.col("o")).alias("last_event_id"),
+                 F.max_by("sec", F.col("o")).alias("last_sec"),
+                 F.max_by("v1000", F.col("o")).alias("last_value_x1000"),
+                 F.count("*").alias("n_events")))
+
+
 def top_events_per_user(spark: SparkSession, sf_dir: str,
                         k: int = 3, pre_partitions: int = 32) -> DataFrame:
     """Per-user top-k events by value (grouped top-k), TWO-PHASE so a

@@ -879,6 +879,7 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     import random
 
     from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
+                                               label_propagation,
                                                pagerank_int,
                                                transitive_closure,
                                                triangle_count)
@@ -891,7 +892,7 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
         rows += [(f"g{g}", a, b) for a, b in es]
     df = spark.createDataFrame(rows, "scope string, src long, dst long")
     for fn in (transitive_closure, bfs_levels, pagerank_int,
-               triangle_count, kcore_nodes):
+               triangle_count, kcore_nodes, label_propagation):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -1199,3 +1200,23 @@ def test_ann_ivfpq_matches_bruteforce_on_separated_clusters(spark):
     assert len(out) > 0
     for r in out:
         assert r["vec_id"] // 6 == r["neighbor_id"] // 6, r
+
+
+def test_events_latest_state_picks_latest_with_id_tiebreak(spark, events_dir):
+    """Latest-wins compaction: last event per (user, type) by event time,
+    event_id breaking exact-timestamp ties (user 3 has two events at the
+    SAME second — only the larger event_id may win its type group)."""
+    from propertygraph_spark.ops.relational import events_latest_state
+    got = {(r["user_id"], r["event_type"]):
+           (r["last_event_id"], r["last_sec"], r["last_value_x1000"],
+            r["n_events"])
+           for r in events_latest_state(spark, events_dir).collect()}
+    base = 1704067200  # 2024-01-01 00:00:00 UTC epoch seconds
+    assert got == {
+        (1, "view"): (1, base + 50, 1000, 1),
+        (1, "click"): (2, base + 130, 2000, 1),
+        (2, "view"): (3, base, 3000, 1),
+        (2, "click"): (4, base + 30, 4000, 1),
+        (3, "click"): (6, base + 300, 5000, 1),
+        (3, "view"): (7, base + 300, 6000, 1),
+    }
