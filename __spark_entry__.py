@@ -58,8 +58,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 13 new r5 queries = 58 unchecked > the ~50 window; the
-# overflow must be deterministic, so the EIGHT best-covered unchecked
+# 45 r3-checked + 14 new r5 queries = 59 unchecked > the ~50 window; the
+# overflow must be deterministic, so the NINE best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
@@ -67,7 +67,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "q6_revenue_change", "q12_priority_shipmode",
-                    "q7_volume_shipping", "q14_promo_revenue")
+                    "q7_volume_shipping", "q10_returned_items",
+                    "q14_promo_revenue")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), threshold_pm=200)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_docs(s, d))
+    q["dedup_keep_best"] = lambda s, d: dedup.keep_best_duplicate(_docs(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dupes(
@@ -1375,6 +1377,57 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 ORDER BY d.doc_id
 """
 
+    # keep-best representative: dedup_clusters' CC + the text_quality
+    # score, argmax per cluster via the identical zero-padded
+    # '<quality+1000>|<int64max - doc_id>' key (tie-free total order)
+    o["dedup_keep_best"] = f"""
+WITH RECURSIVE sig AS ({_minhash_sql()}),
+banded AS ({' UNION ALL '.join(band_buckets)}),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), qt AS (
+  SELECT doc_id, {_sql_tokens()} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         length(text) AS n_char
+  FROM documents
+), qm AS (
+  SELECT doc_id,
+         CAST(least(len(toks), 500)
+              + (CASE WHEN len(toks) > 0
+                      THEN floor(len(list_filter(toks,
+                               x -> list_contains({stop_arr}, x)))
+                           * 1000 / len(toks)) ELSE 0 END)
+              - (CASE WHEN n_char > 0
+                      THEN floor(n_punct * 1000 / n_char) ELSE 0 END)
+           AS BIGINT) AS quality_score
+  FROM qt
+), m AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+         qm.quality_score,
+         printf('%06d|%019d', qm.quality_score + 1000,
+                9223372036854775807 - d.doc_id) AS o
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+  JOIN qm ON qm.doc_id = d.doc_id
+), best AS (
+  SELECT cluster_id, arg_max(doc_id, o) AS best_doc_id
+  FROM m GROUP BY cluster_id
+)
+SELECT m.doc_id, m.cluster_id, m.quality_score,
+       CAST(m.doc_id = best.best_doc_id AS INT) AS is_best
+FROM m JOIN best USING (cluster_id)
+"""
     o["dedup_simhash"] = _simhash_sql()
     nib_sel = " UNION ALL ".join(
         f"SELECT doc_id, simhash16, {b} AS band, "

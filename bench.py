@@ -213,6 +213,8 @@ def main() -> None:
             emb(spark, sf_dir)),
         "events_latest_state": lambda: relational.events_latest_state(
             spark, sf_dir),
+        "dedup_keep_best": lambda: dedup.keep_best_duplicate(
+            docs(spark, sf_dir)),
         "dataset_dsir": lambda: dsir_sample(docs(spark, sf_dir)),
         "dataset_unimax": lambda: unimax_allocation(docs(spark, sf_dir)),
         "kg_call_graph": lambda: kgdocs.call_graph(docs(spark, sf_dir)),

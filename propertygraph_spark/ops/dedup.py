@@ -471,6 +471,37 @@ def dedup_clusters(docs: DataFrame, k: int = 3,
                         (F.col("cluster_id") == F.col("doc_id")).cast("int")))
 
 
+def keep_best_duplicate(docs: DataFrame) -> DataFrame:
+    """Quality-aware cluster-representative selection: instead of
+    dedup_clusters' min-doc_id keeper, keep the member with the HIGHEST
+    quality score (the production policy — among near-duplicates keep
+    the longest / cleanest copy, cf. RefinedWeb / Gopher dedup sections;
+    tie -> smallest doc_id).
+
+    The argmax is ONE map-side-combined max_by per cluster against a
+    zero-padded '<shifted-quality>|<inverted-doc_id>' key: fixed-width
+    decimal, so lexicographic order == (quality, -doc_id) numeric order
+    (quality_score is bounded in [-1000, 1500] by construction, so the
+    +1000 shift fits %06d; doc_id inverts against int64 max) — total
+    order, tie-free, deterministic on any cluster size. Scale shape on
+    top of dedup_clusters' star edges: one join to the quality table +
+    one agg + one broadcast-able best-per-cluster rejoin."""
+    from propertygraph_spark.ops.text import quality_score
+    clusters = dedup_clusters(docs).select("doc_id", "cluster_id")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    m = clusters.join(q, "doc_id")
+    key = F.format_string("%06d|%019d",
+                          F.col("quality_score") + 1000,
+                          F.lit(9223372036854775807) - F.col("doc_id"))
+    best = (m.withColumn("o", key)
+            .groupBy("cluster_id")
+            .agg(F.max_by("doc_id", F.col("o")).alias("best_doc_id")))
+    return (m.join(best, "cluster_id")
+            .select("doc_id", "cluster_id", "quality_score",
+                    (F.col("doc_id") == F.col("best_doc_id"))
+                    .cast("int").alias("is_best")))
+
+
 def _hexval(c):
     """hex char -> int via ascii arithmetic (identical SQL twin)."""
     return F.ascii(c) - 48 - 39 * (F.ascii(c) >= 97).cast("int")

@@ -501,6 +501,8 @@ def _k_lpa(iters: int):
                 for m in nbrs:
                     cnt[label[m]] = cnt.get(label[m], 0) + 1
                 new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if new == label:    # exact fixpoint: remaining rounds are
+                break           # no-ops (oscillation never reaches this)
             label = new
         return label.items()
 

@@ -230,6 +230,8 @@ def _lpa_stats(triples: list, iters: int = 4) -> tuple:
                     cnt[label[m]] = cnt.get(label[m], 0) + 1
                 top = max(cnt.values())
                 new[n] = min(lb for lb, c in cnt.items() if c == top)
+            if new == label:    # fixpoint — mirrors graph._k_lpa
+                break
             label = new
         sizes: dict = {}
         for n in nodes:

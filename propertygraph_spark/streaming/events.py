@@ -62,6 +62,34 @@ def streaming_dedup_docs(docs_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["content_md5"]))
 
 
+def streaming_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming latest-wins compaction: the streaming twin of
+    ops.relational.events_latest_state — per (user_id, event_type),
+    the LAST event by (time, event_id). Expressed as the identical
+    tie-free max_by against the zero-padded '<epoch-sec>|<event_id>'
+    key, as a streaming aggregation: incremental state is exactly one
+    key row per group (the partial max_by), so state size is
+    |users x types|, independent of stream length — the materialized-
+    view pattern (run with update/complete mode; at production scale,
+    sink into a key-value upsert).
+
+    Batch == streaming row-for-row: max_by over a totally ordered key
+    is associative/commutative, so micro-batch arrival order cannot
+    show in the result (pinned in tests/test_streaming.py)."""
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                 "'1970-01-01 00:00:00', date_trunc('second', ts))")
+    key = F.format_string("%020d|%020d", sec, F.col("event_id"))
+    v1000 = F.round(F.col("value") * 1000).cast("long")
+    return (events.select("user_id", "event_type", "event_id",
+                          sec.alias("sec"), v1000.alias("v1000"),
+                          key.alias("o"))
+            .groupBy("user_id", "event_type")
+            .agg(F.max_by("event_id", F.col("o")).alias("last_event_id"),
+                 F.max_by("sec", F.col("o")).alias("last_sec"),
+                 F.max_by("v1000", F.col("o")).alias("last_value_x1000"),
+                 F.count("*").alias("n_events")))
+
+
 def streaming_extract(docs_stream: DataFrame) -> DataFrame:
     """Incremental KG extraction: same fused Arrow kernel as the batch
     pipeline, applied per micro-batch (map-only → no streaming state)."""

@@ -1220,3 +1220,21 @@ def test_events_latest_state_picks_latest_with_id_tiebreak(spark, events_dir):
         (3, "click"): (6, base + 300, 5000, 1),
         (3, "view"): (7, base + 300, 6000, 1),
     }
+
+
+def test_keep_best_duplicate_prefers_quality_then_min_id(spark):
+    """Quality-aware representative: within a near-dup cluster the
+    HIGHEST quality_score wins even when a lower doc_id exists (doc 1 is
+    the degraded variant), and quality ties fall back to the smallest
+    doc_id (4 beats 7). Singletons are their own best."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base + " extra"), (4, base), (7, base),
+            (3, "totally different content entirely unrelated words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["quality_score"], r["is_best"])
+           for r in dedup.keep_best_duplicate(docs).collect()}
+    # 1, 4, 7 co-cluster under MinHash-LSH (deterministic md5 hashing)
+    assert out[1][0] == out[4][0] == out[7][0]
+    assert out[1][1] < out[4][1] == out[7][1]
+    assert (out[1][2], out[4][2], out[7][2]) == (0, 1, 0)
+    assert out[3] == (3, out[3][1], 1)

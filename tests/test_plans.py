@@ -562,3 +562,17 @@ def test_dsir_sample_broadcast_ratio_single_doc_exchange(spark, docs):
     # bucket-keyed exchanges are 64-row agg partials, never the corpus
     assert "Exchange hashpartitioning(tok" not in p
     assert "rangepartitioning" not in p
+
+
+def test_latest_state_single_exchange_partial_maxby(spark):
+    """events_latest_state: ONE hash exchange on the group key with the
+    max_by reduced map-side (partial_max_by before the exchange) — the
+    compaction must stay a single-shuffle agg, never a window sort."""
+    from propertygraph_spark.ops.relational import events_latest_state
+    p = plan(events_latest_state(spark, SF))
+    assert p.count("hashpartitioning(") == 1
+    assert "hashpartitioning(user_id" in p
+    assert "partial_max_by" in p
+    # partition-local SortAggregate sorts are fine; a Window or a global
+    # range exchange would not be
+    assert "Window" not in p and "rangepartitioning" not in p

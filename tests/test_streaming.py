@@ -442,3 +442,25 @@ def test_streaming_link_mentions_matches_batch(spark, tmp_path):
         for r in link_mentions(mentions, sym).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_latest_state_matches_batch(spark, events_path):
+    """Streaming latest-wins compaction == the same op on the static
+    table, row for row: max_by over the totally ordered time|id key is
+    associative, so micro-batch arrival order cannot show. 1-file
+    triggers force several incremental state updates."""
+    from propertygraph_spark.streaming.events import streaming_latest_state
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    q = run_to_memory(streaming_latest_state(stream), "latest_state",
+                      output_mode="complete")
+    try:
+        got = {tuple(r) for r in
+               spark.table("latest_state").collect()}
+    finally:
+        q.stop()
+    static = spark.read.parquet(events_path)
+    want = {tuple(r) for r in streaming_latest_state(static).collect()}
+    assert got == want and len(want) == 4
+    # user 1 'click': event 2 (later ts) wins over event 1
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[(1, "click")][2] == 2
