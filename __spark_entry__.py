@@ -58,8 +58,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 14 new r5 queries = 59 unchecked > the ~50 window; the
-# overflow must be deterministic, so the NINE best-covered unchecked
+# 45 r3-checked + 16 new r5 queries = 61 unchecked > the ~50 window; the
+# overflow must be deterministic, so the ELEVEN best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
@@ -68,7 +68,8 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "q6_revenue_change", "q12_priority_shipmode",
                     "q7_volume_shipping", "q10_returned_items",
-                    "q14_promo_revenue")
+                    "q14_promo_revenue", "q19_discounted_revenue",
+                    "q22_idle_rich_customers")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -119,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: kgdocs.communities_by_template(
         _docs(s, d))
     q["kg_pdg_components"] = lambda s, d: kgdocs.pdg_components_by_template(
+        _docs(s, d))
+    q["kg_cfg_scc"] = lambda s, d: kgdocs.cfg_scc_by_template(_docs(s, d))
+    q["kg_cfg_dominators"] = lambda s, d: kgdocs.cfg_dominators_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
@@ -423,6 +427,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_kcore"] = kgdocs.kcore_oracle_sql()
     o["kg_cfg_bfs"] = kgdocs.bfs_oracle_sql()
     o["kg_pdg_components"] = kgdocs.components_oracle_sql()
+    o["kg_cfg_scc"] = kgdocs.scc_oracle_sql()
+    o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

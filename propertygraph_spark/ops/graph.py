@@ -689,3 +689,254 @@ def kcore_nodes(edges: DataFrame, k: int = 2, src: str = "src",
     return (und.select(*keys, F.col("u").alias("node"))
             .unionByName(und.select(*keys, F.col("v").alias("node")))
             .distinct())
+
+
+def _k_scc(es):
+    """Per-scope kernel: strongly connected components by iterative
+    Tarjan (explicit stack — method CFGs are small but a generated
+    10k-statement chain must not hit the recursion limit). Yields
+    (node, scc) where scc is the SCC's MINIMUM node id — the same
+    labeling the mutual-reachability distributed twin produces, so the
+    two strategies are row-identical."""
+    adj: dict = {}
+    nodes: set = set()
+    for a, b in set(es):
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    counter = [0]
+    comp: dict = {}
+    for s in sorted(nodes):
+        if s in index:
+            continue
+        # work items: (node, iterator over successors) — Tarjan's DFS
+        # with the recursion replaced by an explicit frame stack
+        work = [(s, iter(adj.get(s, ())))]
+        index[s] = low[s] = counter[0]
+        counter[0] += 1
+        stack.append(s)
+        on_stack.add(s)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for w in members:
+                    comp[w] = label
+    return comp.items()
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "src",
+                                  dst: str = "dst",
+                                  scope: str | None = None,
+                                  max_iter: int = 30,
+                                  bounded_scopes: bool = True) -> DataFrame:
+    """Strongly connected components of the directed graph — on a CFG,
+    every SCC with more than one node (or a self-loop) is a loop
+    structure, so this is the engine's natural-loop detector. Returns
+    (scope?, node, scc) with scc = the SCC's minimum node id; every
+    node of the graph appears exactly once (acyclic nodes form
+    singleton SCCs labeled by themselves).
+
+    Physical strategies (row-identical, pinned in tests):
+    - ``scope`` + ``bounded_scopes`` (default): the shared scoped
+      streaming kernel (one exchange, iterative Tarjan per scope).
+    - otherwise: mutual reachability over the semi-naive transitive
+      closure — u and v share an SCC iff u ->+ v AND v ->+ u, so the
+      label is min over {n} ∪ {m : (n,m) and (m,n) both in the
+      closure}. One self-join of the closure on swapped columns + a
+      groupBy min; the closure itself hashes on (scope, node), so
+      disjoint subgraphs never mix. Worst case the closure is O(n²)
+      pairs per scope — the price of a barrier-free definitional twin;
+      the fast path is the production strategy."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("scc", F.col("node")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_scc,
+                                  out_schema)
+    keys = [scope] if scope else []
+    clo = transitive_closure(edges, src=src, dst=dst, scope=scope,
+                             max_iter=max_iter, bounded_scopes=False) \
+        .localCheckpoint(eager=True)
+    mutual = clo.join(
+        clo.select(*keys, F.col("b").alias("a"), F.col("a").alias("b")),
+        keys + ["a", "b"])
+    nodes = (edges.select(*keys, F.col(src).alias("node"))
+             .unionByName(edges.select(*keys, F.col(dst).alias("node")))
+             .distinct())
+    partner_min = (mutual.groupBy(*keys, F.col("a").alias("node"))
+                   .agg(F.min("b").alias("mmin")))
+    return (nodes.join(partner_min, keys + ["node"], "left")
+            .select(*keys, "node",
+                    F.least(F.col("node"),
+                            F.coalesce("mmin", F.col("node")))
+                    .alias("scc")))
+
+
+def _k_dominators(es):
+    """Per-scope kernel: immediate dominators of the nodes reachable
+    from the scope's MINIMUM node id (the same root convention as
+    bfs_levels). Iterative set-intersection dataflow
+
+        Dom(v) = {v} ∪ ⋂_{p ∈ preds(v) ∩ reachable} Dom(p)
+
+    to fixpoint (monotone shrinking from Dom = all-reachable), then
+    idom(v) = the strict dominator with the LARGEST dominator set —
+    dominators of v are totally ordered by containment, so that is the
+    unique closest one. Yields (node, idom) for every reachable node
+    except the root (which has none)."""
+    adj: dict = {}
+    nodes: set = set()
+    for a, b in set(es):
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    root = min(nodes)
+    reach = {root}
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in reach:
+                    reach.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    preds: dict = {}
+    for a, b in set(es):
+        if a in reach and b in reach:
+            preds.setdefault(b, set()).add(a)
+    dom = {v: (reach if v != root else {root}) for v in reach}
+    changed = True
+    while changed:
+        changed = False
+        for v in reach:
+            if v == root:
+                continue
+            ps = [p for p in preds.get(v, ()) if p in reach]
+            new = set(reach)
+            for p in ps:
+                new &= dom[p]
+            new = (new | {v}) if ps else {v, root}
+            if new != dom[v]:
+                dom[v] = new
+                changed = True
+    for v in reach:
+        if v == root:
+            continue
+        strict = dom[v] - {v}
+        idom = max(strict, key=lambda d: (len(dom[d]), d))
+        yield (v, idom)
+
+
+def dominator_tree(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   scope: str | None = None, max_iter: int = 30,
+                   bounded_scopes: bool = True) -> DataFrame:
+    """Immediate-dominator tree of each scope's directed graph, rooted
+    at the scope's minimum node id — the classic CFG analysis (a
+    dominates b iff every path from the entry to b passes through a);
+    the reference's PDG control dependence is the postdominator dual of
+    this computation. Returns (scope?, node, idom) for every node
+    reachable from the root except the root itself.
+
+    Physical strategies (row-identical, pinned in tests):
+    - ``scope`` + ``bounded_scopes`` (default): the shared scoped
+      streaming kernel (one exchange, per-scope intersection dataflow).
+    - otherwise: the SAME dataflow as distributed joins — the dominator
+      relation is a (scope, v, d) row set initialized to
+      reachable × reachable and shrunk each round by
+
+        keep (v, d) iff d = v  or  d dominates ALL reachable preds of v
+
+      i.e. a join of preds onto the current relation + a count-equals-
+      indegree filter; rounds to fixpoint (row count is monotone, so
+      equality is the exit), each round one shuffle hashed on the scope.
+      idom then falls out as max_by(dom-set size) among the strict
+      dominators. Reachability is pre-restricted via bfs_levels so
+      unreachable subgraph junk never enters the relation."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("idom", F.col("node")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_dominators,
+                                  out_schema)
+    keys = [scope] if scope else []
+    reach = (bfs_levels(edges, src=src, dst=dst, scope=scope,
+                        max_iter=max_iter, bounded_scopes=False)
+             .select(*keys, "node").localCheckpoint(eager=True))
+    root = reach.groupBy(*keys).agg(F.min("node").alias("node")) if keys \
+        else reach.agg(F.min("node").alias("node")) \
+        .filter(F.col("node").isNotNull())
+    # edges restricted to the reachable subgraph
+    e = (edges.select(*keys, F.col(src).alias("p"), F.col(dst).alias("v"))
+         .distinct()
+         .join(reach.withColumnRenamed("node", "p"), keys + ["p"])
+         .join(reach.withColumnRenamed("node", "v"), keys + ["v"])
+         .localCheckpoint(eager=True))
+    indeg = e.groupBy(*keys, "v").agg(F.count("*").alias("indeg"))
+    # dom relation: root rows are pinned to {root}; others start full
+    non_root = reach.join(root.withColumnRenamed("node", "r"), keys, "inner") \
+        .filter(F.col("node") != F.col("r")).select(*keys, "node") if keys \
+        else reach.crossJoin(F.broadcast(root.withColumnRenamed("node", "r"))) \
+        .filter(F.col("node") != F.col("r")).select(*keys, "node")
+    dom = (non_root.withColumnRenamed("node", "v")
+           .join(reach.withColumnRenamed("node", "d"), keys)
+           .select(*keys, "v", "d")
+           .unionByName(root.select(*keys, F.col("node").alias("v"),
+                                    F.col("node").alias("d")))
+           .localCheckpoint(eager=True))
+    n_prev = dom.count()
+    for _ in range(max_iter):
+        # d survives for v if d == v, or every reachable pred of v is
+        # dominated by d (count over preds == indegree)
+        covered = (e.join(dom.select(*keys, F.col("v").alias("p"),
+                                     F.col("d")), keys + ["p"])
+                   .groupBy(*keys, "v", "d").agg(F.count("*").alias("n"))
+                   .join(indeg, keys + ["v"])
+                   .filter(F.col("n") == F.col("indeg"))
+                   .select(*keys, "v", "d"))
+        self_rows = dom.filter(F.col("v") == F.col("d")) \
+                       .select(*keys, "v", "d")
+        new_dom = (dom.join(covered.withColumn("keep", F.lit(1)),
+                            keys + ["v", "d"], "left_semi")
+                   .unionByName(self_rows).distinct()
+                   .localCheckpoint(eager=True))
+        n_new = new_dom.count()
+        dom = new_dom
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    sizes = dom.groupBy(*keys, F.col("v").alias("d")) \
+               .agg(F.count("*").alias("dsize"))
+    strict = dom.filter(F.col("v") != F.col("d"))
+    return (strict.join(sizes, keys + ["d"])
+            .groupBy(*keys, F.col("v").alias("node"))
+            .agg(F.max_by("d", F.struct(F.col("dsize"), F.col("d")))
+                 .alias("idom")))

@@ -66,6 +66,8 @@ TEMPLATE_KCORE_NODES: dict[int, int] = {}                # filled below
 TEMPLATE_BFS_HIST: dict[int, dict[int, int]] = {}        # filled below
 TEMPLATE_PDG_COMPONENTS: dict[int, tuple] = {}           # filled below
 TEMPLATE_LPA_COMMUNITIES: dict[int, tuple] = {}          # filled below
+TEMPLATE_CFG_SCC: dict[int, tuple] = {}                  # filled below
+TEMPLATE_CFG_DOM: dict[int, tuple] = {}                  # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -158,6 +160,106 @@ def _bfs_hist(triples: list) -> dict[int, int]:
         for lv in level.values():
             hist[lv] = hist.get(lv, 0) + 1
     return hist
+
+
+def _cfg_edges_by_method(triples: list) -> dict:
+    by_method: dict = {}
+    for t in triples:
+        if t["pred"].startswith("cfg_"):
+            by_method.setdefault(t["method_id"], set()).add(
+                (t["subj"], t["obj"]))
+    return by_method
+
+
+def _scc_stats(triples: list) -> tuple:
+    """Host replay of ops/graph.py strongly_connected_components over
+    each method's CFG: (total SCC count, loop SCC count [size >= 2],
+    largest SCC's node count) across the doc's methods. Deliberately a
+    DIFFERENT algorithm from the distributed op's Tarjan kernel —
+    brute-force mutual reachability (DFS reach sets) — so the frozen
+    constants are an independent definition, not a re-run."""
+    total, loops, largest = 0, 0, 0
+    for edges in _cfg_edges_by_method(triples).values():
+        adj: dict = {}
+        nodes: set = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            nodes.add(a)
+            nodes.add(b)
+        reach: dict = {}
+        for s in nodes:
+            seen: set = set()
+            stack = [s]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            reach[s] = seen
+        label = {n: min({m for m in nodes
+                         if m in reach[n] and n in reach[m]} | {n})
+                 for n in nodes}
+        sizes: dict = {}
+        for n in nodes:
+            sizes[label[n]] = sizes.get(label[n], 0) + 1
+        total += len(sizes)
+        loops += sum(1 for s in sizes.values() if s >= 2)
+        largest = max([largest] + list(sizes.values()))
+    return total, loops, largest
+
+
+def _dom_stats(triples: list) -> tuple:
+    """Host replay of ops/graph.py dominator_tree over each method's
+    CFG, root = min node id: (total idom-tree edge count, max idom-tree
+    depth) across the doc's methods. Independent definition — d
+    dominates v iff v is unreachable from the root once d is removed —
+    not the iterative intersection dataflow the operator runs."""
+    n_edges, max_depth = 0, 0
+    for edges in _cfg_edges_by_method(triples).values():
+        adj: dict = {}
+        nodes: set = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            nodes.add(a)
+            nodes.add(b)
+        root = min(nodes)
+
+        def reach_without(cut):
+            if cut == root:
+                return set()
+            seen = {root}
+            stack = [root]
+            while stack:
+                u = stack.pop()
+                for v in adj.get(u, ()):
+                    if v != cut and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            return seen
+
+        full = reach_without(None)
+        doms = {v: {d for d in full
+                    if d == v or v not in reach_without(d)}
+                for v in full}
+        idom = {}
+        for v in full:
+            if v == root:
+                continue
+            strict = doms[v] - {v}
+            idom[v] = max(strict, key=lambda d: (len(doms[d]), d))
+        n_edges += len(idom)
+
+        def depth(v):
+            d = 0
+            while v != root:
+                v = idom[v]
+                d += 1
+            return d
+
+        for v in full:
+            max_depth = max(max_depth, depth(v))
+    return n_edges, max_depth
 
 
 def _pdg_components(triples: list) -> tuple:
@@ -287,6 +389,8 @@ def _freeze_constants() -> None:
         TEMPLATE_BFS_HIST[tpl] = _bfs_hist(triples)
         TEMPLATE_PDG_COMPONENTS[tpl] = _pdg_components(triples)
         TEMPLATE_LPA_COMMUNITIES[tpl] = _lpa_stats(triples)
+        TEMPLATE_CFG_SCC[tpl] = _scc_stats(triples)
+        TEMPLATE_CFG_DOM[tpl] = _dom_stats(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -600,6 +704,103 @@ SELECT c.tpl AS tpl, CAST(t.n * c.comms AS BIGINT) AS n_communities,
        CAST(c.big AS BIGINT) AS largest_community
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.comms > 0
+ORDER BY c.tpl
+"""
+
+
+def cfg_scc_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed strongly-connected components (ops/graph.py: scoped
+    Tarjan kernel / mutual-reachability twin) over every method's CFG at
+    once, rolled up per template to (SCC count, loop count, largest
+    SCC) — each SCC with >= 2 nodes is a natural loop structure, so
+    this is the corpus' loop profile (the reference's CFG emits the
+    back edges these cycles consist of, CFG.java:199-224, :361-412)."""
+    from propertygraph_spark.ops.graph import strongly_connected_components
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    labels = strongly_connected_components(edges, scope="method_id")
+    sccs = (labels.groupBy("method_id", "scc")
+            .agg(F.count("*").alias("n_nodes")))
+    return (sccs
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").alias("n_sccs"),
+                 F.sum(F.when(F.col("n_nodes") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_loops"),
+                 F.max("n_nodes").alias("largest_scc"))
+            .orderBy("tpl"))
+
+
+def scc_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {loops}, {big})"
+        for tpl, (n, loops, big) in TEMPLATE_CFG_SCC.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, sccs, loops, big) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.sccs AS BIGINT) AS n_sccs,
+       CAST(t.n * c.loops AS BIGINT) AS n_loops,
+       CAST(c.big AS BIGINT) AS largest_scc
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.sccs > 0
+ORDER BY c.tpl
+"""
+
+
+def cfg_dominators_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed immediate-dominator trees (ops/graph.py
+    dominator_tree: per-scope intersection dataflow) over every
+    method's CFG at once, then each tree's depth via BFS over the idom
+    edges, rolled up per template to (idom-edge count, max tree depth)
+    — the classic structured-control-flow profile (the postdominator
+    dual is exactly what the reference's PDG control dependence
+    computes, PDG.java / pdg_control edges)."""
+    from propertygraph_spark.ops.graph import bfs_levels, dominator_tree
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    idoms = dominator_tree(edges, scope="method_id")
+    # idom-tree depth = BFS level over the tree's (idom -> node) edges;
+    # the tree's min node id IS the CFG root, so bfs_levels' root
+    # convention lines up by construction
+    tree = idoms.select("method_id", F.col("idom").alias("src"),
+                        F.col("node").alias("dst"))
+    depths = bfs_levels(tree, scope="method_id")
+    per_method = (idoms.groupBy("method_id")
+                  .agg(F.count("*").alias("n_dom_edges"))
+                  .join(depths.groupBy("method_id")
+                        .agg(F.max("level").alias("max_depth")),
+                        "method_id"))
+    return (per_method
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.sum("n_dom_edges").cast("long").alias("n_dom_edges"),
+                 F.max("max_depth").cast("long").alias("max_dom_depth"))
+            .orderBy("tpl"))
+
+
+def dominators_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {depth})"
+        for tpl, (n, depth) in TEMPLATE_CFG_DOM.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, ne, depth) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.ne AS BIGINT) AS n_dom_edges,
+       CAST(c.depth AS BIGINT) AS max_dom_depth
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.ne > 0
 ORDER BY c.tpl
 """
 

@@ -105,3 +105,17 @@ def test_error_drop_constants():
     (key,) = broken.keys()
     assert key.startswith("error:") and "N" in key  # digits normalized
     assert ERROR_DROP_COUNTS[2] == {}
+
+
+def test_cfg_scc_and_dominator_constants_pinned():
+    """The r5 loop/dominator profile of the four main templates, pinned
+    literally: templates 1 and 3 carry a loop construct (for / while)
+    so their CFGs must contain exactly one multi-node SCC; 0 and 2 are
+    loop-free (every SCC a singleton). Dominator-tree edge counts and
+    depths are pinned to catch any kernel CFG drift."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_CFG_DOM,
+                                                TEMPLATE_CFG_SCC)
+    assert TEMPLATE_CFG_SCC == {0: (4, 0, 1), 1: (7, 1, 3),
+                                2: (6, 0, 1), 3: (6, 1, 4)}
+    assert TEMPLATE_CFG_DOM == {0: (3, 2), 1: (8, 7),
+                                2: (3, 3), 3: (8, 6)}

@@ -878,11 +878,10 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     all graph properties, independent of the physical strategy."""
     import random
 
-    from propertygraph_spark.ops.graph import (bfs_levels, kcore_nodes,
-                                               label_propagation,
-                                               pagerank_int,
-                                               transitive_closure,
-                                               triangle_count)
+    from propertygraph_spark.ops.graph import (
+        bfs_levels, dominator_tree, kcore_nodes, label_propagation,
+        pagerank_int, strongly_connected_components, transitive_closure,
+        triangle_count)
     rng = random.Random(42)
     rows = []
     for g in range(25):
@@ -892,7 +891,8 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
         rows += [(f"g{g}", a, b) for a, b in es]
     df = spark.createDataFrame(rows, "scope string, src long, dst long")
     for fn in (transitive_closure, bfs_levels, pagerank_int,
-               triangle_count, kcore_nodes, label_propagation):
+               triangle_count, kcore_nodes, label_propagation,
+               strongly_connected_components, dominator_tree):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -1238,3 +1238,78 @@ def test_keep_best_duplicate_prefers_quality_then_min_id(spark):
     assert out[1][1] < out[4][1] == out[7][1]
     assert (out[1][2], out[4][2], out[7][2]) == (0, 1, 0)
     assert out[3] == (3, out[3][1], 1)
+
+def test_scc_and_dominators_match_brute_force(spark):
+    """12 seeded random scoped digraphs: SCC labels must equal
+    brute-force mutual reachability (DFS reach sets, per-node), and
+    immediate dominators must equal the cut-vertex definition (d
+    dominates v iff v is unreachable from the root once d is removed) —
+    both independent of the operators' Tarjan / intersection-dataflow
+    internals."""
+    import random
+
+    from propertygraph_spark.ops.graph import (dominator_tree,
+                                               strongly_connected_components)
+    rng = random.Random(7)
+    rows, graphs = [], {}
+    for g in range(12):
+        n = rng.randint(2, 10)
+        es = {(rng.randint(0, n - 1), rng.randint(0, n - 1))
+              for _ in range(rng.randint(1, 3 * n))}
+        graphs[f"g{g}"] = es
+        rows += [(f"g{g}", a, b) for a, b in es]
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+
+    def reach_sets(es):
+        adj: dict = {}
+        nodes = {x for e in es for x in e}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+        out = {}
+        for s in nodes:
+            seen: set = set()
+            stack = [s]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            out[s] = seen
+        return nodes, adj, out
+
+    got_scc = sorted(map(tuple, strongly_connected_components(
+        df, scope="scope").collect()))
+    for g, es in graphs.items():
+        nodes, _, reach = reach_sets(es)
+        exp = sorted(
+            (n, min({m for m in nodes
+                     if m in reach[n] and n in reach[m]} | {n}))
+            for n in nodes)
+        assert [(n, s) for sc, n, s in got_scc if sc == g] == exp, g
+
+    got_dom = sorted(map(tuple, dominator_tree(df, scope="scope").collect()))
+    for g, es in graphs.items():
+        nodes, adj, _ = reach_sets(es)
+        root = min(nodes)
+
+        def reach_without(cut):
+            if cut == root:
+                return set()
+            seen = {root}
+            stack = [root]
+            while stack:
+                u = stack.pop()
+                for v in adj.get(u, ()):
+                    if v != cut and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            return seen
+
+        full = reach_without(None)
+        doms = {v: {d for d in full if d == v or v not in reach_without(d)}
+                for v in full}
+        exp = sorted(
+            (v, max(doms[v] - {v}, key=lambda d: (len(doms[d]), d)))
+            for v in full if v != root)
+        assert [(n, i) for sc, n, i in got_dom if sc == g] == exp, g

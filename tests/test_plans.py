@@ -576,3 +576,18 @@ def test_latest_state_single_exchange_partial_maxby(spark):
     # partition-local SortAggregate sorts are fine; a Window or a global
     # range exchange would not be
     assert "Window" not in p and "rangepartitioning" not in p
+
+
+def test_scc_and_dominator_fastpaths_are_one_exchange_map(spark):
+    """Bounded-scope SCC and dominator-tree must compile to exactly one
+    scope-hash exchange feeding a MapInPandas — no joins, no per-round
+    barriers (the distributed twins are the unbounded-graph path)."""
+    from propertygraph_spark.ops.graph import (dominator_tree,
+                                               strongly_connected_components)
+    edges = spark.createDataFrame(
+        [("m", 1, 2), ("m", 2, 3), ("m", 3, 1)],
+        "scope string, src long, dst long")
+    for fn in (strongly_connected_components, dominator_tree):
+        p = plan(fn(edges, scope="scope"))
+        assert "MapInPandas" in p and "Join" not in p, p
+        assert p.count("hashpartitioning(") == 1, p
