@@ -58,8 +58,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 16 new r5 queries = 61 unchecked > the ~50 window; the
-# overflow must be deterministic, so the ELEVEN best-covered unchecked
+# 45 r3-checked + 18 new r5 queries = 63 unchecked > the ~50 window; the
+# overflow must be deterministic, so the THIRTEEN best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
@@ -69,7 +69,8 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q6_revenue_change", "q12_priority_shipmode",
                     "q7_volume_shipping", "q10_returned_items",
                     "q14_promo_revenue", "q19_discounted_revenue",
-                    "q22_idle_rich_customers")
+                    "q22_idle_rich_customers", "q9_nation_year_revenue",
+                    "q13_order_counts")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_top_per_user"] = relational.top_events_per_user
     q["events_rolling_sum"] = relational.events_rolling_sum
     q["events_latest_state"] = relational.events_latest_state
+    q["events_anomaly"] = relational.events_anomaly
     q["events_transitions"] = relational.event_transitions
     q["events_json_props"] = relational.events_json_props
 
@@ -177,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_contamination"] = lambda s, d: text.contamination_check(
         _docs(s, d))
     q["text_repetition"] = lambda s, d: text.repetition_ratio(_docs(s, d))
+    q["text_gopher_repetition"] = lambda s, d: text.gopher_repetition(
+        _docs(s, d))
     # the synthetic corpus has a tiny clean vocabulary (no typos), which
     # would make the fuzzy query vacuously empty — seed deterministic
     # typo variants (mirrored exactly in the oracle SQL): every doc
@@ -820,6 +824,24 @@ WINDOW w AS (PARTITION BY user_id
              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, event_id
 """
+    # integer z-test: (n*x - s)^2 > z^2 (n*q - s^2), no division/floats
+    o["events_anomaly"] = """
+WITH m AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, minute, cnt,
+             CAST(count(*) OVER fr AS BIGINT) AS n_prior,
+             CAST(coalesce(sum(cnt) OVER fr, 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(cnt * cnt) OVER fr, 0) AS BIGINT) AS q
+      FROM m
+      WINDOW fr AS (PARTITION BY event_type ORDER BY minute
+                    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+SELECT event_type, minute, cnt, n_prior,
+       (n_prior >= 10 AND
+        (n_prior * cnt - s) * (n_prior * cnt - s)
+          > 9 * (n_prior * q - s * s)) AS is_anomaly
+FROM w ORDER BY event_type, minute
+"""
     # latest-wins compaction: arg_max on the identical zero-padded
     # '<epoch-sec>|<event_id>' string key (tie-free — event_id unique)
     o["events_latest_state"] = """
@@ -1089,6 +1111,42 @@ SELECT d.doc_id,
             THEN CAST(a.max_repeat * 1000 // a.n_ngrams AS BIGINT)
             ELSE 0 END AS repetition_pm
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+    # Gopher repetition battery: same count*joined-length coverage per
+    # n-gram level, via explode+group (vs Spark's map-only run-length)
+    o["text_gopher_repetition"] = f"""
+WITH t AS (SELECT doc_id, length(text) AS nc, {_sql_tokens()} AS toks
+           FROM documents),
+g AS (SELECT doc_id, nc, n,
+             unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - n + 1, 0)),
+                 i -> array_to_string(toks[i : i + n - 1], ' '))) AS gram
+      FROM t, (VALUES (2), (3), (4), (5), (10)) ns(n)),
+per AS (SELECT doc_id, nc, n, gram, count(*) AS c, length(gram) AS lg
+        FROM g GROUP BY ALL),
+agg AS (SELECT doc_id, n, any_value(nc) AS nc,
+               max(c * lg) AS topcov,
+               sum(CASE WHEN c >= 2 THEN c * lg ELSE 0 END) AS dupcov
+        FROM per GROUP BY doc_id, n),
+piv AS (SELECT doc_id,
+          max(CASE WHEN n = 2 THEN least(1000, topcov * 1000 // nc) END)
+            AS top2,
+          max(CASE WHEN n = 3 THEN least(1000, topcov * 1000 // nc) END)
+            AS top3,
+          max(CASE WHEN n = 4 THEN least(1000, topcov * 1000 // nc) END)
+            AS top4,
+          max(CASE WHEN n = 5 THEN least(1000, dupcov * 1000 // nc) END)
+            AS dup5,
+          max(CASE WHEN n = 10 THEN least(1000, dupcov * 1000 // nc) END)
+            AS dup10
+        FROM agg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.top2, 0) AS BIGINT) AS top2_char_pm,
+       CAST(coalesce(p.top3, 0) AS BIGINT) AS top3_char_pm,
+       CAST(coalesce(p.top4, 0) AS BIGINT) AS top4_char_pm,
+       CAST(coalesce(p.dup5, 0) AS BIGINT) AS dup5_char_pm,
+       CAST(coalesce(p.dup10, 0) AS BIGINT) AS dup10_char_pm
+FROM documents d LEFT JOIN piv p USING (doc_id) ORDER BY d.doc_id
 """
     o["text_fuzzy_vocab"] = f"""
 WITH aug AS (SELECT doc_id,

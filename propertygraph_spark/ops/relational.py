@@ -883,3 +883,40 @@ def top_events_per_user(spark: SparkSession, sf_dir: str,
             .filter(F.col("rk") <= k)
             .select("user_id", "rk", "event_id", "event_type", "value")
             .orderBy("user_id", "rk"))
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str, window: int = 30,
+                   z: int = 3, min_n: int = 10) -> DataFrame:
+    """Rolling z-score anomaly flags over each event type's minutely
+    count series — the standard ops-monitoring screen, made exactly
+    engine-portable by clearing the z-test of all denominators: with
+    s = sum and q = sum-of-squares over the trailing ``window`` minutes
+    (n rows), the count x is anomalous iff
+
+        (n*x - s)^2  >  z^2 * (n*q - s^2)    and    n >= min_n
+
+    which is (x - mean)^2 > z^2 * variance in pure BIGINT — no
+    division, no sqrt, no floats, so Spark and DuckDB agree
+    bit-for-bit. date_trunc minutes are NTZ (TZ-proof).
+
+    Scale shape: one map-side-combined minutely pre-agg, then ONE
+    hashpartitioning(event_type) exchange feeds the ROWS frame; the
+    per-type series is bounded by wall-clock minutes, never by event
+    volume, so frames stay small at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    minutely = (ev.groupBy("event_type",
+                           F.date_trunc("minute", "ts").alias("minute"))
+                .agg(F.count("*").cast("long").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("minute")
+         .rowsBetween(-window, -1))
+    n = F.count("*").over(w).cast("long")
+    s = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    q = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w),
+                   F.lit(0)).cast("long")
+    x = F.col("cnt")
+    lhs = (n * x - s) * (n * x - s)
+    rhs = F.lit(z * z).cast("long") * (n * q - s * s)
+    return (minutely.select(
+        "event_type", "minute", "cnt", n.alias("n_prior"),
+        ((n >= min_n) & (lhs > rhs)).alias("is_anomaly"))
+        .orderBy("event_type", "minute"))

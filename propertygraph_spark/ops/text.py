@@ -553,3 +553,88 @@ def heavy_hitters_cms(docs: DataFrame, depth: int = 4, width: int = 256,
            .agg(F.min("cell").alias("cms_estimate")))
     return est.select("token", "n_occurrences", "cms_estimate") \
               .orderBy(F.desc("n_occurrences"), F.asc("token"))
+
+
+def _run_cover_max(col: Column) -> Column:
+    """Max over DISTINCT grams of count * length(gram), computed as one
+    run-length pass over the sorted gram array (the repetition_ratio
+    trick) — no explode, no exchange."""
+    def step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1) \
+               .otherwise(F.lit(1).cast("long"))
+        cov = run * F.length(x).cast("long")
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a["best"], cov).alias("best"))
+
+    return F.aggregate(
+        F.array_sort(col),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        step, lambda a: a["best"])
+
+
+def _dup_cover_sum(col: Column) -> Column:
+    """Sum over grams occurring >= 2 times of count * length(gram) —
+    the same sorted run-length pass, flushing a run's coverage when the
+    next distinct gram (or the end of the array) closes it."""
+    def flush(prev, run):
+        return F.coalesce(
+            F.when(run >= 2, run * F.length(prev).cast("long")),
+            F.lit(0).cast("long"))
+
+    def step(a, x):
+        same = x == a["prev"]
+        run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        acc = a["acc"] + F.coalesce(
+            F.when(~same, flush(a["prev"], a["run"])),
+            F.lit(0).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        acc.alias("acc"))
+
+    return F.aggregate(
+        F.array_sort(col),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("acc")),
+        step, lambda a: a["acc"] + flush(a["prev"], a["run"]))
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """The Gopher repetition-filter battery (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1): per document, the
+    per-mille of characters covered by
+
+    - ``top{n}_char_pm`` (n = 2, 3, 4): the single most
+      character-covering token n-gram (count x joined length — the
+      max-coverage convention; Gopher's "most frequent", with coverage
+      as the deterministic tie-break folded in),
+    - ``dup{n}_char_pm`` (n = 5, 10): ALL n-grams occurring >= 2 times
+      (occurrence characters summed without overlap dedup — the
+      NeMo-Curator/Dolma reimplementation convention),
+
+    both capped at 1000 (overlapping occurrences can cover more
+    characters than the document has). Joined-gram lengths count the
+    n-1 internal spaces; total chars = length(text).
+
+    Scale shape: entirely map-side — per n, a JVM NGram window plus ONE
+    sorted-array run-length aggregate per metric; a 10^12-doc scan has
+    NO exchange at all (cf. repetition_ratio, the single-n ancestor)."""
+    d = docs.select("doc_id", "text")
+    for n in (2, 3, 4, 5, 10):
+        d = with_shingle_arr(d, n, out=f"sh{n}")
+    nc = F.length("text")
+
+    def pm(cov):
+        return (F.when(nc > 0,
+                       F.least(F.lit(1000).cast("long"),
+                               F.floor(cov * 1000 / nc)))
+                .otherwise(0).cast("long"))
+
+    return d.select(
+        "doc_id",
+        pm(_run_cover_max(F.col("sh2"))).alias("top2_char_pm"),
+        pm(_run_cover_max(F.col("sh3"))).alias("top3_char_pm"),
+        pm(_run_cover_max(F.col("sh4"))).alias("top4_char_pm"),
+        pm(_dup_cover_sum(F.col("sh5"))).alias("dup5_char_pm"),
+        pm(_dup_cover_sum(F.col("sh10"))).alias("dup10_char_pm"))

@@ -1313,3 +1313,82 @@ def test_scc_and_dominators_match_brute_force(spark):
             (v, max(doms[v] - {v}, key=lambda d: (len(doms[d]), d)))
             for v in full if v != root)
         assert [(n, i) for sc, n, i in got_dom if sc == g] == exp, g
+
+def test_gopher_repetition_matches_python_replay(spark):
+    """gopher_repetition vs a dict-based host replay of the published
+    definitions (count x joined-gram-length coverage, per-mille of
+    text length, capped at 1000) on hand-built edge cases: empty text,
+    fewer tokens than n, total repetition, and a duplicated 5/10-gram."""
+    from propertygraph_spark.ops.text import gopher_repetition
+    texts = [
+        "",                                   # no tokens at all
+        "one",                                # below every n
+        "a a a",                              # overlap > text length -> cap
+        "x y x y x y x y",                    # dominant 2-gram
+        "w1 w2 w3 w4 w5 q w1 w2 w3 w4 w5",    # duplicated 5-gram
+        ("p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 z "
+         "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),   # duplicated 10-gram
+        "alpha beta gamma delta",             # all grams unique
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+
+    def replay(text):
+        toks = [t for t in text.split() if t]
+        nc = len(text)
+        out = {}
+        for n, kind in ((2, "top"), (3, "top"), (4, "top"),
+                        (5, "dup"), (10, "dup")):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            cnt: dict = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            if kind == "top":
+                cov = max([c * len(g) for g, c in cnt.items()] or [0])
+            else:
+                cov = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+            key = f"{kind}{n}_char_pm"
+            out[key] = min(1000, cov * 1000 // nc) if nc > 0 else 0
+        return out
+
+    for i, t in enumerate(texts):
+        exp = replay(t)
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    # the cap case really hits the cap; the dup cases really fire
+    assert got[2]["top2_char_pm"] == 1000
+    assert got[4]["dup5_char_pm"] > 0 and got[6]["dup5_char_pm"] == 0
+
+
+def test_events_anomaly_flags_spike_not_noise(spark):
+    """A flat minutely series with one spike: the spike minute (and
+    only it) is flagged once the trailing window holds >= 10 minutes;
+    early minutes (n_prior < 10) are never flagged, whatever their
+    variance."""
+    import datetime
+
+    from propertygraph_spark.ops.relational import events_anomaly
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for m in range(40):
+        n = 100 if m != 25 else 500          # spike at minute 25
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(minutes=m, seconds=1),
+                         7, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["minute"].minute + 60 * r["minute"].hour: r.asDict()
+               for r in events_anomaly(spark, d).collect()}
+    assert all(not out[m]["is_anomaly"] for m in range(40) if m != 25)
+    assert out[25]["is_anomaly"] and out[25]["n_prior"] >= 10
+    # a constant series has zero variance: the z-test right side is 0,
+    # so ANY deviation flags — and no deviation never does
+    assert out[39]["n_prior"] == 30

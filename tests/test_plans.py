@@ -591,3 +591,21 @@ def test_scc_and_dominator_fastpaths_are_one_exchange_map(spark):
         p = plan(fn(edges, scope="scope"))
         assert "MapInPandas" in p and "Join" not in p, p
         assert p.count("hashpartitioning(") == 1, p
+
+
+def test_gopher_repetition_is_exchange_free(spark):
+    """All five Gopher repetition metrics ride the map-only sorted-array
+    run-length aggregates — a corpus scan with ZERO exchanges."""
+    from propertygraph_spark.ops.text import gopher_repetition
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = plan(gopher_repetition(df))
+    assert "Exchange" not in p, p
+
+
+def test_events_anomaly_single_exchange(spark):
+    """Minutely pre-agg (map-side combined) + the ROWS frame must share
+    ONE hashpartitioning(event_type) exchange."""
+    p = plan(relational.events_anomaly(spark, SF))
+    assert p.count("hashpartitioning(event_type") >= 1
+    # no second data exchange beyond the event_type hash + terminal sort
+    assert p.count("hashpartitioning(") <= 2, p
