@@ -58,8 +58,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 18 new r5 queries = 63 unchecked > the ~50 window; the
-# overflow must be deterministic, so the THIRTEEN best-covered unchecked
+# 45 r3-checked + 19 new r5 queries = 64 unchecked > the ~50 window; the
+# overflow must be deterministic, so the FOURTEEN best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
@@ -70,7 +70,7 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q7_volume_shipping", "q10_returned_items",
                     "q14_promo_revenue", "q19_discounted_revenue",
                     "q22_idle_rich_customers", "q9_nation_year_revenue",
-                    "q13_order_counts")
+                    "q13_order_counts", "q16_supplier_parts")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rolling_sum"] = relational.events_rolling_sum
     q["events_latest_state"] = relational.events_latest_state
     q["events_anomaly"] = relational.events_anomaly
+    q["bloom_semijoin"] = relational.bloom_semijoin
     q["events_transitions"] = relational.event_transitions
     q["events_json_props"] = relational.events_json_props
 
@@ -823,6 +824,35 @@ WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, event_id
+"""
+    # Bloom membership as position-set containment: a probe key passes
+    # iff EVERY of its k=3 md5 positions appears among the build side's
+    # distinct positions — bit-word-free but exactly the same function
+    def _hv12(expr: str) -> str:
+        return " + ".join(
+            "CAST(" + _sql_hexval(f"substr(md5({expr}), {j + 1}, 1)")
+            + f" AS BIGINT) * {16 ** (11 - j)}"
+            for j in range(12))
+
+    _bkey = "'bloom' || i || ':' || CAST(key AS VARCHAR)"
+    o["bloom_semijoin"] = f"""
+WITH build AS (SELECT DISTINCT o_custkey AS key FROM orders),
+bpos AS (SELECT DISTINCT ({_hv12(_bkey)}) % 1024 AS pos
+         FROM build, (VALUES (0), (1), (2)) ks(i)),
+probe AS (SELECT c_custkey AS key FROM customer),
+pp AS (SELECT key, i, ({_hv12(_bkey)}) % 1024 AS pos
+       FROM probe, (VALUES (0), (1), (2)) ks(i)),
+hits AS (SELECT p.key,
+                sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+         FROM pp p LEFT JOIN bpos b USING (pos) GROUP BY p.key)
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(sum(CASE WHEN bu.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(sum(CASE WHEN h.nhit = 3 AND bu.key IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM hits h LEFT JOIN build bu USING (key)
 """
     # integer z-test: (n*x - s)^2 > z^2 (n*q - s^2), no division/floats
     o["events_anomaly"] = """

@@ -920,3 +920,71 @@ def events_anomaly(spark: SparkSession, sf_dir: str, window: int = 30,
         "event_type", "minute", "cnt", n.alias("n_prior"),
         ((n >= min_n) & (lhs > rhs)).alias("is_anomaly"))
         .orderBy("event_type", "minute"))
+
+
+def bloom_semijoin(spark: SparkSession, sf_dir: str, m_bits: int = 1024,
+                   k: int = 3) -> DataFrame:
+    """Bloom-filter semi-join pruning — THE shuffle-avoidance sketch for
+    100 TB joins: instead of shuffling the probe side against the build
+    side, a tiny m-bit Bloom filter of the build keys broadcasts to
+    every probe task and filters locally; only survivors shuffle. Build:
+    distinct orders.o_custkey -> k md5-derived bit positions -> an
+    m_bits/64-row (word, bits) table via bit_or (16 rows at the
+    default — broadcast is bytes). Probe: customer.c_custkey tests all
+    k bits via k broadcast word-lookups. Returns ONE accuracy row
+    (n_probed, n_bloom_pass, n_true_match, n_false_pos): Bloom filters
+    have NO false negatives (every true key passes by construction) and
+    a false-positive rate set by m/n and k — the row quantifies the
+    pruning quality a planner would get.
+
+    Everything is md5 + integer bit arithmetic — a pure function of the
+    keys, so the DuckDB oracle reproduces membership exactly (as
+    position-set containment, no bit words needed)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def positions(key_col):
+        return [
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{i}:"),
+                                   key_col.cast("string"))), 1, 12),
+                    16, 10).cast("long"),
+                F.lit(m_bits)).cast("long")
+            for i in range(k)]
+
+    build = orders.select(F.col("o_custkey").alias("key")).distinct()
+    words = (build
+             .select(F.explode(F.array(*positions(F.col("key"))))
+                     .alias("pos"))
+             .select(F.floor(F.col("pos") / 64).cast("long").alias("word"),
+                     F.pmod(F.col("pos"), F.lit(64)).cast("int")
+                     .alias("bit"))
+             .groupBy("word")
+             .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                  .alias("bits")))
+    p = cust.select(F.col("c_custkey").alias("key"))
+    pps = positions(F.col("key"))
+    for i in range(k):
+        p = (p.withColumn(f"w{i}", F.floor(pps[i] / 64).cast("long"))
+             .withColumn(f"b{i}", F.pmod(pps[i], F.lit(64)).cast("int")))
+    for i in range(k):
+        wt = words.select(F.col("word").alias(f"w{i}"),
+                          F.col("bits").alias(f"bits{i}"))
+        p = p.join(F.broadcast(wt), f"w{i}", "left")
+    hit = F.lit(True)
+    for i in range(k):
+        hit = hit & F.col(f"bits{i}").isNotNull() & \
+            F.expr(f"(bits{i} & shiftleft(CAST(1 AS BIGINT), b{i})) != 0")
+    truth = build.withColumn("is_true", F.lit(True))
+    res = (p.withColumn("bloom_pass", hit)
+           .join(truth, "key", "left")
+           .agg(F.count("*").alias("n_probed"),
+                F.sum(F.col("bloom_pass").cast("long"))
+                .alias("n_bloom_pass"),
+                F.sum(F.coalesce(F.col("is_true"), F.lit(False))
+                      .cast("long")).alias("n_true_match"),
+                F.sum((F.col("bloom_pass")
+                       & F.col("is_true").isNull()).cast("long"))
+                .alias("n_false_pos")))
+    return res

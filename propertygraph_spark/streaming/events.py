@@ -323,3 +323,68 @@ def streaming_contamination(docs_stream: DataFrame,
             .select("doc_id",
                     n_hit.cast("long").alias("n_contaminated_ngrams"))
             .filter(F.col("n_contaminated_ngrams") > 0))
+
+
+ANOMALY_OUTPUT_DDL = ("event_type string, minute timestamp, cnt long, "
+                      "n_prior long, is_anomaly boolean")
+ANOMALY_STATE_DDL = "open_min long, open_cnt long, trail array<long>"
+
+
+def streaming_anomaly(events: DataFrame, window: int = 30, z: int = 3,
+                      min_n: int = 10) -> DataFrame:
+    """Streaming twin of ops.relational.events_anomaly: per event type,
+    a rolling integer z-test over the minutely count series, kept as
+    bounded state via applyInPandasWithState — state per type is ONE
+    open (minute, count) pair plus the trailing ``window`` CLOSED
+    minute counts, regardless of stream length.
+
+    A minute is scored and emitted only when a strictly LATER minute
+    arrives for the type (the minute is then closed — its count is
+    final); the identical denominators-cleared test
+    (n*x - s)^2 > z^2 (n*q - s^2), n >= min_n runs against the trail.
+    Premise: per-type minutes arrive non-decreasing (file-source
+    micro-batches in mod-time order; a late minute after its close
+    would re-open history and is dropped). Batch == streaming is pinned
+    in tests over every CLOSED minute — the batch op additionally
+    scores each type's final minute, which a stream can never close."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (etype,) = key
+        if state.hasTimedOut:      # NoTimeout: unreachable, keep simple
+            yield pd.DataFrame([], columns=[
+                "event_type", "minute", "cnt", "n_prior", "is_anomaly"])
+            return
+        pdf = pd.concat(list(pdfs))
+        per_min = (pdf["ts"].dt.floor("min").value_counts().sort_index())
+        if state.exists:
+            open_min, open_cnt, trail = state.get
+            trail = list(trail)
+        else:
+            open_min, open_cnt, trail = None, 0, []
+        rows = []
+        for m, c in per_min.items():
+            sec = int(pd.Timestamp(m).timestamp())
+            if open_min is None:
+                open_min, open_cnt = sec, int(c)
+            elif sec == open_min:
+                open_cnt += int(c)
+            elif sec > open_min:
+                n, s = len(trail), sum(trail)
+                q = sum(v * v for v in trail)
+                flag = (n >= min_n and
+                        (n * open_cnt - s) ** 2 > z * z * (n * q - s * s))
+                rows.append((etype, pd.Timestamp(open_min, unit="s"),
+                             open_cnt, n, flag))
+                trail = (trail + [open_cnt])[-window:]
+                open_min, open_cnt = sec, int(c)
+            # else: late minute after close — dropped (premise above)
+        state.update((open_min, open_cnt, trail))
+        yield pd.DataFrame(rows, columns=[
+            "event_type", "minute", "cnt", "n_prior", "is_anomaly"])
+
+    return (events.groupBy("event_type")
+            .applyInPandasWithState(
+                fn, ANOMALY_OUTPUT_DDL, ANOMALY_STATE_DDL,
+                "append", GroupStateTimeout.NoTimeout))

@@ -1392,3 +1392,29 @@ def test_events_anomaly_flags_spike_not_noise(spark):
     # a constant series has zero variance: the z-test right side is 0,
     # so ANY deviation flags — and no deviation never does
     assert out[39]["n_prior"] == 30
+
+def test_bloom_semijoin_no_false_negatives_and_counts_fps(spark):
+    """Bloom semantics on a tiny synthetic orders/customer pair: every
+    true key passes (no false negatives, by construction), accuracy
+    counters are internally consistent, and with a deliberately tiny
+    filter (m=16 bits, 200 probe keys) false positives actually occur
+    and are counted."""
+    import tempfile
+
+    from propertygraph_spark.ops.relational import bloom_semijoin
+    orders = spark.createDataFrame(
+        [(i, i % 25) for i in range(100)], "o_orderkey long, o_custkey long")
+    cust = spark.createDataFrame(
+        [(i,) for i in range(200)], "c_custkey long")
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(f"{d}/orders.parquet")
+        cust.write.parquet(f"{d}/customer.parquet")
+        row = bloom_semijoin(spark, d).collect()[0]
+        tiny = bloom_semijoin(spark, d, m_bits=16).collect()[0]
+    assert row["n_probed"] == 200 and row["n_true_match"] == 25
+    # no false negatives: pass >= true, and pass - fp == true exactly
+    assert row["n_bloom_pass"] - row["n_false_pos"] == row["n_true_match"]
+    assert row["n_bloom_pass"] >= row["n_true_match"]
+    # 25 keys x 3 hashes into 16 bits saturates the filter: fps certain
+    assert tiny["n_false_pos"] > row["n_false_pos"]
+    assert tiny["n_bloom_pass"] - tiny["n_false_pos"] == 25

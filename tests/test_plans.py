@@ -609,3 +609,11 @@ def test_events_anomaly_single_exchange(spark):
     assert p.count("hashpartitioning(event_type") >= 1
     # no second data exchange beyond the event_type hash + terminal sort
     assert p.count("hashpartitioning(") <= 2, p
+
+
+def test_bloom_semijoin_word_lookups_broadcast(spark):
+    """The k=3 bit-word lookups must be BroadcastHashJoins (the filter
+    is 16 rows — bytes on the wire); the probe side must never shuffle
+    for them."""
+    p = plan(relational.bloom_semijoin(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3, p

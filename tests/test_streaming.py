@@ -464,3 +464,66 @@ def test_streaming_latest_state_matches_batch(spark, events_path):
     # user 1 'click': event 2 (later ts) wins over event 1
     by_key = {(r[0], r[1]): r for r in got}
     assert by_key[(1, "click")][2] == 2
+
+
+def test_streaming_anomaly_matches_batch_on_closed_minutes(spark, tmp_path):
+    """Streaming rolling z-score == the batch op on every CLOSED minute
+    (the batch op additionally scores each type's final minute, which a
+    stream can never close). Three time-slice files with forced
+    mod-time order drive three mini-batches, so the trailing-window
+    state demonstrably carries across triggers — including the spike
+    minute landing in a later slice than its baseline."""
+    import datetime
+    import os
+
+    from propertygraph_spark.ops.relational import events_anomaly
+    from propertygraph_spark.streaming.events import streaming_anomaly
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for m in range(36):
+        n = 50 if m != 30 else 400          # spike in the LAST slice
+        for j in range(n):
+            rows.append((eid, base + datetime.timedelta(minutes=m,
+                                                        seconds=j % 50),
+                         j % 5, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "events.parquet")
+    # one file per 12-minute slice, mod-times forced ascending so the
+    # file source feeds slices oldest-first one trigger at a time
+    stamped: set = set()
+    for i, (lo, hi) in enumerate([(0, 12), (12, 24), (24, 36)]):
+        cut_lo = base + datetime.timedelta(minutes=lo)
+        cut_hi = base + datetime.timedelta(minutes=hi)
+        (df.filter((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi))
+         .coalesce(1).write.mode("append").parquet(path))
+        # stamp THIS slice's fresh part files (names are random UUIDs —
+        # filename order says nothing about slice order)
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and f not in stamped:
+                stamped.add(f)
+                os.utime(os.path.join(path, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    q = run_to_memory(streaming_anomaly(stream), "stream_anomaly")
+    try:
+        got = {(r["event_type"], str(r["minute"])):
+               (r["cnt"], r["n_prior"], r["is_anomaly"])
+               for r in spark.table("stream_anomaly").collect()}
+    finally:
+        q.stop()
+    batch = events_anomaly(spark, str(tmp_path)).collect()
+    last = max(r["minute"] for r in batch)
+    want = {(r["event_type"], str(r["minute"])):
+            (r["cnt"], r["n_prior"], r["is_anomaly"])
+            for r in batch if r["minute"] != last}
+    assert got == want and len(want) == 35
+    spike = [v for (t, m), v in got.items() if v[0] == 400]
+    assert spike == [(400, 30, True)]
+    flags = sum(1 for v in got.values() if v[2])
+    assert flags == 1
