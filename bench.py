@@ -218,6 +218,15 @@ def main() -> None:
         "dataset_dsir": lambda: dsir_sample(docs(spark, sf_dir)),
         "dataset_unimax": lambda: unimax_allocation(docs(spark, sf_dir)),
         "kg_call_graph": lambda: kgdocs.call_graph(docs(spark, sf_dir)),
+        # r5 third-session additions
+        "kg_cfg_scc": lambda: kgdocs.cfg_scc_by_template(
+            docs(spark, sf_dir)),
+        "kg_cfg_dominators": lambda: kgdocs.cfg_dominators_by_template(
+            docs(spark, sf_dir)),
+        "text_gopher_repetition": lambda: text.gopher_repetition(
+            docs(spark, sf_dir)),
+        "events_anomaly": lambda: relational.events_anomaly(spark, sf_dir),
+        "bloom_semijoin": lambda: relational.bloom_semijoin(spark, sf_dir),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

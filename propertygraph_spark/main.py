@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     ap.add_argument("--audit", action="store_true",
                     help="audit stage manifests under --out and exit "
                          "(footer-only, no Spark session)")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact small files in bucket-incremental "
+                         "stages under --out and exit (Iceberg "
+                         "rewrite_data_files twin; fingerprints and "
+                         "rows unchanged, commit logged)")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--graphs", default="ast,cfg,pdg",
                     help="comma list: ast,cfg,pdg (reference -a/-c/-p)")
@@ -91,6 +96,25 @@ def main(argv=None) -> int:
                   f"rows={a['total_rows']}{extra}")
             rc |= 0 if a["ok"] else 1
         return rc
+    if args.compact:
+        from propertygraph_spark.pipeline.materialize import (
+            compact_stage_buckets)
+        from propertygraph_spark.pipeline.session import get_spark
+        spark = get_spark("propertygraph_spark_compact", cpus=args.cpus)
+        try:
+            for stage in ("extracted", "linked", "nodes", "edges"):
+                p = os.path.join(args.out, stage)
+                if not os.path.isdir(p) or not os.path.exists(
+                        os.path.join(p, "_buckets.json")):
+                    continue
+                done = compact_stage_buckets(spark, p)
+                detail = ", ".join(f"{b}:{a}->{c}"
+                                   for b, (a, c) in sorted(done.items()))
+                print(f"compact {stage}: {len(done)} buckets"
+                      + (f" [{detail}]" if done else ""))
+        finally:
+            spark.stop()
+        return 0
     if not (args.input_dir or args.input_parquet):
         ap.error("one of --input-dir/--input-parquet is required "
                  "(or --audit)")

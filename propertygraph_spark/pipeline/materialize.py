@@ -708,3 +708,57 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, out_dir: str,
     with open(os.path.join(out_dir, "_metrics", "pipeline.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
+
+
+def compact_stage_buckets(spark: SparkSession, path: str,
+                          target_files: int = 1,
+                          min_files: int = 2) -> dict:
+    """Small-file compaction for a bucket-incremental stage — the
+    Iceberg ``rewrite_data_files`` maintenance action. Months of
+    dirty-bucket incremental commits leave each ``bucket=N`` dir with
+    one part file per touched micro-batch; scan cost then grows with
+    COMMIT COUNT instead of data size. Every bucket dir holding >=
+    ``min_files`` part files is rewritten to ``target_files`` via a
+    bucket-local coalesce: rows are bit-identical, ``_buckets.json``
+    is untouched (fingerprints key on upstream CONTENT, not file
+    layout — a later incremental write sees identical fps and replays
+    nothing), and the commit lands in the snapshot log as a
+    ``compaction`` operation with per-bucket before/after file counts.
+
+    Write-then-swap per bucket: the coalesced copy materializes into a
+    sibling temp dir BEFORE the original dir is removed, so a crash
+    mid-compaction never loses rows (worst case: a stray temp dir the
+    next run ignores and the audit flags). Returns
+    {bucket: (files_before, files_after)} for the compacted buckets."""
+    import shutil
+    out: dict = {}
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("bucket="):
+            continue
+        bdir = os.path.join(path, name)
+        parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        if len(parts) < min_files:
+            continue
+        tmp = os.path.join(path, f"_compact_tmp_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (spark.read.parquet(bdir).coalesce(target_files)
+         .write.mode("overwrite").parquet(tmp))
+        for extra in os.listdir(tmp):       # byte-noise the dirs don't keep
+            if not extra.endswith(".parquet"):
+                os.remove(os.path.join(tmp, extra))
+        shutil.rmtree(bdir)
+        os.rename(tmp, bdir)
+        after = len([f for f in os.listdir(bdir) if f.endswith(".parquet")])
+        out[name.split("=", 1)[1]] = (len(parts), after)
+    if out:
+        try:
+            with open(os.path.join(path, "_buckets.json")) as f:
+                current = json.load(f)
+        except (OSError, ValueError):
+            current = {}
+        _append_snapshot(
+            path, "compaction",
+            fingerprint(*(f"{b}={current[b]}"
+                          for b in sorted(current, key=int))),
+            {"compacted": {b: list(v) for b, v in out.items()}})
+    return out

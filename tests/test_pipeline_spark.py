@@ -577,3 +577,55 @@ def test_pipeline_fails_loudly_on_corrupt_bucket_state(spark, tmp_path,
         mat.run_pipeline(spark, docs, out, n_buckets=4)
     # committed downstream buckets survived the abort
     assert sorted(globmod.glob(f"{out}/nodes/bucket=*")) == nodes_before
+
+
+def test_compact_stage_buckets_preserves_rows_and_fps(spark, tmp_path):
+    """Iceberg-style small-file compaction: multi-part bucket dirs
+    collapse to one file each, rows are bit-identical, _buckets.json
+    fingerprints are untouched (a follow-up incremental write with the
+    same fps replays NOTHING), the snapshot log records the compaction
+    with before/after file counts, and the audit stays green."""
+    import glob as globmod
+
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, compact_stage_buckets, snapshot_history,
+        write_stage_buckets)
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(64)],
+        "id long, bucket int, payload string").repartition(8)
+    path = str(tmp_path / "stage")
+    fps = {b: f"fp{b}" for b in range(4)}
+    write_stage_buckets(df, path, fps, spark=spark)
+
+    def files_per_bucket():
+        return {b: len(globmod.glob(f"{path}/bucket={b}/*.parquet"))
+                for b in range(4)}
+
+    before = files_per_bucket()
+    assert all(n >= 2 for n in before.values()), before
+    rows_before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    with open(f"{path}/_buckets.json") as f:
+        fps_before = f.read()
+
+    compacted = compact_stage_buckets(spark, path)
+    assert set(compacted) == {str(b) for b in range(4)}
+    after = files_per_bucket()
+    assert all(n == 1 for n in after.values()), after
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} \
+        == rows_before
+    with open(f"{path}/_buckets.json") as f:
+        assert f.read() == fps_before
+    hist = snapshot_history(path)
+    assert hist[-1]["operation"] == "compaction"
+    assert hist[-1]["compacted"]["0"][0] == before[0]
+    audit = audit_bucket_stage(path)
+    assert audit["ok"], audit
+
+    # same fps -> nothing dirty -> no new snapshot, data intact
+    n_hist = len(hist)
+    write_stage_buckets(df, path, fps, spark=spark)
+    assert len(snapshot_history(path)) == n_hist
+    assert files_per_bucket() == after
+    # already-compacted stage: a second compaction is a no-op
+    assert compact_stage_buckets(spark, path) == {}
