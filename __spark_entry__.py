@@ -58,8 +58,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 19 new r5 queries = 64 unchecked > the ~50 window; the
-# overflow must be deterministic, so the FOURTEEN best-covered unchecked
+# 45 r3-checked + 20 new r5 queries = 65 unchecked > the ~50 window; the
+# overflow must be deterministic, so the FIFTEEN best-covered unchecked
 # queries (driver-green in r3, 40 plan-shape tests, judge parity every
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
@@ -70,7 +70,8 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q7_volume_shipping", "q10_returned_items",
                     "q14_promo_revenue", "q19_discounted_revenue",
                     "q22_idle_rich_customers", "q9_nation_year_revenue",
-                    "q13_order_counts", "q16_supplier_parts")
+                    "q13_order_counts", "q16_supplier_parts",
+                    "q18_large_orders")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -299,6 +300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("height").cast("long").alias("height"))
 
     q["media_resize"] = _resize
+
+    def _alignment(s_, d_):
+        from propertygraph_spark.ops.multimodal import media_text_alignment
+        return media_text_alignment(_docs(s_, d_), _emb(s_, d_))
+
+    q["media_alignment"] = _alignment
 
     # --- dataset assembly (split + sequence packing) ---
     from propertygraph_spark.ops.dataset import pack_sequences, split_assign
@@ -1925,6 +1932,36 @@ SELECT doc_id,
        md5(text) AS payload_md5,
        CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height
 FROM documents ORDER BY doc_id
+"""
+    # dual-encoder alignment: media byte i = hex chars (2i+1, 2i+2) of
+    # md5(text); text tower = quantize_int8 mapping over the 8-dim
+    # embedding prefix; score = integer dot product
+    _mb = ("CAST(" + _sql_hexval("substr(h, 2*i + 1, 1)") + " * 16 + "
+           + _sql_hexval("substr(h, 2*i + 2, 1)") + " AS BIGINT)")
+    o["media_alignment"] = f"""
+WITH m AS (SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_kind,
+       md5(text) AS h FROM documents),
+mb AS (SELECT doc_id, media_kind,
+              list_transform(generate_series(0, 7), i -> {_mb}) AS fbytes
+       FROM m),
+t AS (SELECT vec_id AS doc_id, embedding[1:8] AS e FROM embeddings),
+t2 AS (SELECT doc_id, e,
+              list_max(list_transform(e, v -> abs(CAST(v AS DOUBLE))))
+                AS absmax
+       FROM t),
+t3 AS (SELECT doc_id,
+              list_transform(e, v -> CAST(floor(
+                  CAST(v AS DOUBLE)
+                  * (CASE WHEN absmax > 0 THEN 127.0 / absmax
+                          ELSE 0 END) + 0.5) AS BIGINT)) AS codes
+       FROM t2)
+SELECT mb.doc_id, mb.media_kind,
+       CAST(list_sum(list_transform(generate_series(1, 8),
+                                    i -> fbytes[i] * codes[i]))
+            AS BIGINT) AS align_x
+FROM mb JOIN t3 USING (doc_id) ORDER BY mb.doc_id
 """
     o["media_decode_meta"] = f"""
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)

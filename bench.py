@@ -227,6 +227,10 @@ def main() -> None:
             docs(spark, sf_dir)),
         "events_anomaly": lambda: relational.events_anomaly(spark, sf_dir),
         "bloom_semijoin": lambda: relational.bloom_semijoin(spark, sf_dir),
+        "media_alignment": lambda: __import__(
+            "propertygraph_spark.ops.multimodal",
+            fromlist=["media_text_alignment"]).media_text_alignment(
+                docs(spark, sf_dir), emb(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

@@ -174,3 +174,41 @@ def resize_stub(media: DataFrame, target_w: int = 224,
     src = media.select("doc_id", "media_kind", "payload",
                        F.lit(0).alias("width"), F.lit(0).alias("height"))
     return src.mapInPandas(batches, schema)
+
+
+def media_text_alignment(docs: DataFrame, emb: DataFrame,
+                         dims: int = N_FEATURE_DIMS) -> DataFrame:
+    """CLIP-style media-text alignment scoring — the dual-encoder gate a
+    multimodal training pipeline runs before accepting an (image, text)
+    pair. The media tower is the byte-feature extractor above
+    (mapInPandas — the slot a real vision model forward pass fills);
+    the text tower is the embeddings table's first ``dims`` components,
+    int8-quantized with the exact quantize_int8 mapping
+    (floor(x * 127/absmax + 0.5)). The alignment score is the INTEGER
+    dot product of byte features x int8 codes, so the result is
+    bit-stable across engines and cluster sizes; swap the towers for
+    real models and the join + score shape stays.
+
+    Scale shape: both towers are map-side; ONE equi-join on the doc id
+    (AQE will broadcast whichever side is small); no other exchange."""
+    feats = feature_extract(synthesize_media(docs), dims=dims)
+    fbytes = F.transform(
+        "features",
+        lambda v: F.floor(v.cast("double") * 255 + 0.5).cast("long"))
+    m = feats.select("doc_id", "media_kind", fbytes.alias("fbytes"))
+    prefix = F.slice("embedding", 1, dims)
+    t = emb.select(F.col("vec_id").alias("doc_id"), prefix.alias("e"))
+    absmax = F.aggregate(
+        "e", F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    t = t.withColumn("absmax", absmax)
+    scale = F.when(F.col("absmax") > 0, 127.0 / F.col("absmax")) \
+             .otherwise(F.lit(0.0))
+    codes = F.transform(
+        "e", lambda v: F.floor(v.cast("double") * scale + 0.5).cast("long"))
+    t = t.select("doc_id", codes.alias("codes"))
+    align = F.aggregate(
+        F.zip_with("fbytes", "codes", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (m.join(t, "doc_id")
+            .select("doc_id", "media_kind", align.alias("align_x")))

@@ -1418,3 +1418,34 @@ def test_bloom_semijoin_no_false_negatives_and_counts_fps(spark):
     # 25 keys x 3 hashes into 16 bits saturates the filter: fps certain
     assert tiny["n_false_pos"] > row["n_false_pos"]
     assert tiny["n_bloom_pass"] - tiny["n_false_pos"] == 25
+
+def test_media_text_alignment_matches_host_replay(spark):
+    """media_text_alignment == a hashlib+math host replay of both
+    towers (md5 payload bytes x int8-quantized embedding prefix) on a
+    tiny table, including the all-zero embedding (scale 0 -> score 0)."""
+    import hashlib
+    import math
+
+    from propertygraph_spark.ops.multimodal import media_text_alignment
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "delta eps")],
+        "doc_id long, text string")
+    embs = [
+        (0, [0.5, -1.25, 0.75, 0.1, -0.1, 0.0, 2.0, -2.0]),
+        (1, [0.0] * 8),                       # zero vector -> scale 0
+        (2, [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    got = {r["doc_id"]: (r["media_kind"], r["align_x"])
+           for r in media_text_alignment(docs, emb).collect()}
+
+    kinds = {0: "image", 1: "audio", 2: "video"}
+    for doc_id, text in ((0, "alpha beta"), (1, "gamma"), (2, "delta eps")):
+        fbytes = hashlib.md5(text.encode()).digest()[:8]
+        e = [float(v) for v in dict(embs)[doc_id]]
+        absmax = max(abs(v) for v in e)
+        scale = 127.0 / absmax if absmax > 0 else 0.0
+        codes = [math.floor(v * scale + 0.5) for v in e]
+        want = sum(b * c for b, c in zip(fbytes, codes))
+        assert got[doc_id] == (kinds[doc_id % 3], want), doc_id
+    assert got[1][1] == 0
