@@ -1320,6 +1320,7 @@ def test_gopher_repetition_matches_python_replay(spark):
     text length, capped at 1000) on hand-built edge cases: empty text,
     fewer tokens than n, total repetition, and a duplicated 5/10-gram."""
     from propertygraph_spark.ops.text import gopher_repetition
+    import random
     texts = [
         "",                                   # no tokens at all
         "one",                                # below every n
@@ -1330,6 +1331,11 @@ def test_gopher_repetition_matches_python_replay(spark):
          "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),   # duplicated 10-gram
         "alpha beta gamma delta",             # all grams unique
     ]
+    # 50 seeded random docs over a tiny vocab (repetition guaranteed)
+    rng = random.Random(11)
+    texts += [" ".join(rng.choice("aa b ccc dd e".split())
+                       for _ in range(rng.randint(0, 40)))
+              for _ in range(50)]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}

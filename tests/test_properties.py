@@ -9,7 +9,19 @@ from hypothesis import given, settings, strategies as st
 
 from propertygraph_spark.kernel.extract import extract_document
 
-IDENT = st.from_regex(r"[a-z][a-zA-Z0-9]{0,6}", fullmatch=True)
+# short lowercase identifiers CAN collide with Java reserved words
+# ('do', 'if', 'int', ...) — 'do = do + 0;' is a REAL parse error, not a
+# kernel bug (hypothesis found exactly that in r5) — so keywords are
+# filtered out of the generator, mirroring what javac's grammar allows
+_JAVA_KEYWORDS = frozenset(
+    "abstract assert boolean break byte case catch char class const "
+    "continue default do double else enum extends final finally float "
+    "for goto if implements import instanceof int interface long native "
+    "new package private protected public return short static strictfp "
+    "super switch synchronized this throw throws transient try void "
+    "volatile while var true false null yield record sealed permits".split())
+IDENT = st.from_regex(r"[a-z][a-zA-Z0-9]{0,6}", fullmatch=True) \
+          .filter(lambda s: s not in _JAVA_KEYWORDS)
 NUM = st.integers(min_value=0, max_value=10**9)
 
 
