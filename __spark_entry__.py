@@ -71,7 +71,10 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q14_promo_revenue", "q19_discounted_revenue",
                     "q22_idle_rich_customers", "q9_nation_year_revenue",
                     "q13_order_counts", "q16_supplier_parts",
-                    "q18_large_orders")
+                    "q18_large_orders", "q11_important_parts",
+                    "q8_market_share", "q15_top_suppliers",
+                    "q17_small_qty_revenue", "q21_last_shippers",
+                    "q2_min_cost_supplier", "q20_dominant_suppliers")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -124,6 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_pdg_components"] = lambda s, d: kgdocs.pdg_components_by_template(
         _docs(s, d))
     q["kg_cfg_scc"] = lambda s, d: kgdocs.cfg_scc_by_template(_docs(s, d))
+    q["kg_cfg_layers"] = lambda s, d: kgdocs.cfg_layers_by_template(
+        _docs(s, d))
+    q["kg_pdg_clustering"] = lambda s, d: kgdocs.pdg_clustering_by_template(
+        _docs(s, d))
     q["kg_cfg_dominators"] = lambda s, d: kgdocs.cfg_dominators_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
@@ -155,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q11_important_parts"] = relational.important_part_values
     q["events_percentiles"] = relational.event_value_percentiles
     q["events_user_sketch"] = relational.event_user_sketch
+    q["events_user_hll"] = relational.event_user_hll
     q["q8_market_share"] = relational.nation_market_share
     q["q15_top_suppliers"] = relational.top_revenue_suppliers
     q["q17_small_qty_revenue"] = relational.small_quantity_revenue
@@ -168,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_anomaly"] = relational.events_anomaly
     q["bloom_semijoin"] = relational.bloom_semijoin
     q["events_transitions"] = relational.event_transitions
+    q["events_zorder_stats"] = relational.zorder_skipping_stats
     q["events_json_props"] = relational.events_json_props
 
     # --- text analysis ---
@@ -183,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition"] = lambda s, d: text.repetition_ratio(_docs(s, d))
     q["text_gopher_repetition"] = lambda s, d: text.gopher_repetition(
         _docs(s, d))
+    q["text_gopher_quality"] = lambda s, d: text.gopher_quality(_docs(s, d))
     # the synthetic corpus has a tiny clean vocabulary (no typos), which
     # would make the fuzzy query vacuously empty — seed deterministic
     # typo variants (mirrored exactly in the oracle SQL): every doc
@@ -217,6 +227,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
         _docs_with_dupes(s, d))
+    # line dedup would also be vacuous (single-line docs, no repeats) —
+    # append deterministic boilerplate lines, mirrored in the oracle:
+    # a newsletter line on EVERY doc, a copyright line on every 3rd,
+    # and a unique offer line on every 50th (which must survive)
+    def _docs_with_lines(s_, d_):
+        base = _docs(s_, d_)
+        extra = F.concat(
+            F.lit("\nsubscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\ncopyright acme corp all rights reserved"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 50 == 0,
+                   F.concat(F.lit("\nspecial offer "),
+                            F.col("doc_id").cast("string")))
+            .otherwise(F.lit("")))
+        return base.withColumn("text", F.concat(F.col("text"), extra))
+
+    q["dedup_lines_cut"] = lambda s, d: dedup.line_dedup_cut(
+        _docs_with_lines(s, d))
     q["dedup_substring_spans"] = lambda s, d: dedup.substring_dup_spans(
         _docs_with_dupes(s, d))
     q["dedup_substring_cut"] = lambda s, d: dedup.substring_dup_cut(
@@ -338,9 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
     q["dataset_pivot"] = lambda s, d: pivot_lang_source(_docs(s, d))
-    from propertygraph_spark.ops.dataset import dsir_sample, unimax_allocation
+    from propertygraph_spark.ops.dataset import (dsir_sample,
+                                                 priority_sample,
+                                                 unimax_allocation)
     q["dataset_dsir_sample"] = lambda s, d: dsir_sample(_docs(s, d))
     q["dataset_unimax"] = lambda s, d: unimax_allocation(_docs(s, d))
+    q["dataset_priority_sample"] = lambda s, d: priority_sample(_docs(s, d))
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -440,6 +472,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_cfg_bfs"] = kgdocs.bfs_oracle_sql()
     o["kg_pdg_components"] = kgdocs.components_oracle_sql()
     o["kg_cfg_scc"] = kgdocs.scc_oracle_sql()
+    o["kg_cfg_layers"] = kgdocs.layers_oracle_sql()
+    o["kg_pdg_clustering"] = kgdocs.clustering_oracle_sql()
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
 
     # --- relational ---
@@ -618,6 +652,24 @@ SELECT event_type,
             AS BIGINT) AS fm_estimate,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
 FROM per GROUP BY event_type ORDER BY event_type
+"""
+    sig42 = " + ".join(f"CAST(v >= {1 << i} AS BIGINT)" for i in range(42))
+    o["events_user_hll"] = f"""
+WITH h AS (SELECT event_type, user_id, ({hv12}) AS hl FROM events),
+r AS (SELECT event_type, hl % 64 AS reg, hl // 64 AS v FROM h),
+per AS (SELECT event_type, reg, max(43 - ({sig42})) AS mx
+        FROM r GROUP BY event_type, reg),
+t AS (SELECT event_type, count(*) AS n_regs,
+             sum(CAST(1 AS BIGINT) << CAST(43 - mx AS INT)) AS s
+      FROM per GROUP BY event_type),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT t.event_type, CAST(n_regs AS BIGINT) AS n_regs,
+       CAST((({64 * 64 * (1 << 43)} //
+              (s + (64 - n_regs) * {1 << 43})) * 709) // 1000 AS BIGINT)
+         AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM t JOIN ex USING (event_type) ORDER BY event_type
 """
     o["q9_nation_year_revenue"] = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -802,6 +854,38 @@ SELECT event_type, count(*) AS n_events,
        CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM e GROUP BY event_type ORDER BY event_type
+"""
+    zbits = " + ".join(
+        f"(((x >> {i}) & 1) * {1 << (2 * i + 1)}"
+        f" + ((y >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(8))
+    zone_sql = """
+  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN NOT (max_x < 16 OR min_x > 47 OR
+                                 max_y < 64 OR min_y > 127)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS chunks_scanned,
+         CAST(sum(n_match) AS BIGINT) AS rows_matched,
+         '{name}' AS layout
+  FROM (SELECT chunk, min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               sum(CASE WHEN x BETWEEN 16 AND 47 AND y BETWEEN 64 AND 127
+                        THEN 1 ELSE 0 END) AS n_match
+        FROM (SELECT x, y,
+                     (row_number() OVER (ORDER BY {order}) - 1) // 250
+                       AS chunk
+              FROM z)
+        GROUP BY chunk)"""
+    o["events_zorder_stats"] = f"""
+WITH base AS (
+  SELECT event_id, user_id % 256 AS x,
+         (CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) // 60)
+           % 256 AS y
+  FROM events),
+z AS (SELECT event_id, x, y, ({zbits}) AS zkey FROM base)
+{zone_sql.format(name='zorder', order='zkey, event_id')}
+UNION ALL
+{zone_sql.format(name='linear', order='y, x, event_id')}
+ORDER BY layout
 """
     o["events_transitions"] = """
 WITH s AS (SELECT event_type,
@@ -1185,6 +1269,33 @@ SELECT d.doc_id,
        CAST(coalesce(p.dup10, 0) AS BIGINT) AS dup10_char_pm
 FROM documents d LEFT JOIN piv p USING (doc_id) ORDER BY d.doc_id
 """
+    gopher_stops = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) \
+        + "]"
+    o["text_gopher_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents),
+m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+             AS BIGINT) AS sum_word_len,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+          AS symbol_hits,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+             AS BIGINT) AS alpha_words,
+        CAST(len(list_filter(toks, t -> list_contains({gopher_stops}, t)))
+             AS BIGINT) AS stopword_hits
+      FROM t)
+SELECT doc_id, n_words, sum_word_len, symbol_hits, alpha_words,
+       stopword_hits,
+       CAST(CASE WHEN n_words >= {text.GOPHER_MIN_WORDS}
+                  AND n_words <= {text.GOPHER_MAX_WORDS}
+                  AND sum_word_len >= 3 * n_words
+                  AND sum_word_len <= 10 * n_words
+                  AND symbol_hits * 10 <= n_words
+                  AND alpha_words * 5 >= n_words * 4
+                  AND stopword_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
     o["text_fuzzy_vocab"] = f"""
 WITH aug AS (SELECT doc_id,
                     text || ' sparkbenchword'
@@ -1248,6 +1359,32 @@ WITH aug AS (
 SELECT md5(text) AS content_md5, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM aug GROUP BY md5(text) HAVING count(*) > 1
+"""
+    o["dedup_lines_cut"] = """
+WITH aug AS (SELECT doc_id,
+               text || chr(10) || 'subscribe to our newsletter today'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) ||
+                                 'copyright acme corp all rights reserved'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 50 = 0
+                            THEN chr(10) || 'special offer ' ||
+                                 CAST(doc_id AS VARCHAR)
+                            ELSE '' END AS text
+             FROM documents),
+ls AS (SELECT doc_id, i AS pos, lns[i] AS line
+       FROM (SELECT doc_id, string_split(text, chr(10)) AS lns,
+                    unnest(generate_series(1, len(lns))) AS i
+             FROM aug)),
+dup AS (SELECT md5(line) AS lk, count(*) AS df FROM ls
+        WHERE length(line) > 0 GROUP BY 1 HAVING count(*) >= 2),
+fl AS (SELECT doc_id, pos, line, (dup.lk IS NOT NULL) AS cut
+       FROM ls LEFT JOIN dup ON md5(ls.line) = dup.lk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+       coalesce(string_agg(CASE WHEN NOT cut THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean_text
+FROM fl GROUP BY doc_id
 """
     o["dedup_substring_spans"] = f"""
 WITH d2 AS (
@@ -1388,6 +1525,19 @@ SELECT stratum, n_docs, n_tokens,
                  ELSE 0 END AS BIGINT) AS epochs_pm,
        CAST(capped AS BIGINT) AS capped
 FROM a ORDER BY stratum
+"""
+    hv12_doc = " + ".join(
+        "CAST(" + _sql_hexval(
+            f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12))
+    o["dataset_priority_sample"] = f"""
+WITH d AS (SELECT doc_id,
+                  greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+                  ({hv12_doc}) AS u48
+           FROM documents)
+SELECT doc_id, weight, u48 // weight AS priority
+FROM d ORDER BY priority, doc_id LIMIT 25
 """
     o["dataset_dsir_sample"] = f"""
 WITH t AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents),

@@ -231,6 +231,23 @@ def main() -> None:
             "propertygraph_spark.ops.multimodal",
             fromlist=["media_text_alignment"]).media_text_alignment(
                 docs(spark, sf_dir), emb(spark, sf_dir)),
+        # r5 fourth-session additions
+        "text_gopher_quality": lambda: text.gopher_quality(
+            docs(spark, sf_dir)),
+        "events_user_hll": lambda: relational.event_user_hll(
+            spark, sf_dir),
+        "dataset_priority_sample": lambda: __import__(
+            "propertygraph_spark.ops.dataset",
+            fromlist=["priority_sample"]).priority_sample(
+                docs(spark, sf_dir)),
+        "dedup_lines_cut": lambda: dedup.line_dedup_cut(
+            docs(spark, sf_dir)),
+        "events_zorder_stats": lambda: relational.zorder_skipping_stats(
+            spark, sf_dir),
+        "kg_cfg_layers": lambda: kgdocs.cfg_layers_by_template(
+            docs(spark, sf_dir)),
+        "kg_pdg_clustering": lambda: kgdocs.pdg_clustering_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

@@ -386,3 +386,26 @@ def dsir_sample(docs: DataFrame, target_lang: str = "en",
             .withColumn("kept",
                         (F.col("draw_ppm") * lam
                          < F.col("importance_ppm")).cast("int")))
+
+
+def priority_sample(docs: DataFrame, k: int = 25,
+                    weight: str = "n_chars") -> DataFrame:
+    """Weighted priority sampling (Duffield, Lund & Thorup 2007): each
+    row draws a deterministic 48-bit uniform u = md5(doc_id)[0:12] and
+    gets priority q = u div w (integer division by its weight); the
+    bottom-k rows by (q, doc_id) are the sample. Heavier rows draw
+    stochastically smaller priorities, so inclusion probability is
+    proportional to weight — the PPS-without-replacement estimator the
+    paper proves near-optimal — while staying a PURE function of
+    doc_id: stable across runs, engines and cluster sizes.
+
+    Scale shape: one TakeOrderedAndProject — each partition keeps its
+    local bottom-k (O(k) state), the driver merges; NO shuffle of the
+    corpus. This is the weighted counterpart of a reservoir sample at
+    10^12 rows."""
+    u48 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 12), 16, 10).cast("long")
+    w = F.greatest(F.col(weight).cast("long"), F.lit(1))
+    d = docs.select("doc_id", w.alias("weight"), u48.alias("u48"))
+    d = d.withColumn("priority", F.expr("u48 div weight")).drop("u48")
+    return d.orderBy("priority", "doc_id").limit(k)

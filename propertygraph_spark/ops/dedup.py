@@ -562,3 +562,41 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2,
     return (cand.withColumn("hamming", hamming.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def line_dedup_cut(docs: DataFrame, min_df: int = 2,
+                   delim: str = "\n") -> DataFrame:
+    """Corpus-level exact LINE deduplication (the RefinedWeb / Falcon
+    boilerplate pass, Penedo et al. 2023): split each document on
+    ``delim``, count every non-empty line's occurrences ACROSS THE
+    WHOLE CORPUS, and cut lines occurring >= min_df times; survivors
+    are reassembled in original order. Returns (doc_id, n_lines,
+    n_cut, clean_text).
+
+    Scale shape: one posexplode, one groupBy on md5(line) (16-byte
+    keys — never the line text), one join back on the same key, one
+    per-doc regroup. Duplicate-line tables are tiny relative to the
+    corpus (boilerplate by definition repeats), so AQE will broadcast
+    the join side when it fits; no per-pair or per-doc-pair work
+    anywhere, same contract as exact_duplicates above."""
+    lines = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.col("text"), delim))
+                     .alias("pos", "line")))
+    lk = F.md5(F.col("line"))
+    dup = (lines.filter(F.length("line") > 0)
+           .groupBy(lk.alias("lk"))
+           .agg(F.count("*").alias("df"))
+           .filter(F.col("df") >= min_df))
+    flagged = (lines.withColumn("lk", lk)
+               .join(dup, "lk", "left")
+               .withColumn("cut", F.col("df").isNotNull()))
+    kept_struct = F.when(~F.col("cut"),
+                         F.struct(F.col("pos"), F.col("line")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("cut").cast("long")).alias("n_cut"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda x: x["line"]),
+                     delim).alias("clean_text")))

@@ -940,3 +940,178 @@ def dominator_tree(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy(*keys, F.col("v").alias("node"))
             .agg(F.max_by("d", F.struct(F.col("dsize"), F.col("d")))
                  .alias("idom")))
+
+
+def _k_layers(es):
+    """Per-scope kernel: longest-path layering of the graph's SCC
+    CONDENSATION — layer(C) = length of the longest condensation path
+    ending at component C (0 for source components), every node
+    inheriting its component's layer. On a CFG this is the maximum
+    loop-collapsed depth from the entry region — the scheduling /
+    critical-path profile of the control flow. Kahn topological sweep
+    with max-propagation over the condensed DAG (cycles are inside
+    components by construction, so the sweep terminates)."""
+    from collections import deque
+    comp = dict(_k_scc(es))
+    cadj: dict = {}
+    indeg: dict = {}
+    comps = set(comp.values())
+    for a, b in set(es):
+        ca, cb = comp[a], comp[b]
+        if ca != cb and cb not in cadj.setdefault(ca, set()):
+            cadj[ca].add(cb)
+            indeg[cb] = indeg.get(cb, 0) + 1
+    layer = {c: 0 for c in comps}
+    work = dict(indeg)
+    dq = deque(sorted(c for c in comps if work.get(c, 0) == 0))
+    while dq:
+        c = dq.popleft()
+        for d in sorted(cadj.get(c, ())):
+            if layer[c] + 1 > layer[d]:
+                layer[d] = layer[c] + 1
+            work[d] -= 1
+            if work[d] == 0:
+                dq.append(d)
+    for n, c in comp.items():
+        yield (n, layer[c])
+
+
+def dag_layers(edges: DataFrame, src: str = "src", dst: str = "dst",
+               scope: str | None = None, max_iter: int = 30,
+               bounded_scopes: bool = True) -> DataFrame:
+    """Longest-path (topological) layering of each scope's directed
+    graph with its SCCs contracted: returns (scope?, node, layer) where
+    layer = the longest condensation path reaching the node's
+    component. The classic DAG-scheduling depth; on CFGs it is the
+    loop-collapsed control depth, on call graphs the build/schedule
+    level of each routine.
+
+    Physical strategies (row-identical, pinned in tests):
+    - ``scope`` + ``bounded_scopes`` (default): the shared scoped
+      streaming kernel (ONE exchange, per-scope Tarjan + Kahn sweep).
+    - otherwise: distributed Bellman-Ford-style max-propagation over
+      the condensation — SCC labels from the mutual-reachability twin,
+      condensation edges by relabeling, then per round ONE join
+      propagates layer+1 along edges with a groupBy max; the sum of
+      layers is monotone non-decreasing and bounded by depth*|C|, so
+      the exit test is a 1-row scalar fixpoint (rounds = condensation
+      depth, each one shuffle — the scheduler-barrier cost the bounded
+      fast path exists to avoid)."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("layer", F.lit(0).cast("long")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_layers,
+                                  out_schema)
+    keys = [scope] if scope else []
+    comp = strongly_connected_components(
+        edges, src=src, dst=dst, scope=scope, max_iter=max_iter,
+        bounded_scopes=False).localCheckpoint(eager=True)
+    e = (edges.select(*keys, F.col(src).alias("a"), F.col(dst).alias("b"))
+         .distinct()
+         .join(comp.select(*keys, F.col("node").alias("a"),
+                           F.col("scc").alias("ca")), keys + ["a"])
+         .join(comp.select(*keys, F.col("node").alias("b"),
+                           F.col("scc").alias("cb")), keys + ["b"])
+         .filter(F.col("ca") != F.col("cb"))
+         .select(*keys, "ca", "cb").distinct()
+         .localCheckpoint(eager=True))
+    layers = (comp.select(*keys, "scc").distinct()
+              .withColumn("layer", F.lit(0).cast("long"))
+              .localCheckpoint(eager=True))
+    prev_sum = -1
+    for _ in range(max_iter):
+        upd = (e.join(layers.select(*keys, F.col("scc").alias("ca"),
+                                    F.col("layer")), keys + ["ca"])
+               .select(*keys, F.col("cb").alias("scc"),
+                       (F.col("layer") + 1).alias("cand"))
+               .groupBy(*keys, "scc").agg(F.max("cand").alias("cand")))
+        layers = (layers.join(upd, keys + ["scc"], "left")
+                  .select(*keys, "scc",
+                          F.greatest(F.col("layer"),
+                                     F.coalesce("cand", F.lit(0)))
+                          .alias("layer"))
+                  .localCheckpoint(eager=True))
+        cur = layers.agg(F.sum("layer")).collect()[0][0] or 0
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return (comp.join(layers, keys + ["scc"])
+            .select(*keys, "node", "layer"))
+
+
+def _k_clustcoef(es):
+    """Per-scope kernel: local clustering coefficient over the
+    undirected simple graph. Per node: degree, triangles-at-node
+    (adjacent neighbor pairs), and cc_ppm = floor(2e6 * tri /
+    (deg * (deg - 1))) — integer ppm so the distributed twin and the
+    DuckDB oracle agree exactly; deg < 2 nodes report 0."""
+    adj: dict = {}
+    for a, b in set(es):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n in sorted(adj):
+        ns = adj[n]
+        deg = len(ns)
+        tri = 0
+        for u in ns:
+            # count each neighbor pair once (u < v)
+            tri += sum(1 for v in adj[u] if v in ns and u < v)
+        cc = (2_000_000 * tri) // (deg * (deg - 1)) if deg >= 2 else 0
+        yield (n, tri, deg, cc)
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst", scope: str | None = None,
+                           bounded_scopes: bool = True) -> DataFrame:
+    """Local clustering coefficient of every node of the UNDIRECTED
+    simple graph (self-loops dropped, direction/multiplicity ignored):
+    (scope?, node, n_triangles, degree, cc_ppm) with cc_ppm =
+    floor(2e6 * triangles / (deg * (deg-1))), 0 below degree 2 — the
+    classic transitivity profile (Watts & Strogatz 1998).
+
+    Physical strategies (row-identical, pinned in tests):
+    - ``scope`` + ``bounded_scopes`` (default): the shared scoped
+      streaming kernel (one exchange, per-scope adjacency sets).
+    - otherwise: the compact-forward machinery — degree-ordered
+      oriented wedges closed by one equi-join (each triangle found
+      once, O(sqrt m) out-degree even on hub graphs), then EXPLODED to
+      its three corners and counted per node; a left join against the
+      degree table zero-fills triangle-free nodes. No adjacency
+      broadcast, no driver collect — same scale contract as
+      triangle_count."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("n_triangles", F.lit(0).cast("long"))
+                      .withColumn("degree", F.lit(0).cast("long"))
+                      .withColumn("cc_ppm", F.lit(0).cast("long")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_clustcoef,
+                                  out_schema)
+    keys = [scope] if scope else []
+    oriented, wedge = _oriented_wedges(edges, src, dst, keys)
+    tri = (wedge.alias("w")
+           .join(oriented.alias("e3"),
+                 [F.col(f"w.{k}") == F.col(f"e3.{k}") for k in keys]
+                 + [F.col("w.b") == F.col("e3.a"),
+                    F.col("w.c") == F.col("e3.b")])
+           .select(*[F.col(f"w.{k}") for k in keys],
+                   F.explode(F.array("w.a", "w.b", "w.c")).alias("node")))
+    tri_n = tri.groupBy(*keys, "node").agg(F.count("*").alias("tri"))
+    und = (edges.filter(F.col(src) != F.col(dst))
+           .select(*keys,
+                   F.least(F.col(src), F.col(dst)).alias("u"),
+                   F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .distinct())
+    deg = (und.select(*keys, F.col("u").alias("node"))
+           .unionByName(und.select(*keys, F.col("v").alias("node")))
+           .groupBy(*keys, "node").agg(F.count("*").alias("degree")))
+    return (deg.join(tri_n, keys + ["node"], "left")
+            .select(*keys, "node",
+                    F.coalesce("tri", F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.col("degree").cast("long").alias("degree"),
+                    F.when(F.col("degree") >= 2,
+                           F.expr("(2000000 * coalesce(tri, 0)) div "
+                                  "(degree * (degree - 1))"))
+                    .otherwise(0).cast("long").alias("cc_ppm")))

@@ -68,6 +68,8 @@ TEMPLATE_PDG_COMPONENTS: dict[int, tuple] = {}           # filled below
 TEMPLATE_LPA_COMMUNITIES: dict[int, tuple] = {}          # filled below
 TEMPLATE_CFG_SCC: dict[int, tuple] = {}                  # filled below
 TEMPLATE_CFG_DOM: dict[int, tuple] = {}                  # filled below
+TEMPLATE_CFG_LAYERS: dict[int, tuple] = {}               # filled below
+TEMPLATE_PDG_CLUSTERING: dict[int, tuple] = {}           # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -262,6 +264,86 @@ def _dom_stats(triples: list) -> tuple:
     return n_edges, max_depth
 
 
+def _layer_stats(triples: list) -> tuple:
+    """Host replay of ops/graph.py dag_layers over each method's CFG:
+    (sum of per-node layers, max layer) across the doc's methods.
+    Independent definition — SCC labels by brute-force mutual
+    reachability (DFS reach sets) and the layer as the recursive
+    longest condensation path over predecessors — not the operator's
+    Tarjan + Kahn sweep."""
+    sum_layers, max_layer = 0, 0
+    for edges in _cfg_edges_by_method(triples).values():
+        adj: dict = {}
+        nodes: set = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            nodes.add(a)
+            nodes.add(b)
+
+        def reach(s):
+            seen: set = set()
+            stack = [s]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            return seen
+
+        r = {v: reach(v) for v in nodes}
+        comp = {v: min({m for m in nodes if m in r[v] and v in r[m]} | {v})
+                for v in nodes}
+        cpreds: dict = {}
+        for a, b in edges:
+            if comp[a] != comp[b]:
+                cpreds.setdefault(comp[b], set()).add(comp[a])
+        memo: dict = {}
+
+        def layer(c):
+            if c not in memo:
+                memo[c] = max((layer(p) + 1 for p in cpreds.get(c, ())),
+                              default=0)
+            return memo[c]
+
+        for v in nodes:
+            lv = layer(comp[v])
+            sum_layers += lv
+            max_layer = max(max_layer, lv)
+    return sum_layers, max_layer
+
+
+def _clustcoef_stats(triples: list) -> tuple:
+    """Host replay of ops/graph.py clustering_coefficient over each
+    method's undirected pdg_data graph: (sum of per-node cc_ppm, sum of
+    per-node triangle counts) across the doc's methods. Independent
+    formulation — itertools neighbor-pair combinations probed against
+    the edge SET — not the operator's wedge join or the kernel's
+    set-intersection sweep."""
+    from itertools import combinations
+    sum_cc, n_closed = 0, 0
+    by_m: dict = {}
+    for t in triples:
+        if t["pred"] == "pdg_data":
+            by_m.setdefault(t["method_id"], set()).add(
+                (t["subj"], t["obj"]))
+    for es in by_m.values():
+        und = {frozenset((a, b)) for a, b in es if a != b}
+        nbrs: dict = {}
+        for e in und:
+            a, b = tuple(e)
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        for n, ns in nbrs.items():
+            deg = len(ns)
+            tri = sum(1 for u, v in combinations(sorted(ns), 2)
+                      if frozenset((u, v)) in und)
+            n_closed += tri
+            if deg >= 2:
+                sum_cc += (2_000_000 * tri) // (deg * (deg - 1))
+    return sum_cc, n_closed
+
+
 def _pdg_components(triples: list) -> tuple:
     """Host replay of ops/graph.py connected_components over each
     method's undirected pdg_data graph: (total component count, largest
@@ -391,6 +473,8 @@ def _freeze_constants() -> None:
         TEMPLATE_LPA_COMMUNITIES[tpl] = _lpa_stats(triples)
         TEMPLATE_CFG_SCC[tpl] = _scc_stats(triples)
         TEMPLATE_CFG_DOM[tpl] = _dom_stats(triples)
+        TEMPLATE_CFG_LAYERS[tpl] = _layer_stats(triples)
+        TEMPLATE_PDG_CLUSTERING[tpl] = _clustcoef_stats(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -801,6 +885,86 @@ SELECT c.tpl AS tpl, CAST(t.n * c.ne AS BIGINT) AS n_dom_edges,
        CAST(c.depth AS BIGINT) AS max_dom_depth
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.ne > 0
+ORDER BY c.tpl
+"""
+
+
+def cfg_layers_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed longest-path layering (ops/graph.py dag_layers:
+    per-scope Tarjan + Kahn over the SCC condensation) across every
+    method's CFG at once, rolled up per template to (sum of node
+    layers, max layer) — the loop-collapsed control-depth profile that
+    complements kg_cfg_scc's loop counts and kg_cfg_dominators' tree
+    depths (all three over the same cfg_* edges the reference emits,
+    CFG.java:199-224)."""
+    from propertygraph_spark.ops.graph import dag_layers
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    layers = dag_layers(edges, scope="method_id")
+    return (layers
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.sum("layer").cast("long").alias("sum_layers"),
+                 F.max("layer").cast("long").alias("max_layer"))
+            .orderBy("tpl"))
+
+
+def layers_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {s}, {mx})"
+        for tpl, (s, mx) in TEMPLATE_CFG_LAYERS.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, s, mx) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.s AS BIGINT) AS sum_layers,
+       CAST(c.mx AS BIGINT) AS max_layer
+FROM consts c JOIN tplcount t USING (tpl)
+ORDER BY c.tpl
+"""
+
+
+def pdg_clustering_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed local clustering coefficients (ops/graph.py
+    clustering_coefficient: scoped adjacency kernel / compact-forward
+    wedge twin) across every method's undirected pdg_data graph, rolled
+    up per template to (sum of per-node cc_ppm, sum of per-node
+    triangle counts) — the transitivity profile of the dependence
+    graphs (complements kg_triangles' per-template totals with the
+    Watts-Strogatz local measure)."""
+    from propertygraph_spark.ops.graph import clustering_coefficient
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "pdg_data")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    cc = clustering_coefficient(edges, scope="method_id")
+    return (cc
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.sum("cc_ppm").cast("long").alias("sum_cc_ppm"),
+                 F.sum("n_triangles").cast("long").alias("n_closed"))
+            .orderBy("tpl"))
+
+
+def clustering_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {s}, {c})"
+        for tpl, (s, c) in TEMPLATE_PDG_CLUSTERING.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, s, c) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.s AS BIGINT) AS sum_cc_ppm,
+       CAST(t.n * c.c AS BIGINT) AS n_closed
+FROM consts c JOIN tplcount t USING (tpl)
 ORDER BY c.tpl
 """
 

@@ -988,3 +988,115 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str, m_bits: int = 1024,
                        & F.col("is_true").isNull()).cast("long"))
                 .alias("n_false_pos")))
     return res
+
+
+def event_user_hll(spark: SparkSession, sf_dir: str,
+                   m: int = 64) -> DataFrame:
+    """Distinct-user HyperLogLog per event_type (Flajolet et al. 2007)
+    with m = 64 registers — the multi-register upgrade of
+    event_user_sketch above (stochastic averaging cuts the FM sketch's
+    variance by ~1/sqrt(m)).
+
+    Registers are derived DETERMINISTICALLY from md5 (unlike
+    approx_count_distinct, whose register layout is
+    implementation-defined): the 48-bit hash splits into register =
+    low 6 bits, value = high 42 bits; rank = leading zeros of the
+    42-bit value + 1 (43 when zero). The harmonic mean is computed in
+    EXACT integer arithmetic — each register contributes
+    2^(43 - rank) (absent registers contribute 2^43), and the estimate
+    is floor(floor(m*m*2^43 / sum) * 709 / 1000) with alpha_64 = 0.709
+    as a milli-exact constant — so the DuckDB twin agrees bit-for-bit.
+
+    Scale shape: ONE map-side-combined aggregation to (event_type,
+    register) — 64 rows per group — then a tiny rollup; sketch state is
+    O(m) per group at any corpus size, which is the entire point at
+    10^12 rows. The exact distinct count rides along as the quality
+    reference (itself the full shuffle the sketch avoids)."""
+    ev = _t(spark, sf_dir, "events")
+    h_long = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 12), 16, 10).cast("long")
+    d = ev.select("event_type", "user_id", h_long.alias("hl"))
+    d = d.withColumn("reg", (F.col("hl") % m).cast("long")) \
+         .withColumn("v", F.expr(f"hl div {m}"))
+    # rank = 42-bit leading zeros + 1, via the exact integer threshold
+    # ladder (see event_user_sketch for why not floor(log2))
+    sig_bits = sum((F.col("v") >= F.lit(1 << i)).cast("int")
+                   for i in range(42))
+    per_reg = (d.withColumn("rank", (F.lit(43) - sig_bits).cast("long"))
+               .groupBy("event_type", "reg")
+               .agg(F.max("rank").alias("mx")))
+    terms = per_reg.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr("shiftleft(1L, cast(43 - mx as int))")).alias("s"))
+    # all-BIGINT: m*m*2^43 = 2^55 exceeds the double mantissa, so the
+    # divisions must be integer `div`, never float-divide-then-floor
+    est = F.expr(
+        f"(({m * m * (1 << 43)} div "
+        f"  (s + ({m} - n_regs) * {1 << 43})) * 709) div 1000")
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (terms.join(exact, "event_type")
+            .select("event_type",
+                    F.col("n_regs").cast("long").alias("n_regs"),
+                    est.alias("hll_estimate"), "exact_distinct")
+            .orderBy("event_type"))
+
+
+def zorder_skipping_stats(spark: SparkSession, sf_dir: str,
+                          chunk_rows: int = 250) -> DataFrame:
+    """Z-order (Morton) data-layout evaluation — the clustering decision
+    behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleave the bits of
+    two 8-bit dimensions (user bucket = user_id % 256, time bucket =
+    epoch-minute % 256), lay rows out in z-key order vs plain
+    time-major order, cut the layout into chunk_rows-row files, record
+    each file's (min, max) zone maps, and count how many files a
+    2-dimensional range predicate (users 16-47 x minutes 64-127, ~3 %
+    selectivity) can SKIP under each layout. Returns one row per
+    layout: (layout, n_chunks, chunks_scanned, rows_matched) —
+    rows_matched is layout-invariant by construction, the scanned-file
+    gap is the point.
+
+    Scale shape: the checked query ranks globally because the oracle
+    needs a total order; the production write path is
+    repartitionByRange(zkey) + sortWithinPartitions(zkey) — the same
+    assignment with NO single-task sort — and the zone-map fold is one
+    map-side-combined agg per file. Bit interleaving is pure integer
+    arithmetic (shifts + masks), identical in the DuckDB twin; epoch
+    minutes via NTZ timestampdiff (TZ-proof, the events_rolling_sum
+    recipe)."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                 "'1970-01-01 00:00:00', date_trunc('second', ts))")
+    minute = (sec.cast("long") - F.pmod(sec.cast("long"), 60)) / 60
+    x = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    y = F.pmod(minute.cast("long"), F.lit(256)).cast("long")
+    zkey = sum(
+        (F.shiftright(x, i).bitwiseAND(1) * F.lit(1 << (2 * i + 1))
+         + F.shiftright(y, i).bitwiseAND(1) * F.lit(1 << (2 * i)))
+        for i in range(8)).cast("long")
+    base = ev.select(F.col("event_id"), x.alias("x"), y.alias("y"),
+                     zkey.alias("zkey"))
+    match = (F.col("x").between(16, 47)
+             & F.col("y").between(64, 127)).cast("long")
+
+    def layout_stats(df, order_cols, name):
+        w = Window.orderBy(*order_cols)
+        chunked = (df.withColumn("rn", F.row_number().over(w))
+                   .withColumn("chunk", F.expr(f"(rn - 1) div {chunk_rows}")))
+        zones = (chunked.groupBy("chunk")
+                 .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                      F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+                      F.sum(match).alias("n_match")))
+        overlap = ~((F.col("max_x") < 16) | (F.col("min_x") > 47)
+                    | (F.col("max_y") < 64) | (F.col("min_y") > 127))
+        return (zones.agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(overlap.cast("long")).alias("chunks_scanned"),
+            F.sum("n_match").alias("rows_matched"))
+            .withColumn("layout", F.lit(name)))
+
+    return (layout_stats(base, [F.col("zkey"), F.col("event_id")], "zorder")
+            .unionByName(layout_stats(
+                base, [F.col("y"), F.col("x"), F.col("event_id")],
+                "linear"))
+            .orderBy("layout"))

@@ -638,3 +638,58 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         pm(_run_cover_max(F.col("sh4"))).alias("top4_char_pm"),
         pm(_dup_cover_sum(F.col("sh5"))).alias("dup5_char_pm"),
         pm(_dup_cover_sum(F.col("sh10"))).alias("dup10_char_pm"))
+
+
+# Gopher's quality-filter stopword list (Rae et al. 2021 Table A1 uses
+# {the, be, to, of, and, that, have, with}) — distinct from the langid
+# marker lists above, which exist for a different purpose.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality(docs: DataFrame,
+                   min_words: int = GOPHER_MIN_WORDS,
+                   max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 Table A1), the
+    document-level subset — the five rules that need no line structure
+    (the corpus' documents are single-line; the line-based rules live
+    with the line ops):
+
+    - word count in [min_words, max_words],
+    - mean word length in [3, 10] characters,
+    - symbol-to-word ratio ('#' or '...') <= 0.1,
+    - >= 80 % of words contain at least one alphabetic character,
+    - >= 2 occurrences of Gopher's stopword list.
+
+    Every ratio test is cross-multiplied so the arithmetic is pure
+    integer (no division anywhere) and the DuckDB twin agrees
+    bit-for-bit. ``keep`` is the AND of all five, reported as 0/1.
+
+    Scale shape: map-only — one whole-stage-codegen scan, NO exchange;
+    at 10^12 docs this is the cheapest possible corpus pass (same
+    contract as gopher_repetition above)."""
+    toks = tokens_col()
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    syms = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("long")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stops = F.size(F.filter(toks,
+                            lambda t: F.array_contains(stop_arr, t))) \
+        .cast("long")
+    keep = ((n >= min_words) & (n <= max_words)
+            & (sum_len >= 3 * n) & (sum_len <= 10 * n)
+            & (syms * 10 <= n)
+            & (alpha * 5 >= n * 4)
+            & (stops >= 2))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        syms.alias("symbol_hits"),
+        alpha.alias("alpha_words"),
+        stops.alias("stopword_hits"),
+        keep.cast("int").cast("long").alias("keep"))

@@ -879,9 +879,9 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     import random
 
     from propertygraph_spark.ops.graph import (
-        bfs_levels, dominator_tree, kcore_nodes, label_propagation,
-        pagerank_int, strongly_connected_components, transitive_closure,
-        triangle_count)
+        bfs_levels, clustering_coefficient, dag_layers, dominator_tree,
+        kcore_nodes, label_propagation, pagerank_int,
+        strongly_connected_components, transitive_closure, triangle_count)
     rng = random.Random(42)
     rows = []
     for g in range(25):
@@ -892,7 +892,8 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     df = spark.createDataFrame(rows, "scope string, src long, dst long")
     for fn in (transitive_closure, bfs_levels, pagerank_int,
                triangle_count, kcore_nodes, label_propagation,
-               strongly_connected_components, dominator_tree):
+               strongly_connected_components, dominator_tree, dag_layers,
+               clustering_coefficient):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -1455,3 +1456,209 @@ def test_media_text_alignment_matches_host_replay(spark):
         want = sum(b * c for b, c in zip(fbytes, codes))
         assert got[doc_id] == (kinds[doc_id % 3], want), doc_id
     assert got[1][1] == 0
+
+
+def test_gopher_quality_rules(spark):
+    """gopher_quality vs the published rule set on crafted boundary
+    docs: each rule violated in isolation, plus exact boundary values
+    (50 words, mean length 3 and 10, 10% symbols, 80% alpha)."""
+    from propertygraph_spark.ops.text import gopher_quality
+
+    def words(n, w="the"):
+        return " ".join([w] * n)
+
+    texts = {
+        0: words(50),                          # all rules pass
+        1: words(49),                          # too short
+        2: words(50, "ab") + " the the",       # mean len < 3 (52 words)
+        3: words(50, "abcdefghijk"),           # mean len 11 > 10, no stops
+        4: words(90) + " " + words(10, "the#"),     # 100 words, 10 syms: pass
+        5: words(89) + " " + words(11, "the#"),     # 100 words, 11 syms: fail
+        6: " ".join(["the"] * 40 + ["123"] * 10),   # alpha 40/50 = 0.8: pass
+        7: " ".join(["the"] * 39 + ["123"] * 11),   # alpha < 0.8: fail
+        8: "the " + words(49, "word"),         # 1 stopword hit: fail
+        9: "",                                 # empty
+    }
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[0]["keep"] == 1
+    assert got[1]["keep"] == 0 and got[1]["n_words"] == 49
+    assert got[2]["keep"] == 0 and got[2]["sum_word_len"] < \
+        3 * got[2]["n_words"]
+    assert got[3]["keep"] == 0
+    assert got[4]["keep"] == 1 and got[4]["symbol_hits"] == 10
+    assert got[5]["keep"] == 0 and got[5]["symbol_hits"] == 11
+    assert got[6]["keep"] == 1 and got[6]["alpha_words"] == 40
+    assert got[7]["keep"] == 0
+    assert got[8]["keep"] == 0 and got[8]["stopword_hits"] == 1
+    assert got[9]["keep"] == 0 and got[9]["n_words"] == 0
+    # '...' counts as a symbol too, and boundary mean length 10 passes
+    df2 = spark.createDataFrame(
+        [(0, " ".join(["abcdefghij"] * 48 + ["the", "the"]) + " ..."),],
+        "doc_id long, text string")
+    r = gopher_quality(df2).collect()[0]
+    assert r["symbol_hits"] == 1 and r["keep"] == 1, r.asDict()
+
+
+def test_event_user_hll_estimate_quality(spark, tmp_path):
+    """The 64-register HLL must land within the sketch's theoretical
+    error band (~1.04/sqrt(64) ~ 13 % sigma; assert 3 sigma) on a
+    seeded 1000-distinct-user group, and its n_regs is bounded by m."""
+    import pandas as pd
+    from propertygraph_spark.ops.relational import event_user_hll
+    rows = [(i, "2024-01-01T00:00:00", i % 1000, "click", 1.0, "{}")
+            for i in range(5000)]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    got = event_user_hll(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["exact_distinct"] == 1000
+    assert r["n_regs"] <= 64
+    assert abs(r["hll_estimate"] - 1000) <= 390, r   # 3 sigma
+
+
+def test_priority_sample_pps_semantics(spark):
+    """priority_sample vs a host replay of the Duffield et al. bottom-k
+    rule, plus the PPS property: across md5's natural randomness a
+    10x-heavier row family must be sampled markedly more often."""
+    import hashlib
+    from propertygraph_spark.ops.dataset import priority_sample
+    rows = [(i, 1000 if i % 2 == 0 else 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [(r["doc_id"], r["weight"], r["priority"])
+           for r in priority_sample(df, k=40).collect()]
+
+    def prio(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        return u // w
+    exp = sorted(((prio(i, w), i) for i, w in rows))[:40]
+    assert [(p, i) for i, _, p in got] == [(p, i) for p, i in exp]
+    heavy = sum(1 for _, w, _ in got if w == 1000)
+    assert heavy >= 30   # ~10:1 inclusion odds at 10x weight
+
+
+def test_line_dedup_cut_semantics(spark):
+    """Boilerplate lines shared across docs are cut, unique lines and
+    within-threshold lines survive in original order, empty lines are
+    never dedup candidates, and a fully-boilerplate doc yields ''."""
+    from propertygraph_spark.ops.dedup import line_dedup_cut
+    docs = [
+        (0, "alpha one\nSHARED FOOTER\nbeta two"),
+        (1, "gamma three\nSHARED FOOTER"),
+        (2, "delta\n\nepsilon\n\nzeta"),       # empty lines untouched
+        (3, "SHARED FOOTER"),                  # all-cut doc -> ''
+        (4, "unique only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in line_dedup_cut(df).collect()}
+    assert got[0]["n_lines"] == 3 and got[0]["n_cut"] == 1
+    assert got[0]["clean_text"] == "alpha one\nbeta two"
+    assert got[1]["clean_text"] == "gamma three"
+    assert got[2]["n_cut"] == 0 and got[2]["clean_text"] == \
+        "delta\n\nepsilon\n\nzeta"
+    assert got[3]["n_cut"] == 1 and got[3]["clean_text"] == ""
+    assert got[4]["n_cut"] == 0
+    # idempotence: re-running on the cleaned output cuts nothing
+    clean = spark.createDataFrame(
+        [(k, v["clean_text"]) for k, v in got.items()],
+        "doc_id long, text string")
+    again = {r["doc_id"]: r["n_cut"]
+             for r in line_dedup_cut(clean).collect()}
+    assert all(v == 0 for v in again.values()), again
+
+
+def test_zorder_layout_skips_more_chunks(spark):
+    """On the sf0.01 events table the z-order layout must let the 2-D
+    range predicate skip chunks that the time-major layout has to scan
+    (the whole point of Morton clustering), with identical match
+    counts, and the Morton key must interleave bits correctly."""
+    from propertygraph_spark.ops.relational import zorder_skipping_stats
+    got = {r["layout"]: r.asDict()
+           for r in zorder_skipping_stats(
+               spark, "/root/testdata/sf0.01").collect()}
+    z, lin = got["zorder"], got["linear"]
+    assert z["rows_matched"] == lin["rows_matched"] > 0
+    assert z["n_chunks"] == lin["n_chunks"]
+    assert z["chunks_scanned"] < lin["chunks_scanned"], (z, lin)
+
+    # Morton interleave spot check: x=0b101, y=0b011 -> z=0b100111
+    def morton(x, y):
+        return sum((((x >> i) & 1) << (2 * i + 1))
+                   + (((y >> i) & 1) << (2 * i)) for i in range(8))
+    assert morton(0b101, 0b011) == 0b100111
+
+
+def test_dag_layers_brute_force(spark):
+    """dag_layers vs a definitional host replay (longest condensation
+    path via DFS memo over brute-force mutual-reachability SCCs) on 12
+    fresh seeded digraphs including cycles and self-loops."""
+    import random
+    from functools import lru_cache
+    from propertygraph_spark.ops.graph import dag_layers
+    rng = random.Random(7)
+    rows = []
+    graphs = {}
+    for g in range(12):
+        n = rng.randint(2, 12)
+        es = {(rng.randint(0, n - 1), rng.randint(0, n - 1))
+              for _ in range(rng.randint(1, 3 * n))}
+        graphs[f"g{g}"] = es
+        rows += [(f"g{g}", a, b) for a, b in es]
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+    got = sorted(tuple(r) for r in dag_layers(df, scope="scope").collect())
+
+    exp = []
+    for name, es in graphs.items():
+        nodes = {x for e in es for x in e}
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+
+        def reach(s):
+            seen, stack = set(), [s]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            return seen
+        r = {v: reach(v) for v in nodes}
+        comp = {v: min({m for m in nodes if m in r[v] and v in r[m]} | {v})
+                for v in nodes}
+        ces = {(comp[a], comp[b]) for a, b in es if comp[a] != comp[b]}
+        cpreds = {}
+        for a, b in ces:
+            cpreds.setdefault(b, set()).add(a)
+
+        @lru_cache(maxsize=None)
+        def layer(c):
+            return max((layer(p) + 1 for p in cpreds.get(c, ())),
+                       default=0)
+        exp += [(name, v, layer(comp[v])) for v in nodes]
+        layer.cache_clear()
+    assert got == sorted(exp)
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle + pendant: the three triangle nodes have cc 1 (ppm 1e6,
+    except the one that also owns the pendant: deg 3, 1 closed of 3
+    pairs -> 333333); the pendant has deg 1 -> 0. Direction and
+    multiplicity must not matter."""
+    from propertygraph_spark.ops.graph import clustering_coefficient
+    rows = [("g", 1, 2), ("g", 2, 3), ("g", 3, 1), ("g", 1, 4),
+            ("g", 2, 1), ("g", 2, 2)]   # reverse dup + self loop
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+    for bounded in (True, False):
+        got = {r["node"]: r.asDict() for r in clustering_coefficient(
+            df, scope="scope", bounded_scopes=bounded).collect()}
+        assert got[1]["degree"] == 3 and got[1]["cc_ppm"] == 333333
+        assert got[2]["cc_ppm"] == 1_000_000 == got[3]["cc_ppm"]
+        assert got[4]["degree"] == 1 and got[4]["cc_ppm"] == 0
+        assert got[1]["n_triangles"] == 1 == got[2]["n_triangles"]

@@ -582,12 +582,12 @@ def test_scc_and_dominator_fastpaths_are_one_exchange_map(spark):
     """Bounded-scope SCC and dominator-tree must compile to exactly one
     scope-hash exchange feeding a MapInPandas — no joins, no per-round
     barriers (the distributed twins are the unbounded-graph path)."""
-    from propertygraph_spark.ops.graph import (dominator_tree,
+    from propertygraph_spark.ops.graph import (dag_layers, dominator_tree,
                                                strongly_connected_components)
     edges = spark.createDataFrame(
         [("m", 1, 2), ("m", 2, 3), ("m", 3, 1)],
         "scope string, src long, dst long")
-    for fn in (strongly_connected_components, dominator_tree):
+    for fn in (strongly_connected_components, dominator_tree, dag_layers):
         p = plan(fn(edges, scope="scope"))
         assert "MapInPandas" in p and "Join" not in p, p
         assert p.count("hashpartitioning(") == 1, p
@@ -617,3 +617,20 @@ def test_bloom_semijoin_word_lookups_broadcast(spark):
     for them."""
     p = plan(relational.bloom_semijoin(spark, SF))
     assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_gopher_quality_is_exchange_free(spark):
+    """The Gopher quality battery is one whole-stage-codegen scan."""
+    from propertygraph_spark.ops.text import gopher_quality
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = plan(gopher_quality(df))
+    assert "Exchange" not in p, p
+
+
+def test_priority_sample_is_take_ordered(spark):
+    """Bottom-k by priority must be TakeOrderedAndProject (per-partition
+    O(k) state + driver merge), not a global sort exchange."""
+    from propertygraph_spark.ops.dataset import priority_sample
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+    p = plan(priority_sample(df, k=5))
+    assert "TakeOrderedAndProject" in p, p
