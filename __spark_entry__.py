@@ -66,6 +66,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 # _window_reorder preserves).
 _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
+                    "part_type_shares", "events_minutely",
+                    "user_sessions", "event_type_funnel",
                     "q6_revenue_change", "q12_priority_shipmode",
                     "q7_volume_shipping", "q10_returned_items",
                     "q14_promo_revenue", "q19_discounted_revenue",
@@ -131,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_pdg_clustering"] = lambda s, d: kgdocs.pdg_clustering_by_template(
         _docs(s, d))
+    q["kg_wl_shapes"] = lambda s, d: kgdocs.wl_shapes_by_template(
+        _docs(s, d))
     q["kg_cfg_dominators"] = lambda s, d: kgdocs.cfg_dominators_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
@@ -163,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_percentiles"] = relational.event_value_percentiles
     q["events_user_sketch"] = relational.event_user_sketch
     q["events_user_hll"] = relational.event_user_hll
+    q["events_quantile_sketch"] = relational.event_value_quantile_sketch
     q["q8_market_share"] = relational.nation_market_share
     q["q15_top_suppliers"] = relational.top_revenue_suppliers
     q["q17_small_qty_revenue"] = relational.small_quantity_revenue
@@ -214,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_pairs"] = lambda s, d: text.bpe_pair_counts(_docs(s, d))
     q["text_boilerplate"] = lambda s, d: text.boilerplate_ngrams(_docs(s, d))
     q["text_zipf"] = lambda s, d: text.zipf_topk(_docs(s, d))
+    q["text_pmi_pairs"] = lambda s, d: text.pmi_pairs(_docs(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -367,12 +373,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
     q["dataset_pivot"] = lambda s, d: pivot_lang_source(_docs(s, d))
-    from propertygraph_spark.ops.dataset import (dsir_sample,
+    from propertygraph_spark.ops.dataset import (dsir_sample, group_split,
                                                  priority_sample,
                                                  unimax_allocation)
     q["dataset_dsir_sample"] = lambda s, d: dsir_sample(_docs(s, d))
     q["dataset_unimax"] = lambda s, d: unimax_allocation(_docs(s, d))
     q["dataset_priority_sample"] = lambda s, d: priority_sample(_docs(s, d))
+    q["dataset_group_split"] = lambda s, d: group_split(_docs(s, d))
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -474,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_cfg_scc"] = kgdocs.scc_oracle_sql()
     o["kg_cfg_layers"] = kgdocs.layers_oracle_sql()
     o["kg_pdg_clustering"] = kgdocs.clustering_oracle_sql()
+    o["kg_wl_shapes"] = kgdocs.wl_oracle_sql()
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
 
     # --- relational ---
@@ -670,6 +678,34 @@ SELECT t.event_type, CAST(n_regs AS BIGINT) AS n_regs,
          AS hll_estimate,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM t JOIN ex USING (event_type) ORDER BY event_type
+"""
+    o["events_quantile_sketch"] = """
+WITH d AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v1000
+           FROM events),
+rng AS (SELECT event_type, min(v1000) AS lo, max(v1000) AS hi,
+               count(*) AS n
+        FROM d GROUP BY 1),
+b AS (SELECT d.event_type,
+             ((v1000 - lo) * 256) // (hi - lo + 1) AS bucket,
+             count(*) AS c
+      FROM d JOIN rng USING (event_type) GROUP BY 1, 2),
+cum AS (SELECT event_type, bucket,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS cum
+        FROM b),
+est AS (SELECT cum.event_type,
+          min(CASE WHEN cum >= 1 + ((n - 1) * 500) // 1000
+                   THEN bucket END) AS b50,
+          min(CASE WHEN cum >= 1 + ((n - 1) * 900) // 1000
+                   THEN bucket END) AS b90,
+          min(CASE WHEN cum >= 1 + ((n - 1) * 990) // 1000
+                   THEN bucket END) AS b99
+        FROM cum JOIN rng USING (event_type) GROUP BY 1)
+SELECT est.event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(lo + b50 * (hi - lo + 1) // 256 AS BIGINT) AS p50_est_x1000,
+       CAST(lo + b90 * (hi - lo + 1) // 256 AS BIGINT) AS p90_est_x1000,
+       CAST(lo + b99 * (hi - lo + 1) // 256 AS BIGINT) AS p99_est_x1000
+FROM est JOIN rng USING (event_type) ORDER BY event_type
 """
     o["q9_nation_year_revenue"] = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -1268,6 +1304,25 @@ SELECT d.doc_id,
        CAST(coalesce(p.dup5, 0) AS BIGINT) AS dup5_char_pm,
        CAST(coalesce(p.dup10, 0) AS BIGINT) AS dup10_char_pm
 FROM documents d LEFT JOIN piv p USING (doc_id) ORDER BY d.doc_id
+"""
+    o["text_pmi_pairs"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+pr AS (SELECT least(toks[i], toks[i + 1]) AS a,
+              greatest(toks[i], toks[i + 1]) AS b
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                      AS i
+             FROM t)),
+uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+n AS (SELECT count(*) AS n FROM uni),
+p AS (SELECT a, b, count(*) AS c_xy FROM pr GROUP BY 1, 2
+      HAVING count(*) >= 5)
+SELECT a, b, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST((1000000 * c_xy * n.n) // (ua.c * ub.c) AS BIGINT)
+         AS ratio_ppm
+FROM p JOIN uc ua ON p.a = ua.w JOIN uc ub ON p.b = ub.w CROSS JOIN n
+ORDER BY ratio_ppm DESC, a, b LIMIT 30
 """
     gopher_stops = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) \
         + "]"
@@ -2154,6 +2209,20 @@ WITH m AS (SELECT doc_id,
 b AS (SELECT doc_id, CAST(({hex_val}) % 1000 AS BIGINT) AS bucket_pm
       FROM m)
 SELECT doc_id,
+       CASE WHEN bucket_pm < 50 THEN 'test'
+            WHEN bucket_pm < 100 THEN 'val'
+            ELSE 'train' END AS split,
+       bucket_pm
+FROM b
+"""
+    o["dataset_group_split"] = f"""
+WITH m AS (SELECT doc_id, source,
+                  substr(md5(CAST(source AS VARCHAR)), 1, 8) AS h8
+           FROM documents),
+b AS (SELECT doc_id, source AS group_key,
+             CAST(({hex_val}) % 1000 AS BIGINT) AS bucket_pm
+      FROM m)
+SELECT doc_id, group_key,
        CASE WHEN bucket_pm < 50 THEN 'test'
             WHEN bucket_pm < 100 THEN 'val'
             ELSE 'train' END AS split,

@@ -248,6 +248,14 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_pdg_clustering": lambda: kgdocs.pdg_clustering_by_template(
             docs(spark, sf_dir)),
+        "kg_wl_shapes": lambda: kgdocs.wl_shapes_by_template(
+            docs(spark, sf_dir)),
+        "events_quantile_sketch":
+            lambda: relational.event_value_quantile_sketch(spark, sf_dir),
+        "dataset_group_split": lambda: __import__(
+            "propertygraph_spark.ops.dataset",
+            fromlist=["group_split"]).group_split(docs(spark, sf_dir)),
+        "text_pmi_pairs": lambda: text.pmi_pairs(docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

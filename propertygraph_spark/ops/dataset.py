@@ -409,3 +409,23 @@ def priority_sample(docs: DataFrame, k: int = 25,
     d = docs.select("doc_id", w.alias("weight"), u48.alias("u48"))
     d = d.withColumn("priority", F.expr("u48 div weight")).drop("u48")
     return d.orderBy("priority", "doc_id").limit(k)
+
+
+def group_split(docs: DataFrame, group: str = "source", val_pm: int = 50,
+                test_pm: int = 50) -> DataFrame:
+    """Leakage-safe train/val/test assignment (the GroupKFold /
+    group-shuffle-split policy every eval-hygiene pipeline needs): the
+    split is a pure function of md5(GROUP), not of doc_id, so every
+    document of a group — near-duplicates, shards of one crawl source,
+    chapters of one book — lands in the SAME split and can never leak
+    train data into eval. Same hash->per-mille-bucket arithmetic as
+    split_assign (which remains the per-doc policy). Map-only, no
+    shuffle, engine-checkable."""
+    hex8 = F.substring(F.md5(F.col(group).cast("string")), 1, 8)
+    bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(1000))
+    split = (F.when(bucket < test_pm, "test")
+             .when(bucket < test_pm + val_pm, "val")
+             .otherwise("train"))
+    return docs.select("doc_id", F.col(group).alias("group_key"),
+                       split.alias("split"),
+                       bucket.cast("long").alias("bucket_pm"))

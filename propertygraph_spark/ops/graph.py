@@ -1115,3 +1115,116 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                            F.expr("(2000000 * coalesce(tri, 0)) div "
                                   "(degree * (degree - 1))"))
                     .otherwise(0).cast("long").alias("cc_ppm")))
+
+
+def _k_wl(iters: int):
+    """Per-scope kernel: Weisfeiler-Lehman refinement on the directed
+    simple graph. label_0 = 'in_deg|out_deg'; each round re-labels to
+    md5(label # sorted out-neighbor labels # sorted in-neighbor labels)
+    — the exact string recipe the distributed twin builds with
+    sort_array/array_join, so the two strategies are byte-identical."""
+    import hashlib
+
+    def kernel(es):
+        out_adj: dict = {}
+        in_adj: dict = {}
+        nodes: set = set()
+        for a, b in set(es):
+            out_adj.setdefault(a, []).append(b)
+            in_adj.setdefault(b, []).append(a)
+            nodes.add(a)
+            nodes.add(b)
+        lbl = {n: f"{len(in_adj.get(n, ()))}|{len(out_adj.get(n, ()))}"
+               for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for n in nodes:
+                outs = ",".join(sorted(lbl[m] for m in out_adj.get(n, ())))
+                ins = ",".join(sorted(lbl[m] for m in in_adj.get(n, ())))
+                new[n] = hashlib.md5(
+                    f"{lbl[n]}#{outs}#{ins}".encode()).hexdigest()
+            lbl = new
+        return lbl.items()
+    return kernel
+
+
+def wl_fingerprints(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    scope: str | None = None, iters: int = 3,
+                    bounded_scopes: bool = True) -> DataFrame:
+    """Weisfeiler-Lehman node fingerprints (Weisfeiler & Leman 1968;
+    Shervashidze et al. 2011) of each scope's directed simple graph:
+    (scope?, node, wl) after ``iters`` refinement rounds. Two nodes
+    share a label iff WL cannot distinguish their rooted neighborhoods
+    — the standard structural-isomorphism workhorse; the graph-level
+    rollup (wl_graph_signature) is how a corpus finds STRUCTURALLY
+    identical method graphs regardless of identifiers.
+
+    Physical strategies (byte-identical, pinned in tests):
+    - ``scope`` + ``bounded_scopes`` (default): the shared scoped
+      streaming kernel (one exchange, per-scope dict refinement).
+    - otherwise: ``iters`` rounds of the relational WL step — join
+      labels onto edge endpoints, collect_list + array_sort +
+      array_join per direction, md5 the same 'lbl#outs#ins' string.
+      Each round is two groupBys hashed on (scope, node); rounds are
+      the scheduler-barrier cost the bounded path avoids."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope), F.col(src).alias("node"))
+                      .withColumn("wl", F.lit("").cast("string")).schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_wl(iters),
+                                  out_schema)
+    keys = [scope] if scope else []
+    e = (edges.select(*keys, F.col(src).alias("a"), F.col(dst).alias("b"))
+         .distinct().localCheckpoint(eager=True))
+    outd = e.groupBy(*keys, F.col("a").alias("node")) \
+            .agg(F.count("*").alias("outd"))
+    ind = e.groupBy(*keys, F.col("b").alias("node")) \
+           .agg(F.count("*").alias("ind"))
+    nodes = (e.select(*keys, F.col("a").alias("node"))
+             .unionByName(e.select(*keys, F.col("b").alias("node")))
+             .distinct())
+    lbl = (nodes.join(ind, keys + ["node"], "left")
+           .join(outd, keys + ["node"], "left")
+           .select(*keys, "node",
+                   F.concat_ws("|",
+                               F.coalesce("ind", F.lit(0)).cast("string"),
+                               F.coalesce("outd", F.lit(0)).cast("string"))
+                   .alias("wl")))
+    for _ in range(iters):
+        outs = (e.join(lbl.select(*keys, F.col("node").alias("b"),
+                                  F.col("wl").alias("nl")), keys + ["b"])
+                .groupBy(*keys, F.col("a").alias("node"))
+                .agg(F.array_join(F.array_sort(F.collect_list("nl")), ",")
+                     .alias("outs")))
+        ins = (e.join(lbl.select(*keys, F.col("node").alias("a"),
+                                 F.col("wl").alias("nl")), keys + ["a"])
+               .groupBy(*keys, F.col("b").alias("node"))
+               .agg(F.array_join(F.array_sort(F.collect_list("nl")), ",")
+                    .alias("ins")))
+        lbl = (lbl.join(outs, keys + ["node"], "left")
+               .join(ins, keys + ["node"], "left")
+               .select(*keys, "node",
+                       F.md5(F.concat(F.col("wl"), F.lit("#"),
+                                      F.coalesce("outs", F.lit("")),
+                                      F.lit("#"),
+                                      F.coalesce("ins", F.lit(""))))
+                       .alias("wl"))
+               .localCheckpoint(eager=True))
+    return lbl
+
+
+def wl_graph_signature(edges: DataFrame, src: str = "src",
+                       dst: str = "dst", scope: str | None = None,
+                       iters: int = 3,
+                       bounded_scopes: bool = True) -> DataFrame:
+    """Graph-level WL signature per scope: md5 of the sorted multiset of
+    final node fingerprints — equal signatures <=> WL-indistinguishable
+    graphs (exact isomorphism up to WL's power, which is exact on the
+    tree-like CFG/PDG shapes here). The corpus primitive for structural
+    method dedup: groupBy(signature) finds every set of methods with
+    identical control-flow shape regardless of naming."""
+    fp = wl_fingerprints(edges, src=src, dst=dst, scope=scope, iters=iters,
+                         bounded_scopes=bounded_scopes)
+    keys = [scope] if scope else []
+    return (fp.groupBy(*keys)
+            .agg(F.md5(F.array_join(F.array_sort(F.collect_list("wl")),
+                                    ",")).alias("signature")))

@@ -70,6 +70,7 @@ TEMPLATE_CFG_SCC: dict[int, tuple] = {}                  # filled below
 TEMPLATE_CFG_DOM: dict[int, tuple] = {}                  # filled below
 TEMPLATE_CFG_LAYERS: dict[int, tuple] = {}               # filled below
 TEMPLATE_PDG_CLUSTERING: dict[int, tuple] = {}           # filled below
+TEMPLATE_CFG_WL: dict[int, tuple] = {}                   # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -344,6 +345,37 @@ def _clustcoef_stats(triples: list) -> tuple:
     return sum_cc, n_closed
 
 
+def _wl_stats(triples: list) -> tuple:
+    """Host replay of ops/graph.py wl_graph_signature over each
+    method's CFG (3 WL rounds, the operator's exact string recipe):
+    (method-graph count, distinct structural shapes) for one doc of the
+    template — the shape count is corpus-invariant because every doc of
+    a template is identical, while the graph count scales with docs."""
+    import hashlib
+    sigs = []
+    for edges in _cfg_edges_by_method(triples).values():
+        out_adj: dict = {}
+        in_adj: dict = {}
+        nodes: set = set()
+        for a, b in set(edges):
+            out_adj.setdefault(a, []).append(b)
+            in_adj.setdefault(b, []).append(a)
+            nodes.add(a)
+            nodes.add(b)
+        lbl = {n: f"{len(in_adj.get(n, ()))}|{len(out_adj.get(n, ()))}"
+               for n in nodes}
+        for _ in range(3):
+            lbl = {n: hashlib.md5((
+                lbl[n] + "#" +
+                ",".join(sorted(lbl[m] for m in out_adj.get(n, ()))) +
+                "#" +
+                ",".join(sorted(lbl[m] for m in in_adj.get(n, ()))))
+                .encode()).hexdigest() for n in nodes}
+        sigs.append(hashlib.md5(
+            ",".join(sorted(lbl.values())).encode()).hexdigest())
+    return len(sigs), len(set(sigs))
+
+
 def _pdg_components(triples: list) -> tuple:
     """Host replay of ops/graph.py connected_components over each
     method's undirected pdg_data graph: (total component count, largest
@@ -475,6 +507,7 @@ def _freeze_constants() -> None:
         TEMPLATE_CFG_DOM[tpl] = _dom_stats(triples)
         TEMPLATE_CFG_LAYERS[tpl] = _layer_stats(triples)
         TEMPLATE_PDG_CLUSTERING[tpl] = _clustcoef_stats(triples)
+        TEMPLATE_CFG_WL[tpl] = _wl_stats(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -965,6 +998,47 @@ WITH tplcount AS (
 SELECT c.tpl AS tpl, CAST(t.n * c.s AS BIGINT) AS sum_cc_ppm,
        CAST(t.n * c.c AS BIGINT) AS n_closed
 FROM consts c JOIN tplcount t USING (tpl)
+ORDER BY c.tpl
+"""
+
+
+def wl_shapes_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed structural method dedup (ops/graph.py
+    wl_graph_signature: 3-round Weisfeiler-Lehman over every method's
+    CFG at once), rolled up per template to (method-graph count,
+    distinct shape count) — the corpus-scale demonstration that
+    thousands of structurally identical methods collapse to ONE shape
+    signature regardless of identifiers (each template's n docs carry
+    n copies of the same CFG; distinct stays 1 while count scales)."""
+    from propertygraph_spark.ops.graph import wl_graph_signature
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    sigs = wl_graph_signature(edges, scope="method_id")
+    return (sigs
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_method_graphs"),
+                 F.countDistinct("signature").cast("long")
+                 .alias("n_shapes"))
+            .orderBy("tpl"))
+
+
+def wl_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {d})" for tpl, (n, d) in TEMPLATE_CFG_WL.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, g, d) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.g AS BIGINT) AS n_method_graphs,
+       CAST(c.d AS BIGINT) AS n_shapes
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.g > 0
 ORDER BY c.tpl
 """
 

@@ -990,6 +990,27 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str, m_bits: int = 1024,
     return res
 
 
+def hll_registers(events: DataFrame, m: int = 64) -> DataFrame:
+    """The HLL register table (event_type, reg, mx) shared by the batch
+    estimator (event_user_hll below) and its streaming twin
+    (streaming/events.streaming_user_hll_registers): register = low 6
+    md5 bits, rank = 42-bit leading zeros + 1 via the exact integer
+    threshold ladder (see event_user_sketch for why not floor(log2)).
+    A pure select + one max-aggregation, so the identical code path is
+    a valid streaming aggregation: state = m rows per event_type, the
+    mergeable sketch property doing its job."""
+    h_long = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 12), 16, 10).cast("long")
+    d = events.select("event_type", h_long.alias("hl"))
+    d = d.withColumn("reg", (F.col("hl") % m).cast("long")) \
+         .withColumn("v", F.expr(f"hl div {m}"))
+    sig_bits = sum((F.col("v") >= F.lit(1 << i)).cast("int")
+                   for i in range(42))
+    return (d.withColumn("rank", (F.lit(43) - sig_bits).cast("long"))
+            .groupBy("event_type", "reg")
+            .agg(F.max("rank").alias("mx")))
+
+
 def event_user_hll(spark: SparkSession, sf_dir: str,
                    m: int = 64) -> DataFrame:
     """Distinct-user HyperLogLog per event_type (Flajolet et al. 2007)
@@ -1013,18 +1034,7 @@ def event_user_hll(spark: SparkSession, sf_dir: str,
     10^12 rows. The exact distinct count rides along as the quality
     reference (itself the full shuffle the sketch avoids)."""
     ev = _t(spark, sf_dir, "events")
-    h_long = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
-                                1, 12), 16, 10).cast("long")
-    d = ev.select("event_type", "user_id", h_long.alias("hl"))
-    d = d.withColumn("reg", (F.col("hl") % m).cast("long")) \
-         .withColumn("v", F.expr(f"hl div {m}"))
-    # rank = 42-bit leading zeros + 1, via the exact integer threshold
-    # ladder (see event_user_sketch for why not floor(log2))
-    sig_bits = sum((F.col("v") >= F.lit(1 << i)).cast("int")
-                   for i in range(42))
-    per_reg = (d.withColumn("rank", (F.lit(43) - sig_bits).cast("long"))
-               .groupBy("event_type", "reg")
-               .agg(F.max("rank").alias("mx")))
+    per_reg = hll_registers(ev, m=m)
     terms = per_reg.groupBy("event_type").agg(
         F.count("*").alias("n_regs"),
         F.sum(F.expr("shiftleft(1L, cast(43 - mx as int))")).alias("s"))
@@ -1100,3 +1110,66 @@ def zorder_skipping_stats(spark: SparkSession, sf_dir: str,
                 base, [F.col("y"), F.col("x"), F.col("event_id")],
                 "linear"))
             .orderBy("layout"))
+
+
+def event_value_quantile_sketch(spark: SparkSession, sf_dir: str,
+                                n_buckets: int = 256) -> DataFrame:
+    """Deterministic histogram quantile sketch per event_type — the
+    mergeable O(buckets)-state path that replaces exact percentiles at
+    10^12 rows (the same idea as t-digest/KLL, in its simplest exactly-
+    reproducible form; approx_percentile's sketch is implementation-
+    defined, this one is portable):
+
+    1. per-type (min, max) of value x1000 — one map-side-combined agg
+       to a HANDFUL of rows, broadcast back;
+    2. bucket = (v - min) * n_buckets div (max - min + 1) — pure
+       integer, monotone, range [0, n_buckets);
+    3. per-(type, bucket) counts — map-side combined, <= n_buckets rows
+       per type ever shuffle;
+    4. quantile q = the LOWER BOUND of the first bucket whose running
+       count reaches ceil(q * n) — a guaranteed underestimate within
+       one bucket width, reported in integer x1000.
+
+    Exact same arithmetic in the DuckDB twin; the windows run over the
+    bounded histogram table, never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000).cast("long")
+    d = ev.select("event_type", v.alias("v1000"))
+    rng = (d.groupBy("event_type")
+           .agg(F.min("v1000").alias("lo"), F.max("v1000").alias("hi"),
+                F.count("*").alias("n")))
+    b = (d.join(F.broadcast(rng), "event_type")
+         .withColumn("bucket",
+                     F.expr(f"((v1000 - lo) * {n_buckets}) div "
+                            "(hi - lo + 1)"))
+         .groupBy("event_type", "bucket")
+         .agg(F.count("*").alias("c"),
+              F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+              F.first("n").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = b.withColumn("cum", F.sum("c").over(w))
+
+    def q_est(q_pm: int):
+        # first bucket holding the FLOOR order statistic of the
+        # linear-interpolation index 1 + (n-1)q — the same convention
+        # percentile()/quantile_cont interpolate from, so the sketch is
+        # a guaranteed lower bound on the exact interpolated quantile
+        # (all-positive arithmetic: floor == truncate on both engines)
+        need = F.expr(f"1 + ((n - 1) * {q_pm}) div 1000")
+        hit = F.when(F.col("cum") >= need, F.col("bucket"))
+        return F.min(hit)
+
+    est = (cum.groupBy("event_type")
+           .agg(F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+                F.first("n").alias("n"),
+                q_est(500).alias("b50"), q_est(900).alias("b90"),
+                q_est(990).alias("b99")))
+    lb = lambda b: (F.col("lo")                          # noqa: E731
+                    + F.expr(f"{b} * (hi - lo + 1) div {n_buckets}"))
+    return (est.select(
+        "event_type", F.col("n").cast("long").alias("n_events"),
+        lb("b50").cast("long").alias("p50_est_x1000"),
+        lb("b90").cast("long").alias("p90_est_x1000"),
+        lb("b99").cast("long").alias("p99_est_x1000"))
+        .orderBy("event_type"))

@@ -693,3 +693,48 @@ def gopher_quality(docs: DataFrame,
         alpha.alias("alpha_words"),
         stops.alias("stopword_hits"),
         keep.cast("int").cast("long").alias("keep"))
+
+
+def pmi_pairs(docs: DataFrame, min_count: int = 5,
+              top_n: int = 30) -> DataFrame:
+    """Pointwise-mutual-information word associations (Church & Hanks
+    1990): for every unordered ADJACENT token pair seen >= min_count
+    times, the integer-ppm PMI ratio
+
+        ratio_ppm = floor(1e6 * c_xy * N / (c_x * c_y))
+
+    (the exp(PMI) odds ratio — same ordering as PMI itself, no log, no
+    floats, bit-identical in DuckDB), top_n by (ratio desc, pair asc).
+    The collocation-mining primitive behind phrase detection
+    (word2vec-style "new_york" merging).
+
+    Scale shape: one explode to adjacent pairs + two map-side-combined
+    counts (pairs; unigrams) + a broadcast-join of the BOUNDED
+    above-threshold pair table against the unigram table, then a
+    TakeOrderedAndProject. N, c_x, c_y, c_xy <= ~1e12 at corpus scale —
+    the product needs care there (rescale N to per-million units); at
+    oracle scale the BIGINT product is exact."""
+    toks = tokens_col()
+    d = (docs.select(toks.alias("t"))
+         .select(F.explode(F.arrays_zip(
+             F.expr("slice(t, 1, greatest(size(t) - 1, 0))").alias("x"),
+             F.expr("slice(t, 2, greatest(size(t) - 1, 0))").alias("y")))
+             .alias("z"))
+         .select(F.least(F.col("z.x"), F.col("z.y")).alias("a"),
+                 F.greatest(F.col("z.x"), F.col("z.y")).alias("b")))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_total = uni.agg(F.sum("c")).collect()[0][0]
+    pairs = (d.groupBy("a", "b").agg(F.count("*").alias("c_xy"))
+             .filter(F.col("c_xy") >= min_count))
+    scored = (pairs
+              .join(F.broadcast(uni.select(F.col("w").alias("a"),
+                                           F.col("c").alias("c_a"))), "a")
+              .join(F.broadcast(uni.select(F.col("w").alias("b"),
+                                           F.col("c").alias("c_b"))), "b")
+              .withColumn("ratio_ppm",
+                          F.expr(f"(1000000 * c_xy * {n_total}) div "
+                                 "(c_a * c_b)")))
+    return (scored.select("a", "b", F.col("c_xy").cast("long"),
+                          F.col("ratio_ppm").cast("long"))
+            .orderBy(F.desc("ratio_ppm"), "a", "b").limit(top_n))

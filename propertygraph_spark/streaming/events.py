@@ -388,3 +388,19 @@ def streaming_anomaly(events: DataFrame, window: int = 30, z: int = 3,
             .applyInPandasWithState(
                 fn, ANOMALY_OUTPUT_DDL, ANOMALY_STATE_DDL,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_user_hll_registers(events: DataFrame,
+                                 m: int = 64) -> DataFrame:
+    """Streaming HyperLogLog: the distinct-user sketch maintained
+    incrementally — the EXACT register derivation + max-aggregation of
+    ops.relational.hll_registers run as a streaming aggregation. State
+    is m rows per event_type REGARDLESS of stream length (max is
+    associative/commutative, so micro-batch arrival order cannot show
+    — same argument as streaming_latest_state), which is precisely the
+    HLL mergeability property: this is how a 10^12-event stream keeps a
+    live distinct-user estimate without ever storing user ids. Run with
+    update/complete mode; the batch estimator (event_user_hll) folds
+    the same register table into the integer harmonic mean."""
+    from propertygraph_spark.ops.relational import hll_registers
+    return hll_registers(events, m=m)

@@ -881,7 +881,8 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     from propertygraph_spark.ops.graph import (
         bfs_levels, clustering_coefficient, dag_layers, dominator_tree,
         kcore_nodes, label_propagation, pagerank_int,
-        strongly_connected_components, transitive_closure, triangle_count)
+        strongly_connected_components, transitive_closure, triangle_count,
+        wl_fingerprints)
     rng = random.Random(42)
     rows = []
     for g in range(25):
@@ -893,7 +894,7 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     for fn in (transitive_closure, bfs_levels, pagerank_int,
                triangle_count, kcore_nodes, label_propagation,
                strongly_connected_components, dominator_tree, dag_layers,
-               clustering_coefficient):
+               clustering_coefficient, wl_fingerprints):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -1662,3 +1663,110 @@ def test_clustering_coefficient_hand_graph(spark):
         assert got[2]["cc_ppm"] == 1_000_000 == got[3]["cc_ppm"]
         assert got[4]["degree"] == 1 and got[4]["cc_ppm"] == 0
         assert got[1]["n_triangles"] == 1 == got[2]["n_triangles"]
+
+
+def test_wl_signature_isomorphism(spark):
+    """Relabeled isomorphic graphs must share a WL signature; a 4-path
+    and a 4-star must not. Both physical strategies."""
+    from propertygraph_spark.ops.graph import wl_graph_signature
+    rows = [
+        # diamond 0->1, 0->2, 1->3, 2->3
+        ("d1", 0, 1), ("d1", 0, 2), ("d1", 1, 3), ("d1", 2, 3),
+        # same shape, permuted ids
+        ("d2", 9, 5), ("d2", 9, 7), ("d2", 5, 2), ("d2", 7, 2),
+        # path 0->1->2->3
+        ("p", 0, 1), ("p", 1, 2), ("p", 2, 3),
+        # star 0->{1,2,3}
+        ("s", 0, 1), ("s", 0, 2), ("s", 0, 3),
+    ]
+    df = spark.createDataFrame(rows, "scope string, src long, dst long")
+    for bounded in (True, False):
+        sig = {r["scope"]: r["signature"] for r in wl_graph_signature(
+            df, scope="scope", bounded_scopes=bounded).collect()}
+        assert sig["d1"] == sig["d2"]
+        assert len({sig["d1"], sig["p"], sig["s"]}) == 3
+
+
+def test_quantile_sketch_bounds_exact_percentiles(spark):
+    """The 256-bucket sketch quantile is a lower bound on the exact
+    percentile and within one bucket width of it, per event type."""
+    from propertygraph_spark.ops.relational import (
+        event_value_percentiles, event_value_quantile_sketch)
+    sf = "/root/testdata/sf0.01"
+    est = {r["event_type"]: r.asDict()
+           for r in event_value_quantile_sketch(spark, sf).collect()}
+    exact = {r["event_type"]: r.asDict()
+             for r in event_value_percentiles(spark, sf).collect()}
+    for et, e in est.items():
+        ex = exact[et]
+        # one bucket width of the type's value range (x1000 domain)
+        lo_hi = spark.read.parquet(f"{sf}/events.parquet") \
+            .filter(F.col("event_type") == et) \
+            .agg(F.min(F.round(F.col("value") * 1000)).alias("lo"),
+                 F.max(F.round(F.col("value") * 1000)).alias("hi")) \
+            .collect()[0]
+        width = (int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1) // 256 + 1
+        for q in ("p50", "p90", "p99"):
+            est_v = e[f"{q}_est_x1000"]
+            ex_v = ex[f"{q}_milli"]
+            # guaranteed lower bound on the interpolated exact quantile
+            # (+1 absorbs the round-vs-floor milli scaling difference)
+            assert est_v <= ex_v + 1, (et, q, est_v, ex_v)
+            # within a bucket of the floor order statistic; the
+            # interpolation can add at most the local inter-sample gap,
+            # bounded here by a small multiple of the bucket width
+            assert ex_v - est_v <= 3 * width, (et, q, est_v, ex_v, width)
+
+
+def test_group_split_never_splits_a_group(spark):
+    """Every group lands entirely in one split (the leakage guard), the
+    assignment is a pure function of the group key (stable across row
+    order / partitioning), and all three splits are populated on the
+    sf0.01 corpus sources."""
+    from propertygraph_spark.ops.dataset import group_split
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = group_split(docs, val_pm=300, test_pm=300)
+    spans = (out.groupBy("group_key")
+             .agg(F.countDistinct("split").alias("n_splits")).collect())
+    assert spans and all(r["n_splits"] == 1 for r in spans)
+    repart = group_split(docs.repartition(7, "doc_id"),
+                         val_pm=300, test_pm=300)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, repart.collect()))
+
+
+def test_pmi_pairs_matches_host_replay(spark):
+    """pmi_pairs vs a dict-based replay of the exp(PMI) odds-ratio
+    ordering on a seeded corpus over a tiny vocabulary; a glued
+    collocation pair must outrank independent fillers."""
+    import random
+    from collections import Counter
+    from propertygraph_spark.ops.text import pmi_pairs
+    rng = random.Random(3)
+    texts = []
+    for _ in range(40):
+        words = []
+        for _ in range(rng.randint(5, 25)):
+            if rng.random() < 0.3:
+                words += ["new", "york"]       # glued collocation
+            else:
+                words.append(rng.choice("alpha beta gamma delta".split()))
+        texts.append(" ".join(words))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = [(r["a"], r["b"], r["c_xy"], r["ratio_ppm"])
+           for r in pmi_pairs(df, min_count=3, top_n=10).collect()]
+
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        for x, y in zip(ws, ws[1:]):
+            pairs[(min(x, y), max(x, y))] += 1
+    n = sum(uni.values())
+    exp = [(a, b, c, (1_000_000 * c * n) // (uni[a] * uni[b]))
+           for (a, b), c in pairs.items() if c >= 3]
+    exp = sorted(exp, key=lambda r: (-r[3], r[0], r[1]))[:10]
+    assert got == exp
+    assert got[0][:2] == ("new", "york")

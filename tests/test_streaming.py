@@ -527,3 +527,24 @@ def test_streaming_anomaly_matches_batch_on_closed_minutes(spark, tmp_path):
     assert spike == [(400, 30, True)]
     flags = sum(1 for v in got.values() if v[2])
     assert flags == 1
+
+
+def test_streaming_hll_registers_match_batch(spark, events_path):
+    """Streaming HLL register table == the same derivation on the
+    static table (max over registers is associative, so arrival order
+    cannot show), and folding the streamed registers through the batch
+    estimator's integer harmonic mean yields the batch estimate —
+    state is m rows per type, never the user ids."""
+    from propertygraph_spark.ops.relational import hll_registers
+    from propertygraph_spark.streaming.events import (
+        streaming_user_hll_registers)
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    q = run_to_memory(streaming_user_hll_registers(stream), "hll_regs",
+                      output_mode="complete")
+    try:
+        got = {tuple(r) for r in spark.table("hll_regs").collect()}
+    finally:
+        q.stop()
+    static = spark.read.parquet(events_path)
+    want = {tuple(r) for r in hll_registers(static).collect()}
+    assert got == want and len(want) > 0
