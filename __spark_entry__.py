@@ -68,12 +68,15 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
                     "user_sessions", "event_type_funnel",
+                    "asof_view_before_click",
                     "q6_revenue_change", "q12_priority_shipmode",
+                    "events_rollup_hourly", "events_range_join",
                     "q7_volume_shipping", "q10_returned_items",
                     "q14_promo_revenue", "q19_discounted_revenue",
                     "q22_idle_rich_customers", "q9_nation_year_revenue",
                     "q13_order_counts", "q16_supplier_parts",
                     "q18_large_orders", "q11_important_parts",
+                    "events_percentiles",
                     "q8_market_share", "q15_top_suppliers",
                     "q17_small_qty_revenue", "q21_last_shippers",
                     "q2_min_cost_supplier", "q20_dominant_suppliers")
@@ -135,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_wl_shapes"] = lambda s, d: kgdocs.wl_shapes_by_template(
         _docs(s, d))
+    q["kg_api_cooccurrence"] = lambda s, d: kgdocs.api_cooccurrence(
+        _docs(s, d))
     q["kg_cfg_dominators"] = lambda s, d: kgdocs.cfg_dominators_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
@@ -168,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_user_sketch"] = relational.event_user_sketch
     q["events_user_hll"] = relational.event_user_hll
     q["events_quantile_sketch"] = relational.event_value_quantile_sketch
+    q["events_funnel_ordered"] = relational.events_funnel_ordered
+    q["events_mad_outliers"] = relational.events_mad_outliers
     q["q8_market_share"] = relational.nation_market_share
     q["q15_top_suppliers"] = relational.top_revenue_suppliers
     q["q17_small_qty_revenue"] = relational.small_quantity_revenue
@@ -220,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_boilerplate"] = lambda s, d: text.boilerplate_ngrams(_docs(s, d))
     q["text_zipf"] = lambda s, d: text.zipf_topk(_docs(s, d))
     q["text_pmi_pairs"] = lambda s, d: text.pmi_pairs(_docs(s, d))
+    q["text_source_drift"] = lambda s, d: text.source_length_drift(
+        _docs(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -482,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_cfg_layers"] = kgdocs.layers_oracle_sql()
     o["kg_pdg_clustering"] = kgdocs.clustering_oracle_sql()
     o["kg_wl_shapes"] = kgdocs.wl_oracle_sql()
+    o["kg_api_cooccurrence"] = kgdocs.api_cooccurrence_oracle_sql()
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
 
     # --- relational ---
@@ -678,6 +688,55 @@ SELECT t.event_type, CAST(n_regs AS BIGINT) AS n_regs,
          AS hll_estimate,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM t JOIN ex USING (event_type) ORDER BY event_type
+"""
+    o["events_mad_outliers"] = """
+WITH d AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT)
+                    AS v1000
+           FROM events),
+med AS (SELECT event_type,
+               CAST(floor(quantile_cont(v1000, 0.5) * 2) AS BIGINT)
+                 AS med2,
+               count(*) AS n_events
+        FROM d GROUP BY 1),
+dev AS (SELECT d.event_type, abs(2 * v1000 - med2) AS dev2, med2,
+               n_events
+        FROM d JOIN med USING (event_type)),
+mad AS (SELECT event_type,
+               CAST(floor(quantile_cont(dev2, 0.5) * 2) AS BIGINT)
+                 AS mad4
+        FROM dev GROUP BY 1)
+SELECT dev.event_type,
+       CAST(any_value(n_events) AS BIGINT) AS n_events,
+       CAST(any_value(med2) AS BIGINT) AS median_milli_x2,
+       CAST(any_value(mad4) AS BIGINT) AS mad_milli_x4,
+       CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+    o["events_funnel_ordered"] = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                    AS sec
+           FROM events),
+s1 AS (SELECT user_id, min(sec) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.sec) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.sec >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.sec) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.sec >= s2.t GROUP BY 1),
+c AS (SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(CASE WHEN max(CASE WHEN step_idx = 1 THEN n_users END)
+                      OVER () > 0
+                 THEN (1000000 * n_users) //
+                      max(CASE WHEN step_idx = 1 THEN n_users END)
+                      OVER ()
+                 ELSE 0 END AS BIGINT) AS conversion_pm
+FROM c ORDER BY step_idx
 """
     o["events_quantile_sketch"] = """
 WITH d AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v1000
@@ -1323,6 +1382,22 @@ SELECT a, b, CAST(c_xy AS BIGINT) AS c_xy,
          AS ratio_ppm
 FROM p JOIN uc ua ON p.a = ua.w JOIN uc ub ON p.b = ub.w CROSS JOIN n
 ORDER BY ratio_ppm DESC, a, b LIMIT 30
+"""
+    o["text_source_drift"] = """
+WITH sb AS (SELECT source, least(7, length(text) // 32) AS b,
+                   count(*) AS o
+            FROM documents GROUP BY 1, 2),
+per_src AS (SELECT source, sum(o) AS n FROM sb GROUP BY 1),
+per_b AS (SELECT b, sum(o) AS c FROM sb GROUP BY 1),
+tot AS (SELECT sum(o) AS nt FROM sb),
+grid AS (SELECT source, n, b, c, nt FROM per_src, per_b, tot),
+terms AS (SELECT g.source, g.n, g.nt,
+                 abs(coalesce(sb.o, 0) * g.nt - g.c * g.n) AS x
+          FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.b = sb.b)
+SELECT source, CAST(any_value(n) AS BIGINT) AS n_docs,
+       CAST((500000 * sum(x)) // (any_value(n) * any_value(nt))
+            AS BIGINT) AS tvd_ppm
+FROM terms GROUP BY source ORDER BY tvd_ppm DESC, source
 """
     gopher_stops = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) \
         + "]"

@@ -256,6 +256,14 @@ def main() -> None:
             "propertygraph_spark.ops.dataset",
             fromlist=["group_split"]).group_split(docs(spark, sf_dir)),
         "text_pmi_pairs": lambda: text.pmi_pairs(docs(spark, sf_dir)),
+        "events_funnel_ordered":
+            lambda: relational.events_funnel_ordered(spark, sf_dir),
+        "events_mad_outliers":
+            lambda: relational.events_mad_outliers(spark, sf_dir),
+        "text_source_drift": lambda: text.source_length_drift(
+            docs(spark, sf_dir)),
+        "kg_api_cooccurrence": lambda: kgdocs.api_cooccurrence(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

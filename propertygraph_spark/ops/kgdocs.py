@@ -1279,6 +1279,75 @@ def call_graph(documents: DataFrame) -> DataFrame:
             .orderBy("caller", "callee"))
 
 
+def api_cooccurrence(documents: DataFrame) -> DataFrame:
+    """API usage-pattern mining (the MAPO / API-misuse-detection
+    primitive, Zhong et al. 2009): unordered pairs of DISTINCT linked
+    callee fqns used within the same document, counted across the
+    corpus — 'callers of X also call Y', the association surface a
+    KG consumer mines for usage patterns and anomaly rules. Returns
+    (api_a, api_b, n_docs), api_a < api_b.
+
+    Scale shape: packed map-only linking feeds one groupBy(doc_id)
+    collect_set (bounded: distinct APIs per doc, not call sites), pairs
+    are generated IN-ROW from the sorted set (flatten/transform — no
+    self-join), and the final count groups on the bounded API-pair
+    key space."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    linked = link_mentions(mentions,
+                           symbol_dictionary(documents.sparkSession))
+    calls = linked.filter(F.col("kind") == "call_site")
+    per_doc = (calls.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_set("fqn")).alias("apis")))
+    pairs = per_doc.select(F.explode(F.expr(
+        "flatten(transform(apis, (x, i) -> "
+        "transform(slice(apis, i + 2, size(apis)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("api_a"),
+                          F.col("p.b").alias("api_b"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("api_a", "api_b"))
+
+
+def api_cooccurrence_oracle_sql() -> str:
+    """DuckDB twin of api_cooccurrence: host-replayed linking argmax ->
+    each template's distinct linked callee set -> its unordered pairs,
+    scaled by the doc_id%4 template counts."""
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    pair_tpls: dict = {}
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        fqns = set()
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is not None:
+                fqns.add(best[0])
+        apis = sorted(fqns)
+        for i, a in enumerate(apis):
+            for b in apis[i + 1:]:
+                pair_tpls.setdefault((a, b), []).append(tpl)
+    if not pair_tpls:
+        raise RuntimeError("frozen call-site multiset yields no pairs")
+    values = ", ".join(
+        f"({tpl}, '{a}', '{b}')"
+        for (a, b), tpls in sorted(pair_tpls.items()) for tpl in tpls)
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, a, b) AS (VALUES {values})
+SELECT c.a AS api_a, c.b AS api_b,
+       CAST(sum(t.n) AS BIGINT) AS n_docs
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def call_graph_oracle_sql() -> str:
     """DuckDB twin of call_graph: host-replayed linking argmax over the
     frozen call-site occurrences -> per-template per-doc edge constants,

@@ -1173,3 +1173,100 @@ def event_value_quantile_sketch(spark: SparkSession, sf_dir: str,
         lb("b90").cast("long").alias("p90_est_x1000"),
         lb("b99").cast("long").alias("p99_est_x1000"))
         .orderBy("event_type"))
+
+
+def events_funnel_ordered(spark: SparkSession, sf_dir: str,
+                          steps: tuple = ("view", "click", "purchase")
+                          ) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple the
+    unordered event_type_funnel above cannot answer: a user reaches
+    step k only via the strictly ORDERED progression step1 <= step2 <=
+    ... (each step's time = the user's EARLIEST step-k event at or
+    after their step-(k-1) time; ties on the timestamp count, matching
+    same-second instrumentation). Returns one row per step: (step_idx,
+    step, n_users, conversion_pm from step 1).
+
+    Scale shape: per step one filter + one map-side-combined min per
+    user, then an equi-join against the previous step's (user, t) table
+    — every join keys on user_id, so AQE co-partitions the whole chain
+    on one hash; per-user state is ONE timestamp per step. Epoch
+    seconds via NTZ timestampdiff (TZ-proof); counts are exact."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                 "'1970-01-01 00:00:00', date_trunc('second', ts))")
+    d = ev.select("user_id", "event_type", sec.alias("sec"))
+    reached = []
+    prev = None
+    for step in steps:
+        s = d.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = s.groupBy("user_id").agg(F.min("sec").alias("t"))
+        else:
+            cur = (s.join(prev.select("user_id",
+                                      F.col("t").alias("t_prev")),
+                          "user_id")
+                   .filter(F.col("sec") >= F.col("t_prev"))
+                   .groupBy("user_id").agg(F.min("sec").alias("t")))
+        reached.append(cur)
+        prev = cur
+    per_step = None
+    for i, (step, df) in enumerate(zip(steps, reached)):
+        row = df.agg(F.count("*").alias("n_users")) \
+                .select(F.lit(i + 1).cast("long").alias("step_idx"),
+                        F.lit(step).alias("step"), "n_users")
+        per_step = row if per_step is None else per_step.unionByName(row)
+    w = Window.orderBy("step_idx") \
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    base = F.max(F.when(F.col("step_idx") == 1, F.col("n_users"))).over(w)
+    return (per_step
+            .withColumn("base", base)
+            .withColumn("conversion_pm",
+                        F.expr("CASE WHEN base > 0 THEN "
+                               "(1000000 * n_users) div base "
+                               "ELSE 0 END").cast("long"))
+            .drop("base")
+            .orderBy("step_idx"))
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str,
+                        k: int = 3) -> DataFrame:
+    """Robust outlier detection per event_type via Median Absolute
+    Deviation (Hampel's rule — the breakdown-resistant alternative to
+    the z-score battery above): flag v where |v - median| > k * MAD.
+
+    All arithmetic is EXACT INTEGER despite the medians interpolating:
+    a median of integers is at worst a half-integer, so 2x the median
+    is an exact integer — med2 = 2*median(v1000), per-row deviation
+    dev2 = |2*v1000 - med2|, mad4 = 2*median(dev2), and the flag
+    2*dev2 > k*mad4 is the exact integer form of dev > k*MAD. Both
+    engines interpolate medians identically (percentile ==
+    quantile_cont, the event_value_percentiles precedent), and every
+    derived value is an integer a double holds exactly.
+
+    Scale shape: two grouped exact medians (each one shuffle of the
+    group's values — the honest cost; swap in the quantile sketch above
+    when 10^12 rows make exact medians silly) + a broadcast of the
+    per-type median table for the deviation pass."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000).cast("long")
+    d = ev.select("event_type", v.alias("v1000"))
+    med = (d.groupBy("event_type")
+           .agg(F.floor(F.percentile("v1000", F.lit(0.5)) * 2)
+                .cast("long").alias("med2"),
+                F.count("*").alias("n_events")))
+    dev = (d.join(F.broadcast(med), "event_type")
+           .withColumn("dev2", F.abs(2 * F.col("v1000") - F.col("med2"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.floor(F.percentile("dev2", F.lit(0.5)) * 2)
+                .cast("long").alias("mad4")))
+    flagged = (dev.join(F.broadcast(mad), "event_type")
+               .withColumn("is_out",
+                           (2 * F.col("dev2") > k * F.col("mad4"))
+                           .cast("long")))
+    return (flagged.groupBy("event_type")
+            .agg(F.first("n_events").alias("n_events"),
+                 F.first("med2").alias("median_milli_x2"),
+                 F.first("mad4").alias("mad_milli_x4"),
+                 F.sum("is_out").alias("n_outliers"))
+            .orderBy("event_type"))

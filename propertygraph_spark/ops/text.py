@@ -738,3 +738,42 @@ def pmi_pairs(docs: DataFrame, min_count: int = 5,
     return (scored.select("a", "b", F.col("c_xy").cast("long"),
                           F.col("ratio_ppm").cast("long"))
             .orderBy(F.desc("ratio_ppm"), "a", "b").limit(top_n))
+
+
+def source_length_drift(docs: DataFrame, n_buckets: int = 8,
+                        bucket_chars: int = 32) -> DataFrame:
+    """Per-source distribution drift — the corpus-monitoring primitive
+    that catches a crawler or upstream source going bad: each source's
+    document-length histogram (n_buckets equi-width buckets of
+    bucket_chars chars, last bucket open-ended) is compared to the
+    whole corpus's by TOTAL VARIATION DISTANCE, reported in exact
+    integer ppm:
+
+        tvd_ppm = floor(500000 * sum_b |o_b*N - c_b*n| / (n * N))
+
+    (the cross-multiplied form of 1/2 * sum |o_b/n - c_b/N| — no
+    floats; magnitudes stay inside BIGINT at oracle scale, and at
+    10^12 docs the counts themselves are the thing to pre-scale).
+
+    Scale shape: ONE corpus scan into a (source, bucket) count table
+    (map-side combined, bounded by sources x buckets), then joins over
+    bounded tables only. Sorted by drift so the worst source leads."""
+    b = F.least(F.lit(n_buckets - 1),
+                F.expr(f"length(text) div {bucket_chars}")).cast("long")
+    sb = (docs.select(F.col("source"), b.alias("b"))
+          .groupBy("source", "b").agg(F.count("*").alias("o")))
+    per_src = sb.groupBy("source").agg(F.sum("o").alias("n"))
+    per_b = sb.groupBy("b").agg(F.sum("o").alias("c"))
+    n_total = per_src.agg(F.sum("n")).collect()[0][0]
+    # every (source, bucket) pair, zero-filled, so missing buckets
+    # still contribute |0 - c_b * n|
+    grid = per_src.crossJoin(F.broadcast(per_b))
+    terms = (grid.join(sb, ["source", "b"], "left")
+             .withColumn("o", F.coalesce("o", F.lit(0)))
+             .withColumn("x", F.abs(F.col("o") * F.lit(n_total)
+                                    - F.col("c") * F.col("n"))))
+    return (terms.groupBy("source")
+            .agg(F.first("n").alias("n_docs"),
+                 F.expr(f"(500000 * sum(x)) div (first(n) * {n_total})")
+                 .cast("long").alias("tvd_ppm"))
+            .orderBy(F.desc("tvd_ppm"), "source"))

@@ -1770,3 +1770,95 @@ def test_pmi_pairs_matches_host_replay(spark):
     exp = sorted(exp, key=lambda r: (-r[3], r[0], r[1]))[:10]
     assert got == exp
     assert got[0][:2] == ("new", "york")
+
+
+def test_events_funnel_ordered_semantics(spark, tmp_path):
+    """Crafted users: completes in order / right events wrong order /
+    stops mid-funnel / same-second tie counts. Monotone step counts and
+    exact integer conversion."""
+    import pandas as pd
+    from propertygraph_spark.ops.relational import events_funnel_ordered
+    t0 = pd.Timestamp("2024-01-01T00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # u1: view -> click -> purchase, in order
+        (1, t0, 1, "view"), (2, t0 + m, 1, "click"),
+        (3, t0 + 2 * m, 1, "purchase"),
+        # u2: purchase BEFORE view/click -> never reaches step 3;
+        # click after view -> reaches step 2
+        (4, t0, 2, "purchase"), (5, t0 + m, 2, "view"),
+        (6, t0 + 2 * m, 2, "click"),
+        # u3: view only
+        (7, t0, 3, "view"),
+        # u4: same-second view+click+purchase -> ties count
+        (8, t0, 4, "view"), (9, t0, 4, "click"), (10, t0, 4, "purchase"),
+        # u5: click+purchase but NO view -> not in funnel at all
+        (11, t0, 5, "click"), (12, t0 + m, 5, "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    got = {r["step_idx"]: r.asDict()
+           for r in events_funnel_ordered(spark, str(tmp_path)).collect()}
+    assert got[1]["n_users"] == 4            # u1 u2 u3 u4
+    assert got[2]["n_users"] == 3            # u1 u2 u4
+    assert got[3]["n_users"] == 2            # u1 u4
+    assert got[2]["conversion_pm"] == 750000
+    assert got[3]["conversion_pm"] == 500000
+
+
+def test_events_mad_outliers_semantics(spark, tmp_path):
+    """Hampel rule on a crafted group: median 10.0, MAD 1.0 -> the two
+    20.0 spikes are the only |v - med| > 3*MAD rows; the exact-integer
+    x2/x4 encoding carries the half-integer medians losslessly."""
+    import pandas as pd
+    from propertygraph_spark.ops.relational import events_mad_outliers
+    vals = [9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 20.0, 20.0]
+    pdf = pd.DataFrame({
+        "event_id": range(len(vals)),
+        "ts": pd.to_datetime(["2024-01-01"] * len(vals))
+              .astype("datetime64[us]"),
+        "user_id": range(len(vals)),
+        "event_type": ["m"] * len(vals),
+        "value": vals, "props": ["{}"] * len(vals)})
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    r = events_mad_outliers(spark, str(tmp_path)).collect()[0].asDict()
+    assert r["median_milli_x2"] == 20000       # median 10.0
+    assert r["mad_milli_x4"] == 4000           # MAD 1.0 (x1000 x4)
+    assert r["n_outliers"] == 2 and r["n_events"] == 9
+
+
+def test_source_length_drift_semantics(spark):
+    """A source whose lengths mirror the corpus drifts ~0; a source
+    concentrated in one bucket drifts high; values match a host replay
+    of the cross-multiplied TVD."""
+    from collections import Counter
+    from propertygraph_spark.ops.text import source_length_drift
+    docs = []
+    i = 0
+    # two balanced sources with identical length profiles...
+    for src in ("a", "b"):
+        for ln in (10, 50, 100, 200) * 5:
+            docs.append((i, "x" * ln, src))
+            i += 1
+    # ...and one source pinned to a single bucket
+    for _ in range(20):
+        docs.append((i, "x" * 10, "c"))
+        i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string, "
+                                     "source string")
+    got = {r["source"]: r["tvd_ppm"]
+           for r in source_length_drift(df).collect()}
+
+    per = Counter((s, min(7, len(t) // 32)) for _, t, s in docs)
+    n_src = Counter(s for _, _, s in docs)
+    n_b = Counter(b for (_, b), c in per.items() for _ in range(c))
+    nt = len(docs)
+    for s in ("a", "b", "c"):
+        tvd = sum(abs(per.get((s, b), 0) * nt - n_b[b] * n_src[s])
+                  for b in range(8))
+        assert got[s] == (500000 * tvd) // (n_src[s] * nt), s
+    assert got["c"] > got["a"] == got["b"]
