@@ -76,10 +76,13 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q22_idle_rich_customers", "q9_nation_year_revenue",
                     "q13_order_counts", "q16_supplier_parts",
                     "q18_large_orders", "q11_important_parts",
-                    "events_percentiles",
+                    "events_percentiles", "events_user_sketch",
                     "q8_market_share", "q15_top_suppliers",
                     "q17_small_qty_revenue", "q21_last_shippers",
-                    "q2_min_cost_supplier", "q20_dominant_suppliers")
+                    "q2_min_cost_supplier", "q20_dominant_suppliers",
+                    "events_weekly_retention", "events_top_per_user",
+                    "events_rolling_sum", "events_transitions",
+                    "events_json_props", "text_token_stats")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -142,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_cfg_dominators"] = lambda s, d: kgdocs.cfg_dominators_by_template(
         _docs(s, d))
+    q["kg_cyclomatic"] = lambda s, d: kgdocs.cyclomatic_by_template(
+        _docs(s, d))
+    q["kg_api_pagerank"] = lambda s, d: kgdocs.api_pagerank(_docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
 
@@ -175,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_quantile_sketch"] = relational.event_value_quantile_sketch
     q["events_funnel_ordered"] = relational.events_funnel_ordered
     q["events_mad_outliers"] = relational.events_mad_outliers
+    q["events_profile"] = relational.table_profile
     q["q8_market_share"] = relational.nation_market_share
     q["q15_top_suppliers"] = relational.top_revenue_suppliers
     q["q17_small_qty_revenue"] = relational.small_quantity_revenue
@@ -229,6 +236,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_pmi_pairs"] = lambda s, d: text.pmi_pairs(_docs(s, d))
     q["text_source_drift"] = lambda s, d: text.source_length_drift(
         _docs(s, d))
+    q["text_ngram_novelty"] = lambda s, d: text.ngram_novelty(_docs(s, d))
+
+    # language mixture needs genuinely MIXED docs — append a German line
+    # to every 3rd doc and a French line to every 7th, mirrored in the
+    # oracle (base docs are single-line)
+    def _docs_with_lang_lines(s_, d_):
+        base = _docs(s_, d_)
+        extra = F.concat(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nder und die das ist nicht ein"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nle la les et est pas un"))
+            .otherwise(F.lit("")))
+        return base.withColumn("text", F.concat(F.col("text"), extra))
+
+    q["text_lang_mixture"] = lambda s, d: text.language_mixture(
+        _docs_with_lang_lines(s, d))
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -270,6 +295,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_docs(s, d))
     q["dedup_keep_best"] = lambda s, d: dedup.keep_best_duplicate(_docs(s, d))
+    # containment needs genuinely CONTAINED docs — every 10th doc also
+    # appears as its own token-prefix half (a truncation/quote twin),
+    # mirrored in the oracle
+    def _docs_with_contained(s_, d_):
+        base = _docs(s_, d_)
+        halves = (base.filter(F.col("doc_id") % 10 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+                  .withColumn("toks", text.tokens_col())
+                  .withColumn("text", F.expr(
+                      "concat_ws(' ', slice(toks, 1, size(toks) div 2))"))
+                  .drop("toks"))
+        return base.unionByName(halves)
+
+    q["dedup_containment"] = lambda s, d: dedup.containment_pairs(
+        _docs_with_contained(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dupes(
@@ -290,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivfpq_refine_topk"] = lambda s, d: \
         similarity.ann_ivfpq_refine_topk(_emb(s, d), k=5)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
+    q["emb_kmeans"] = lambda s, d: similarity.kmeans_cells(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
     q["emb_matryoshka"] = lambda s, d: similarity.matryoshka_truncate(
         _emb(s, d))
@@ -430,6 +471,117 @@ FROM sc
 """
 
 
+def _lang_mixture_sql() -> str:
+    """DuckDB twin of text.language_mixture over the lang-line-augmented
+    corpus: the identical per-line encoded argmax, doc-level label
+    counts via list_filter, Gini in the same integer-ppm form."""
+    items = list(LANG_MARKERS.items())
+
+    def score(markers: list) -> str:
+        arr = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+        return ("len(list_filter("
+                "list_filter(string_split_regex(ln, '\\s+'), w -> w <> ''),"
+                f" t -> list_contains({arr}, t)))")
+
+    encs = [f"({score(m)} * 8 + {7 - r})" for r, (_l, m) in enumerate(items)]
+    best = "greatest(" + ", ".join(encs) + ")"
+    label = "'und'"
+    for r, (lang, m) in enumerate(items):
+        label = (f"CASE WHEN {best} = ({score(m)} * 8 + {7 - r}) "
+                 f"AND {score(m)} > 0 THEN '{lang}' ELSE {label} END")
+    labs = [lang for lang, _ in items] + ["und"]
+    counts = {l: f"len(list_filter(labels, x -> x = '{l}'))" for l in labs}
+    cnt_cols = ", ".join(f"{counts[l]} AS c_{l}" for l in labs)
+    sumsq = " + ".join(f"c_{l} * c_{l}" for l in labs)
+    m_encs = [f"(c_{l} * 8 + {7 - r})" for r, l in enumerate(labs)]
+    m_best = "greatest(" + ", ".join(m_encs) + ")"
+    main = "'und'"
+    for r, l in enumerate(labs):
+        main = (f"CASE WHEN {m_best} = (c_{l} * 8 + {7 - r}) "
+                f"AND c_{l} > 0 THEN '{l}' ELSE {main} END")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'der und die das ist nicht ein'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'le la les et est pas un'
+                 ELSE '' END AS text
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(text, chr(10)),
+                       l -> len(list_filter(
+                                string_split_regex(l, '\\s+'),
+                                w -> w <> '')) > 0),
+           ln -> {label}) AS labels
+  FROM aug
+), c AS (
+  SELECT doc_id, len(labels) AS n, {cnt_cols} FROM lab
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_lines, {main} AS main_lang,
+       CAST(CASE WHEN n > 0
+                 THEN (1000000 * (n * n - ({sumsq}))) // (n * n)
+                 ELSE 0 END AS BIGINT) AS gini_ppm
+FROM c
+"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of similarity.kmeans_cells: the identical integer
+    Lloyd iterations unrolled as a CTE chain (same half-up milli
+    quantization, same md5 seeding, same (d2, cell) argmin tie-break,
+    same truncating integer-mean update, empty cells keep the previous
+    centroid)."""
+    d2 = ("list_sum(list_transform(generate_series(1, len(e.v)), "
+          "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))")
+    parts = [f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cell, v
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+)"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cell) AS rn
+    FROM q e CROSS JOIN {prev} c) WHERE rn = 1
+), u{t} AS (
+  SELECT cell, dim, sum(v[dim]) AS s, count(*) AS n
+  FROM (SELECT cell, unnest(generate_series(1, len(v))) AS dim, v
+        FROM a{t})
+  GROUP BY cell, dim
+), c{t} AS (
+  SELECT p.cell, coalesce(u.v, p.v) AS v
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list(s // n ORDER BY dim) AS v FROM u{t} GROUP BY cell
+  ) u USING (cell)
+)""")
+        prev = f"c{t}"
+    parts.append(f"""af AS (
+  SELECT cell, d2 FROM (
+    SELECT e.vec_id, c.cell, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cell) AS rn
+    FROM q e CROSS JOIN {prev} c) WHERE rn = 1
+)""")
+    return ("WITH " + ", ".join(parts) + """
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(d2) AS BIGINT) AS inertia
+FROM af GROUP BY cell ORDER BY cell
+""")
+
+
 def _shingle_sql(k: int = 3) -> str:
     """(doc_id, shingle) distinct via per-row generate_series list +
     unnest (DuckDB's lateral generate_series rejects column params)."""
@@ -493,6 +645,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_wl_shapes"] = kgdocs.wl_oracle_sql()
     o["kg_api_cooccurrence"] = kgdocs.api_cooccurrence_oracle_sql()
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
+    o["kg_cyclomatic"] = kgdocs.cyclomatic_oracle_sql()
+    o["kg_api_pagerank"] = kgdocs.api_pagerank_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """
@@ -688,6 +842,51 @@ SELECT t.event_type, CAST(n_regs AS BIGINT) AS n_regs,
          AS hll_estimate,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM t JOIN ex USING (event_type) ORDER BY event_type
+"""
+    prof_hv12 = " + ".join(
+        "CAST(" + _sql_hexval(f"substr(md5(val), {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12))
+    prof_sig42 = " + ".join(f"CAST(v >= {1 << i} AS BIGINT)"
+                            for i in range(42))
+    o["events_profile"] = f"""
+WITH melted AS (
+  SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'ts', CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+  UNION ALL
+  SELECT 'value', CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'props', props FROM events
+), stats AS (
+  SELECT col, count(*) AS n_rows,
+         sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+         min(val) AS min_val, max(val) AS max_val
+  FROM melted GROUP BY col
+), r AS (
+  SELECT col, ({prof_hv12}) % 64 AS reg, ({prof_hv12}) // 64 AS v
+  FROM melted WHERE val IS NOT NULL
+), per AS (
+  SELECT col, reg, max(43 - ({prof_sig42})) AS mx FROM r GROUP BY col, reg
+), t AS (
+  SELECT col, count(*) AS n_regs,
+         sum(CAST(1 AS BIGINT) << CAST(43 - mx AS INT)) AS s
+  FROM per GROUP BY col
+)
+SELECT stats.col AS col, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST((1000000 * n_null) // n_rows AS BIGINT) AS null_ppm,
+       CAST(coalesce((({64 * 64 * (1 << 43)} //
+              (s + (64 - n_regs) * {1 << 43})) * 709) // 1000, 0)
+            AS BIGINT) AS hll_distinct,
+       min_val, max_val
+FROM stats LEFT JOIN t USING (col) ORDER BY col
 """
     o["events_mad_outliers"] = """
 WITH d AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT)
@@ -1399,6 +1598,18 @@ SELECT source, CAST(any_value(n) AS BIGINT) AS n_docs,
             AS BIGINT) AS tvd_ppm
 FROM terms GROUP BY source ORDER BY tvd_ppm DESC, source
 """
+    o["text_ngram_novelty"] = f"""
+WITH sh AS ({_shingle_sql(8)}),
+fi AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((1000000 * sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novel_ppm
+FROM sh s JOIN fi f USING (shingle)
+GROUP BY 1
+"""
+    o["text_lang_mixture"] = _lang_mixture_sql()
     gopher_stops = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) \
         + "]"
     o["text_gopher_quality"] = f"""
@@ -1809,6 +2020,36 @@ SELECT m.doc_id, m.cluster_id, m.quality_score,
        CAST(m.doc_id = best.best_doc_id AS INT) AS is_best
 FROM m JOIN best USING (cluster_id)
 """
+    cont_parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(5))
+    o["dedup_containment"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_slice(toks, 1, len(toks) // 2), ' ')
+  FROM (SELECT doc_id, {_sql_tokens()} AS toks FROM documents)
+  WHERE doc_id % 10 = 0
+), sh AS (
+  SELECT DISTINCT doc_id, {cont_parts} AS shingle
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+        FROM (SELECT doc_id, {_sql_tokens()} AS toks FROM aug))
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)
+         WHERE dfc.df <= 64),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST((1000000 * p.shared) // least(sa.n, sb.n) AS BIGINT)
+         AS containment_ppm
+FROM p JOIN sizes sa ON sa.doc_id = p.doc_a
+       JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE (1000000 * p.shared) // least(sa.n, sb.n) >= 600000
+"""
     o["dedup_simhash"] = _simhash_sql()
     nib_sel = " UNION ALL ".join(
         f"SELECT doc_id, simhash16, {b} AS band, "
@@ -2187,6 +2428,7 @@ FROM c
 """
     # per-element integer scaling (not floor-of-float-sum): summation
     # order can never flip the value on either engine
+    o["emb_kmeans"] = _kmeans_sql()
     o["emb_centroids"] = """
 SELECT label, dim,
        CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_x_pm,

@@ -264,6 +264,17 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_api_cooccurrence": lambda: kgdocs.api_cooccurrence(
             docs(spark, sf_dir)),
+        "kg_cyclomatic": lambda: kgdocs.cyclomatic_by_template(
+            docs(spark, sf_dir)),
+        "kg_api_pagerank": lambda: kgdocs.api_pagerank(docs(spark, sf_dir)),
+        "text_ngram_novelty": lambda: text.ngram_novelty(
+            docs(spark, sf_dir)),
+        "text_lang_mixture": lambda: text.language_mixture(
+            docs(spark, sf_dir)),
+        "dedup_containment": lambda: dedup.containment_pairs(
+            docs(spark, sf_dir)),
+        "events_profile": lambda: relational.table_profile(spark, sf_dir),
+        "emb_kmeans": lambda: similarity.kmeans_cells(emb(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

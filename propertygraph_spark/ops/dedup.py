@@ -600,3 +600,58 @@ def line_dedup_cut(docs: DataFrame, min_df: int = 2,
                      F.transform(F.array_sort(F.collect_list(kept_struct)),
                                  lambda x: x["line"]),
                      delim).alias("clean_text")))
+
+
+def containment_pairs(docs: DataFrame, k: int = 5,
+                      thr_ppm: int = 600_000,
+                      df_cap: int = 64) -> DataFrame:
+    """Asymmetric near-duplicate detection by CONTAINMENT (Broder 1997's
+    second resemblance measure): shared distinct k-shingles over the
+    SMALLER doc's shingle count, in ppm. Catches what Jaccard misses —
+    a short document wholly quoted inside a long one scores
+    containment ~1.0 but Jaccard ~|small|/|large| (far below any
+    near-dup threshold). The RefinedWeb-era concern: forum quotes,
+    syndicated excerpts, prefix truncations.
+
+    Scale shape: distinct (doc, md5-shingle) pairs; a map-side-combined
+    df count whose ABOVE-CAP tail (stop shingles — boilerplate that
+    would quadratically explode candidate generation; standard All-
+    Pairs practice) anti-joins the index down; the surviving shingle
+    groups are bounded by df_cap, so the in-row pair explode is
+    O(df_cap^2) per shingle worst-case and the (a, b) rollup counts
+    shared shingles without materializing per-pair arrays. Doc sizes
+    join back on doc_id. Dropping hot shingles makes the measure a
+    documented LOWER BOUND on true containment — identical in the
+    oracle, which replays the same cap."""
+    from .text import with_shingle_arr
+
+    d = with_shingle_arr(docs.select("doc_id", "text"), k)
+    dh = d.select("doc_id", F.explode(F.array_distinct(
+        F.transform("sh", F.md5))).alias("h"))
+    sizes = dh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = (dh.groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap).select("h"))
+    byh = (dh.join(hot, "h", "left_anti")
+           .groupBy("h")
+           .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+           .filter(F.size("ds") >= 2))
+    pairs = byh.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+    shared = (pairs.groupBy(F.col("p.a").alias("a"),
+                            F.col("p.b").alias("b"))
+              .agg(F.count("*").alias("shared")))
+    return (shared
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("n").alias("n_a")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("n").alias("n_b")), "b")
+            .withColumn("containment_ppm",
+                        F.expr("(1000000 * shared) div least(n_a, n_b)")
+                        .cast("long"))
+            .filter(F.col("containment_ppm") >= thr_ppm)
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                    F.col("shared").cast("long"),
+                    F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+                    "containment_ppm"))

@@ -71,6 +71,7 @@ TEMPLATE_CFG_DOM: dict[int, tuple] = {}                  # filled below
 TEMPLATE_CFG_LAYERS: dict[int, tuple] = {}               # filled below
 TEMPLATE_PDG_CLUSTERING: dict[int, tuple] = {}           # filled below
 TEMPLATE_CFG_WL: dict[int, tuple] = {}                   # filled below
+TEMPLATE_CFG_CYCLOMATIC: dict[int, tuple] = {}           # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -210,6 +211,22 @@ def _scc_stats(triples: list) -> tuple:
         loops += sum(1 for s in sizes.values() if s >= 2)
         largest = max([largest] + list(sizes.values()))
     return total, loops, largest
+
+
+def _cyclomatic_stats(triples: list) -> tuple:
+    """McCabe cyclomatic complexity over each method's CFG — M = E - N
+    + 2 on the distinct (subj, obj) digraph (connected intra-method
+    CFG, so P = 1): (n_methods, sum of M, max M) across the doc's
+    methods. Pure counting on the frozen triples, so the constants are
+    an independent definition of what the Spark rollup must produce."""
+    n_methods, sum_cc, max_cc = 0, 0, 0
+    for edges in _cfg_edges_by_method(triples).values():
+        nodes = {x for e in edges for x in e}
+        cc = len(edges) - len(nodes) + 2
+        n_methods += 1
+        sum_cc += cc
+        max_cc = max(max_cc, cc)
+    return n_methods, sum_cc, max_cc
 
 
 def _dom_stats(triples: list) -> tuple:
@@ -508,6 +525,7 @@ def _freeze_constants() -> None:
         TEMPLATE_CFG_LAYERS[tpl] = _layer_stats(triples)
         TEMPLATE_PDG_CLUSTERING[tpl] = _clustcoef_stats(triples)
         TEMPLATE_CFG_WL[tpl] = _wl_stats(triples)
+        TEMPLATE_CFG_CYCLOMATIC[tpl] = _cyclomatic_stats(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -866,6 +884,56 @@ SELECT c.tpl AS tpl, CAST(t.n * c.sccs AS BIGINT) AS n_sccs,
        CAST(c.big AS BIGINT) AS largest_scc
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.sccs > 0
+ORDER BY c.tpl
+"""
+
+
+def cyclomatic_by_template(documents: DataFrame) -> DataFrame:
+    """McCabe cyclomatic complexity per method — M = E - N + 2 over the
+    distinct edges of each method's CFG (the standard code-quality
+    metric a code-KG consumer derives from exactly the cfg_* edge set
+    the reference emits, CFG.java:150-197) — rolled up per template to
+    (method count, total complexity, max complexity).
+
+    Scale shape: one distinct over (method_id, subj, obj), one edge
+    count and one node count keyed on method_id (disjoint per-method
+    graphs never co-shuffle), then a bounded per-template rollup — no
+    iteration, no joins beyond the two bounded aggregates."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", "subj", "obj").distinct())
+    n_edges = edges.groupBy("method_id").agg(F.count("*").alias("e"))
+    nodes = (edges.select("method_id", F.col("subj").alias("node"))
+             .unionByName(edges.select("method_id",
+                                       F.col("obj").alias("node")))
+             .distinct())
+    n_nodes = nodes.groupBy("method_id").agg(F.count("*").alias("n"))
+    per_method = (n_edges.join(n_nodes, "method_id")
+                  .withColumn("cc", F.col("e") - F.col("n") + F.lit(2)))
+    return (per_method
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_methods"),
+                 F.sum("cc").cast("long").alias("sum_cc"),
+                 F.max("cc").cast("long").alias("max_cc"))
+            .orderBy("tpl"))
+
+
+def cyclomatic_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {s}, {mx})"
+        for tpl, (n, s, mx) in TEMPLATE_CFG_CYCLOMATIC.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, nm, s, mx) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.nm AS BIGINT) AS n_methods,
+       CAST(t.n * c.s AS BIGINT) AS sum_cc,
+       CAST(c.mx AS BIGINT) AS max_cc
+FROM consts c JOIN tplcount t USING (tpl)
 ORDER BY c.tpl
 """
 
@@ -1345,6 +1413,70 @@ SELECT c.a AS api_a, c.b AS api_b,
        CAST(sum(t.n) AS BIGINT) AS n_docs
 FROM consts c JOIN tplcount t USING (tpl)
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def api_pagerank(documents: DataFrame) -> DataFrame:
+    """PageRank over the CORPUS-WIDE call graph — 'which symbols matter
+    most' across every document at once, the KG-consumer ranking query
+    (the reference materializes exactly these method/call nodes and
+    edges for graph-store consumers; README.md:4-5) — run through the
+    DISTRIBUTED integer-PageRank loop (ops/graph.pagerank_int,
+    bounded_scopes=False): unlike the per-method scoped graphs, the
+    alias/call graph spans the whole corpus, so no per-scope kernel
+    applies and the join+agg iteration is the honest 10^12-doc path.
+
+    Scale shape: packed map-only linking feeds one bounded-key edge
+    rollup (distinct caller-class x callee-fqn pairs); the iteration
+    then runs entirely on that BOUNDED edge table — three joins + aggs
+    over thousands of rows regardless of corpus size."""
+    from propertygraph_spark.ops.graph import pagerank_int
+    edges = (call_graph(documents)
+             .select(F.col("caller").alias("src"),
+                     F.col("callee").alias("dst")))
+    ranks = pagerank_int(edges, bounded_scopes=False)
+    return (ranks.select("node", F.col("rank_mu").cast("long"))
+            .orderBy(F.desc("rank_mu"), "node"))
+
+
+def api_pagerank_oracle_sql() -> str:
+    """DuckDB twin of api_pagerank: the call-graph EDGE SET is a pure
+    function of which templates appear (duplicate edges count once and
+    every template contributes its fixed edges), so the host replays
+    the linking argmax to derive the edges, then runs the identical
+    integer-PageRank recurrence (same floor divisions as
+    ops/graph.pagerank_int) and inlines the ranks as VALUES. Assumes
+    all four templates occur in the corpus (any dense doc_id range
+    >= 4 — true of every testdata scale)."""
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    edges: set = set()
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is not None:
+                edges.add((f"D{tpl}", best[0]))
+    if not edges:
+        raise RuntimeError("frozen call-site multiset yields no edges")
+    unit, damp_pm = 1_000_000, 850
+    nodes = sorted({x for e in edges for x in e})
+    outdeg: dict = {}
+    for u, _v in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = unit * (1000 - damp_pm) // 1000
+    rank = {n: unit for n in nodes}
+    for _ in range(3):
+        s: dict = {}
+        for u, v in edges:
+            s[v] = s.get(v, 0) + rank[u] // outdeg[u]
+        rank = {n: base + damp_pm * s.get(n, 0) // 1000 for n in nodes}
+    values = ", ".join(f"('{n}', {r})" for n, r in sorted(rank.items()))
+    return f"""
+SELECT node, CAST(rank_mu AS BIGINT) AS rank_mu
+FROM (VALUES {values}) AS t(node, rank_mu)
+ORDER BY rank_mu DESC, node
 """
 
 

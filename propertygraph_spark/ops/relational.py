@@ -1270,3 +1270,71 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str,
                  F.first("mad4").alias("mad_milli_x4"),
                  F.sum("is_out").alias("n_outliers"))
             .orderBy("event_type"))
+
+
+def table_profile(spark: SparkSession, sf_dir: str,
+                  m: int = 64) -> DataFrame:
+    """ANALYZE-TABLE twin — the per-column statistics profile every
+    warehouse maintenance loop runs before choosing join strategies and
+    file layouts: for each events column, row/null counts (null share
+    in ppm), a deterministic m=64-register HyperLogLog distinct
+    estimate, and lexicographic min/max — all over CANONICAL string
+    encodings (timestamps as NTZ epoch seconds, doubles as
+    round(x*1000) milli-units), so both engines see identical bytes
+    and the whole profile is bit-exact cross-engine (float formatting
+    and timezone hops are the two classic profile nondeterminisms).
+
+    Scale shape: one melt (6 struct literals + explode — a single
+    corpus scan) feeding two MAP-SIDE-COMBINED aggregations whose
+    outputs are bounded by columns x (m + 1) rows; no exact distinct
+    anywhere (that is the full shuffle the sketch exists to avoid —
+    event_user_hll carries the exact reference where quality needs
+    auditing). The 6x row amplification of the melt stays inside the
+    scan stage (combiner output is tiny); a one-pass-per-column
+    variant trades plan uniformity for it at identical shuffle cost."""
+    ev = _t(spark, sf_dir, "events")
+    enc = {
+        "event_id": F.col("event_id").cast("string"),
+        "ts": F.expr("cast(timestampdiff(SECOND, TIMESTAMP_NTZ "
+                     "'1970-01-01 00:00:00', ts) as string)"),
+        "user_id": F.col("user_id").cast("string"),
+        "event_type": F.col("event_type"),
+        "value": F.expr("cast(cast(round(value * 1000) as bigint) "
+                        "as string)"),
+        "props": F.col("props"),
+    }
+    melted = (ev.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"), v.alias("val"))
+        for c, v in enc.items()])).alias("kv"))
+        .select(F.col("kv.col").alias("col"), F.col("kv.val").alias("val")))
+    stats = (melted.groupBy("col")
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum(F.col("val").isNull().cast("long"))
+                  .alias("n_null"),
+                  F.min("val").alias("min_val"),
+                  F.max("val").alias("max_val")))
+    nn = melted.filter(F.col("val").isNotNull())
+    h_long = F.conv(F.substring(F.md5("val"), 1, 12), 16, 10).cast("long")
+    d = (nn.select("col", h_long.alias("hl"))
+         .withColumn("reg", (F.col("hl") % m).cast("long"))
+         .withColumn("v", F.expr(f"hl div {m}")))
+    sig_bits = sum((F.col("v") >= F.lit(1 << i)).cast("int")
+                   for i in range(42))
+    per_reg = (d.withColumn("rank", (F.lit(43) - sig_bits).cast("long"))
+               .groupBy("col", "reg").agg(F.max("rank").alias("mx")))
+    terms = per_reg.groupBy("col").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr("shiftleft(1L, cast(43 - mx as int))")).alias("s"))
+    est = F.expr(
+        f"(({m * m * (1 << 43)} div "
+        f"  (s + ({m} - n_regs) * {1 << 43})) * 709) div 1000")
+    return (stats.join(terms, "col", "left")
+            .select("col",
+                    F.col("n_rows").cast("long"),
+                    F.col("n_null").cast("long"),
+                    F.expr("(1000000 * n_null) div n_rows").cast("long")
+                    .alias("null_ppm"),
+                    F.coalesce(est, F.lit(0)).cast("long")
+                    .alias("hll_distinct"),
+                    "min_val", "max_val")
+            .orderBy("col"))

@@ -859,3 +859,71 @@ def matryoshka_truncate(emb: DataFrame, dims: int = 8) -> DataFrame:
         .alias("norm_trunc_pm"),
         F.when(full > 0, F.floor(trunc * 1000 / full)).otherwise(0)
         .cast("long").alias("energy_kept_pm"))
+
+
+def kmeans_cells(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Lloyd's k-means over the embedding table in EXACT integer
+    arithmetic — the clustering primitive behind IVF training,
+    SemDeDup-style cluster pruning and corpus cartography, made
+    bit-reproducible across engines and cluster sizes: vectors quantize
+    to milli-units (floor(x*1000 + 0.5), the codebase's explicit
+    half-up), init centroids are the md5(vec_id)-ordered first k
+    vectors (the IVF seeding rule), assignment is argmin integer
+    squared Euclidean distance with ties to the LOWER cell id, and the
+    update is the per-dimension integer mean (floor). Empty cells keep
+    their previous centroid. Returns (cell, n_members, inertia) from a
+    final assignment against the iterated centroids.
+
+    Scale shape: centroids are a bounded index artifact (k x d ints —
+    collected and broadcast into the assignment expression exactly like
+    the trained IVF quantizer); each iteration is one map-only
+    assignment + one (cell, dim)-keyed integer-sum aggregation whose
+    output is k*d rows regardless of corpus size. No floats anywhere
+    after quantization, so summation order cannot show."""
+    q = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000"
+        " + 0.5) as bigint))").alias("v")).localCheckpoint(eager=False)
+    seeds = (q.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h").limit(k).collect())
+    cents = [list(r["v"]) for r in seeds]
+    kk = len(cents)  # corpus smaller than k degrades cleanly
+
+    def enc_col(cs) -> F.Column:
+        """min over cells of d2 * kk + cell — lexicographic (d2, cell)
+        argmin in one BIGINT (d2 <= (2*max_milli)^2 * dims ~ 2.6e8 at
+        unit-norm 64-dim inputs, nowhere near overflow)."""
+        terms = []
+        for ci, c in enumerate(cs):
+            arr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            d2 = F.aggregate(
+                F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            terms.append(d2 * kk + ci)
+        return F.least(*terms) if len(terms) > 1 else terms[0]
+
+    for _ in range(iters):
+        asg = (q.select("v", enc_col(cents).alias("enc"))
+               .select("v", F.expr(f"enc % {kk}").alias("cell")))
+        upd = (asg.select("cell", F.posexplode("v").alias("dim", "val"))
+               .groupBy("cell", "dim")
+               .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+               .collect())
+        by_cell: dict = {}
+        for r in upd:
+            s, n = int(r["s"]), int(r["n"])
+            # truncate toward zero (Python // floors; SQL integer
+            # division truncates — match the oracle on negative sums)
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = \
+                s // n if s >= 0 else -((-s) // n)
+        cents = [
+            [by_cell[ci][d] for d in range(len(cents[ci]))]
+            if ci in by_cell else cents[ci]
+            for ci in range(kk)]
+    final = (q.select(enc_col(cents).alias("enc"))
+             .select(F.expr(f"enc % {kk}").alias("cell"),
+                     F.expr(f"enc div {kk}").alias("d2")))
+    return (final.groupBy("cell")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("d2").cast("long").alias("inertia"))
+            .select(F.col("cell").cast("long"), "n_members", "inertia")
+            .orderBy("cell"))

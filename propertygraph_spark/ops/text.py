@@ -777,3 +777,141 @@ def source_length_drift(docs: DataFrame, n_buckets: int = 8,
                  F.expr(f"(500000 * sum(x)) div (first(n) * {n_total})")
                  .cast("long").alias("tvd_ppm"))
             .orderBy(F.desc("tvd_ppm"), "source"))
+
+
+def ngram_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document n-gram novelty — the data-curation measure of how
+    much NEW text a document contributes to the corpus (the complement
+    of memorization risk: low-novelty docs mostly restate earlier
+    ones): novel_ppm = share of the doc's DISTINCT token k-grams whose
+    first corpus occurrence (minimum doc_id) is this document.
+    Deterministic — a pure function of the corpus, independent of
+    partitioning.
+
+    Scale shape: one explode of distinct per-doc shingle hashes, one
+    map-side-combined min(doc_id) per 16-byte md5 key, one join back on
+    the same key and a per-doc agg — two exchanges total, no driver
+    state, no unbounded per-key lists. Docs shorter than k tokens have
+    no shingles and emit no row (both engines agree)."""
+    d = with_shingle_arr(docs.select("doc_id", "text"), k)
+    per = d.select("doc_id", F.explode(F.array_distinct(
+        F.transform("sh", F.md5))).alias("h"))
+    first = per.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (per.join(first, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum((F.col("first_doc") == F.col("doc_id"))
+                       .cast("long")).alias("n_novel"))
+            .withColumn("novel_ppm",
+                        F.expr("(1000000 * n_novel) div n_shingles")
+                        .cast("long")))
+
+
+def _contains_in(arr: Column):
+    """One-arg HOF lambda factory (a default-arg closure would read as a
+    TWO-arg (element, index) lambda to pyspark's arity sniffing)."""
+    return lambda t: F.array_contains(arr, t)
+
+
+def _equals_lit(v: str):
+    return lambda x: x == F.lit(v)
+
+
+def _equals_lit_col(v: Column):
+    return lambda x: x == v
+
+
+def _line_language(ln: Column) -> Column:
+    """Label of one line under the marker-word heuristic — the same
+    encoded argmax as language_id (score * 8 + (7 - rank), ties to the
+    earlier list, all-zero -> 'und'), evaluated per LINE inside a
+    higher-order transform so the whole computation stays in one
+    projection."""
+    toks = F.filter(F.split(ln, TOKEN_SPLIT_RE), lambda w: w != F.lit(""))
+    scores = []
+    for rank, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in markers])
+        s = F.size(F.filter(toks, _contains_in(arr)))
+        scores.append((lang, rank, s))
+    encs = [s * 8 + (7 - rank) for (_, rank, s) in scores]
+    best = F.greatest(*encs)
+    pred = F.lit("und")
+    for (lang, rank, s), enc in zip(scores, encs):
+        pred = F.when((best == enc) & (s > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_mixture(docs: DataFrame) -> DataFrame:
+    """Code-switching / mixed-language detection — the multilingual-
+    corpus curation gate a doc-level language id misses: label every
+    non-blank LINE with the marker-word heuristic, then report the
+    doc's line count, majority language (ties to the marker-list
+    order, 'und' last) and the Gini impurity of the line-label
+    distribution in exact integer ppm:
+
+        gini_ppm = (1e6 * (n^2 - sum_l c_l^2)) div n^2
+
+    — 0 for a pure-language doc, rising toward 1e6 as lines split
+    across languages. No logs, no floats, bit-identical in DuckDB.
+
+    Scale shape: entirely IN-ROW higher-order functions — a 10^12-doc
+    scan with ZERO exchanges. The heavy work (tokenize each line, scan
+    the four marker lists) happens ONCE per row in its own projection
+    producing a small int-code array; the count/majority/Gini layer
+    reads that array. The projections must NOT collapse — Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap producers
+    separate, which is exactly what the 5 count references rely on
+    (collapsing would re-run the marker scans per reference: measured
+    20x slower as one flat projection)."""
+    n_langs = len(LANG_MARKERS)
+    lines = F.filter(
+        F.split(F.col("text"), "\n"),
+        lambda l: F.size(F.filter(F.split(l, TOKEN_SPLIT_RE),
+                                  lambda w: w != F.lit(""))) > 0)
+    toks_per_line = F.transform(
+        lines, lambda ln: F.filter(F.split(ln, TOKEN_SPLIT_RE),
+                                   lambda w: w != F.lit("")))
+    marker_arrs = [F.array(*[F.lit(w) for w in markers])
+                   for markers in LANG_MARKERS.values()]
+
+    def _scores(tk: Column) -> Column:
+        return F.array(*[F.size(F.filter(tk, _contains_in(a)))
+                         for a in marker_arrs])
+
+    def _code(sc: Column) -> Column:
+        encs = [sc[i] * 8 + (7 - i) for i in range(n_langs)]
+        best = F.greatest(*encs)
+        code = F.lit(n_langs)  # 'und'
+        for i in range(n_langs):
+            code = F.when((best == encs[i]) & (sc[i] > 0),
+                          F.lit(i)).otherwise(code)
+        return code
+
+    codes = F.transform(F.transform(toks_per_line, _scores), _code)
+    d0 = docs.select("doc_id", codes.alias("codes"))
+    labs = list(LANG_MARKERS) + ["und"]
+
+    def _count_of(i: int):
+        return F.size(F.filter("codes", _equals_lit_col(F.lit(i))))
+
+    d1 = d0.select(
+        "doc_id", F.size("codes").alias("n"),
+        *[_count_of(i).alias(f"c_{i}") for i in range(n_langs + 1)])
+    counts = [F.col(f"c_{i}") for i in range(n_langs + 1)]
+    encs = [c * 8 + (7 - i) for i, c in enumerate(counts)]
+    best = F.greatest(*encs)
+    main = F.lit("und")
+    for (l, i), enc in zip(((l, i) for i, l in enumerate(labs)), encs):
+        main = F.when((best == enc) & (counts[i] > 0),
+                      F.lit(l)).otherwise(main)
+    sumsq_sql = " + ".join(
+        f"cast(c_{i} as bigint) * c_{i}" for i in range(n_langs + 1))
+    gini = F.expr(
+        f"CASE WHEN n > 0 THEN (1000000 * (cast(n as bigint) * n"
+        f" - ({sumsq_sql}))) div (cast(n as bigint) * n)"
+        f" ELSE 0 END")
+    return d1.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_lines"),
+        main.alias("main_lang"),
+        gini.cast("long").alias("gini_ppm"))

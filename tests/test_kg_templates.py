@@ -119,3 +119,39 @@ def test_cfg_scc_and_dominator_constants_pinned():
                                 2: (6, 0, 1), 3: (6, 1, 4)}
     assert TEMPLATE_CFG_DOM == {0: (3, 2), 1: (8, 7),
                                 2: (3, 3), 3: (8, 6)}
+
+
+def test_cyclomatic_constants_pinned():
+    """McCabe complexity of the four main templates, pinned literally:
+    each contributes exactly one method; the if-bearing templates 0/1
+    score M = 2, the branch-free try/catch template 2 scores 1, and
+    the while + nested-if template 3 scores 3 (M = E - N + 2 over the
+    distinct cfg_* edge set)."""
+    from propertygraph_spark.ops.kgdocs import TEMPLATE_CFG_CYCLOMATIC
+    assert TEMPLATE_CFG_CYCLOMATIC == {0: (1, 2, 2), 1: (1, 2, 2),
+                                       2: (1, 1, 1), 3: (1, 3, 3)}
+
+
+def test_api_pagerank_oracle_is_exact_integer_replay():
+    """The corpus call graph is a pure function of the template set, so
+    the oracle inlines host-replayed integer PageRank ranks. Pin the
+    structural invariants: the four caller classes D0-D3 have no
+    in-edges, so after any iteration their rank is exactly the base
+    term 150000 (unit * 0.15); every linked callee accumulates more."""
+    import re
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_LINK_OCCURRENCES,
+                                                _host_best_link,
+                                                api_pagerank_oracle_sql)
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    expected_callers = {
+        f"D{tpl}" for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items()
+        if any(k == "call_site" and _host_best_link(m, c, rows)
+               for m, k, c in occs)}
+    sql = api_pagerank_oracle_sql()
+    ranks = dict(re.findall(r"\('([^']+)', (\d+)\)", sql))
+    callers = {n for n in ranks if re.fullmatch(r"D\d", n)}
+    assert callers == expected_callers and len(callers) >= 3
+    assert all(int(ranks[c]) == 150000 for c in callers)
+    callees = {n: int(r) for n, r in ranks.items() if n not in callers}
+    assert callees and all(r > 150000 for r in callees.values())

@@ -1862,3 +1862,121 @@ def test_source_length_drift_semantics(spark):
                   for b in range(8))
         assert got[s] == (500000 * tvd) // (n_src[s] * nt), s
     assert got["c"] > got["a"] == got["b"]
+
+
+def test_cyclomatic_and_api_pagerank_small_corpus(spark):
+    """Both r5s5 KG rollups on an 8-doc corpus (each template twice):
+    cyclomatic stats double the per-doc frozen constants (max stays),
+    and the distributed-loop PageRank over the corpus call graph is
+    bit-identical to the host integer replay inlined in the oracle."""
+    import re
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_CFG_CYCLOMATIC,
+                                                api_pagerank,
+                                                api_pagerank_oracle_sql,
+                                                cyclomatic_by_template)
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_methods"], r["sum_cc"], r["max_cc"])
+           for r in cyclomatic_by_template(docs).collect()}
+    assert got == {tpl: (2 * n, 2 * s, mx)
+                   for tpl, (n, s, mx) in TEMPLATE_CFG_CYCLOMATIC.items()}
+    expected = {n: int(r) for n, r in
+                re.findall(r"\('([^']+)', (\d+)\)",
+                           api_pagerank_oracle_sql())}
+    ranks = {r["node"]: r["rank_mu"] for r in api_pagerank(docs).collect()}
+    assert ranks == expected
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    """novel_ppm = share of a doc's distinct 8-grams first seen (by min
+    doc_id) in that doc; shorter-than-k docs emit no row."""
+    from propertygraph_spark.ops.text import ngram_novelty
+    rows = [(0, "a b c d e f g h i j"),     # 3 shingles, all first
+            (1, "a b c d e f g h i j k"),   # 4 shingles, 3 seen in doc 0
+            (2, "z y x w v u t s r q"),     # all first
+            (3, "short text")]              # < 8 tokens -> no row
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in ngram_novelty(df).collect())
+    assert got == [(0, 3, 3, 1000000), (1, 4, 1, 250000),
+                   (2, 3, 3, 1000000)]
+
+
+def test_language_mixture_semantics(spark):
+    """Line-level labels: pure doc -> gini 0; 1-of-2 German lines ->
+    500000; fr-majority with an unknown line -> 444444 and main 'fr';
+    empty doc -> (0, 'und', 0); en beats de on ties (marker-list
+    order)."""
+    from propertygraph_spark.ops.text import language_mixture
+    rows = [(0, "the and of to a in\nder und die das ist"),
+            (1, "the and of to a in"),
+            (2, ""),
+            (3, "xx yy zz\nle la les et\nle la les et est")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["main_lang"], r["gini_ppm"])
+           for r in language_mixture(df).collect()}
+    assert got == {0: (2, "en", 500000), 1: (1, "en", 0),
+                   2: (0, "und", 0), 3: (3, "fr", 444444)}
+
+
+def test_containment_pairs_flags_prefix_quote(spark):
+    """A token-prefix half scores containment 1.0 against its source
+    (where Jaccard would be ~|small|/|large|); unrelated docs produce
+    no pair; shingles repeated in more than df_cap docs are stop
+    shingles and generate no candidates."""
+    from propertygraph_spark.ops.dedup import containment_pairs
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    short_doc = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)],
+        "doc_id long, text string")
+    got = [tuple(r) for r in containment_pairs(df).collect()]
+    assert got == [(1, 2, 8, 26, 8, 1000000)]
+    # hot-shingle cap: 70 docs sharing ONE boilerplate 5-gram (df 70 >
+    # 64) and nothing else in common -> the stop shingle is dropped,
+    # zero pairs
+    boiler = "h0 h1 h2 h3 h4"
+    hot = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e")
+           for i in range(70)]
+    df2 = spark.createDataFrame(hot, "doc_id long, text string")
+    assert containment_pairs(df2).count() == 0
+
+
+def test_table_profile_semantics(spark):
+    """ANALYZE twin invariants at sf0.001: one row per column, a shared
+    row count, canonical-encoding min/max ordering, and the m=64 HLL
+    estimate within the sketch's error band on the highest-cardinality
+    column (event_id is unique per row)."""
+    from propertygraph_spark.ops.relational import table_profile
+    sf = "/root/testdata/sf0.001"
+    rows = {r["col"]: r for r in table_profile(spark, sf).collect()}
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type",
+                         "value", "props"}
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1
+    (n_rows,) = n
+    for r in rows.values():
+        assert 0 <= r["null_ppm"] <= 1_000_000
+        assert r["n_null"] <= n_rows
+        if r["n_null"] < n_rows:
+            assert r["min_val"] <= r["max_val"]
+    ev = rows["event_id"]
+    assert ev["n_null"] == 0
+    # unique ids: estimate within the ~13% HLL band (3 sigma ~ 40%)
+    assert abs(ev["hll_distinct"] - n_rows) <= 0.4 * n_rows
+    # bounded-cardinality column: estimate well below the row count
+    assert rows["event_type"]["hll_distinct"] < n_rows // 10
+
+
+def test_kmeans_cells_separates_blobs(spark):
+    """Integer Lloyd's on two tight, well-separated blobs: seeds 6 and 9
+    (md5 order) land one per blob, two rounds converge, and the exact
+    integer inertia is the known within-blob sum (centroid = truncated
+    mean 10001 / -10001 milli; dist^2 = 1 + 0 + 1 = 2 per blob)."""
+    from propertygraph_spark.ops.similarity import kmeans_cells
+    # blob A: vec_ids 6,1,2 near +10 on dim0; blob B: 9,3,4 near -10
+    rows = [(6, [10.000, 0.0]), (1, [10.001, 0.0]), (2, [10.002, 0.0]),
+            (9, [-10.000, 0.0]), (3, [-10.001, 0.0]), (4, [-10.002, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(tuple(r) for r in kmeans_cells(df, k=2, iters=2).collect())
+    assert got == [(0, 3, 2), (1, 3, 2)]

@@ -634,3 +634,12 @@ def test_priority_sample_is_take_ordered(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
     p = plan(priority_sample(df, k=5))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_language_mixture_is_exchange_free(spark):
+    """Per-line langid + Gini is pure higher-order functions — a corpus
+    scan with ZERO exchanges (r5s5)."""
+    from propertygraph_spark.ops.text import language_mixture
+    df = spark.createDataFrame([(1, "a b\nc d")], "doc_id long, text string")
+    p = plan(language_mixture(df))
+    assert "Exchange" not in p, p
