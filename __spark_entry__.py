@@ -64,7 +64,8 @@ _PREV_DRIVER_CHECKED = frozenset({
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
 # _window_reorder preserves).
-_WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
+_WINDOW_OVERFLOW = ("kg_triangles", "kg_kcore",
+                    "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
                     "user_sessions", "event_type_funnel",
@@ -82,7 +83,8 @@ _WINDOW_OVERFLOW = ("q1_pricing_summary", "q3_top_unshipped",
                     "q2_min_cost_supplier", "q20_dominant_suppliers",
                     "events_weekly_retention", "events_top_per_user",
                     "events_rolling_sum", "events_transitions",
-                    "events_json_props", "text_token_stats")
+                    "events_json_props", "text_token_stats",
+                    "text_quality")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -148,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_cyclomatic"] = lambda s, d: kgdocs.cyclomatic_by_template(
         _docs(s, d))
     q["kg_api_pagerank"] = lambda s, d: kgdocs.api_pagerank(_docs(s, d))
+    q["kg_api_hits"] = lambda s, d: kgdocs.api_hits(_docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
 
@@ -237,6 +240,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_source_drift"] = lambda s, d: text.source_length_drift(
         _docs(s, d))
     q["text_ngram_novelty"] = lambda s, d: text.ngram_novelty(_docs(s, d))
+
+    # cross-source overlap needs genuinely SHARED 13-grams — append two
+    # fixed boilerplate sentences on doc_id-keyed subsets (every source
+    # holds members of each subset), mirrored in the oracle
+    def _docs_with_shared_boiler(s_, d_):
+        base = _docs(s_, d_)
+        extra = F.concat(
+            F.when(F.col("doc_id") % 5 < 2,
+                   F.lit(" alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three")).otherwise(F.lit("")))
+        return base.withColumn("text", F.concat(F.col("text"), extra))
+
+    q["text_source_overlap"] = lambda s, d: text.source_ngram_overlap(
+        _docs_with_shared_boiler(s, d))
 
     # language mixture needs genuinely MIXED docs — append a German line
     # to every 3rd doc and a French line to every 7th, mirrored in the
@@ -423,13 +441,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_mixture"] = lambda s, d: mixture_sample(_docs(s, d))
     q["dataset_cube"] = lambda s, d: corpus_stats_cube(_docs(s, d))
     q["dataset_pivot"] = lambda s, d: pivot_lang_source(_docs(s, d))
-    from propertygraph_spark.ops.dataset import (dsir_sample, group_split,
+    from propertygraph_spark.ops.dataset import (curriculum_order,
+                                                 dsir_sample, group_split,
                                                  priority_sample,
                                                  unimax_allocation)
     q["dataset_dsir_sample"] = lambda s, d: dsir_sample(_docs(s, d))
     q["dataset_unimax"] = lambda s, d: unimax_allocation(_docs(s, d))
     q["dataset_priority_sample"] = lambda s, d: priority_sample(_docs(s, d))
     q["dataset_group_split"] = lambda s, d: group_split(_docs(s, d))
+    q["dataset_curriculum"] = lambda s, d: curriculum_order(_docs(s, d))
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -647,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
     o["kg_cyclomatic"] = kgdocs.cyclomatic_oracle_sql()
     o["kg_api_pagerank"] = kgdocs.api_pagerank_oracle_sql()
+    o["kg_api_hits"] = kgdocs.api_hits_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """
@@ -1610,6 +1631,27 @@ FROM sh s JOIN fi f USING (shingle)
 GROUP BY 1
 """
     o["text_lang_mixture"] = _lang_mixture_sql()
+    parts13 = " || ' ' || ".join(
+        f"toks[i + {j}]" for j in range(13))
+    o["text_source_overlap"] = f"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 5 < 2 THEN ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three' ELSE '' END AS text
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source, {parts13} AS shingle
+  FROM (SELECT source, toks,
+               unnest(generate_series(1, greatest(len(toks) - 12, 0)))
+                 AS i
+        FROM (SELECT source, {_sql_tokens()} AS toks FROM aug))
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
     gopher_stops = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) \
         + "]"
     o["text_gopher_quality"] = f"""
@@ -2531,6 +2573,34 @@ SELECT doc_id,
             ELSE 'train' END AS split,
        bucket_pm
 FROM b
+"""
+    o["dataset_curriculum"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_sql_tokens()} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tok, length(text) AS n_char, n_punct,
+         len(list_filter(toks, x -> list_contains({stop_arr}, x))) AS n_stop
+  FROM t
+), s AS (
+  SELECT doc_id,
+         least(n_tok, 500)
+         + CASE WHEN n_tok > 0
+                THEN CAST(floor(n_stop * 1000 / n_tok) AS BIGINT)
+                ELSE 0 END
+         - CASE WHEN n_char > 0
+                THEN CAST(floor(n_punct * 1000 / n_char) AS BIGINT)
+                ELSE 0 END AS score
+  FROM m
+), mm AS (SELECT min(score) AS lo, max(score) AS hi FROM s)
+SELECT doc_id, CAST(score AS BIGINT) AS quality_score,
+       CAST(7 - ((score - lo) * 8 // greatest(hi - lo + 1, 1)) AS BIGINT)
+         AS bin,
+       printf('%02d|%s',
+              7 - ((score - lo) * 8 // greatest(hi - lo + 1, 1)),
+              md5(CAST(doc_id AS VARCHAR))) AS sort_key
+FROM s, mm
 """
     o["dataset_group_split"] = f"""
 WITH m AS (SELECT doc_id, source,

@@ -275,6 +275,13 @@ def main() -> None:
             docs(spark, sf_dir)),
         "events_profile": lambda: relational.table_profile(spark, sf_dir),
         "emb_kmeans": lambda: similarity.kmeans_cells(emb(spark, sf_dir)),
+        "dataset_curriculum": lambda: __import__(
+            "propertygraph_spark.ops.dataset",
+            fromlist=["curriculum_order"]).curriculum_order(
+                docs(spark, sf_dir)),
+        "text_source_overlap": lambda: text.source_ngram_overlap(
+            docs(spark, sf_dir)),
+        "kg_api_hits": lambda: kgdocs.api_hits(docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

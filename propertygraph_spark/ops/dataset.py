@@ -429,3 +429,38 @@ def group_split(docs: DataFrame, group: str = "source", val_pm: int = 50,
     return docs.select("doc_id", F.col(group).alias("group_key"),
                        split.alias("split"),
                        bucket.cast("long").alias("bucket_pm"))
+
+
+def curriculum_order(docs: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Curriculum ordering (Bengio et al. 2009 applied to pretraining
+    data): assign every document a quality bin (fixed-width over the
+    corpus' observed quality-score range — easy/high-quality bins
+    first) and a total-order sort key '<bin|md5(doc_id)>' that plays
+    the curriculum: ascending key = descending quality bins with a
+    deterministic intra-bin shuffle. Emitting a KEY instead of a
+    materialized global row_number is deliberate — a rank would be one
+    single-task window over the corpus; the key lets the write path
+    lay the curriculum out with repartitionByRange(sort_key) (the same
+    contract as the z-order op) at any scale.
+
+    The two-pass shape (one 1-row min/max aggregate, then a map-only
+    scan) is the engine's standard scalar-threshold pattern; bins are
+    a pure function of (score, corpus min/max), so the result is
+    partitioning- and engine-independent."""
+    from .text import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality_score")
+    row = q.agg(F.min("quality_score").alias("lo"),
+                F.max("quality_score").alias("hi")).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    span = max(hi - lo + 1, 1)
+    # bin 0 = HIGHEST quality (curriculum starts easy/clean)
+    b = (F.lit(n_bins - 1)
+         - F.expr(f"(quality_score - {lo}) * {n_bins} div {span}"))
+    return (q.withColumn("bin", b.cast("long"))
+            .withColumn("sort_key",
+                        F.format_string("%02d|%s", F.col("bin"),
+                                        F.md5(F.col("doc_id")
+                                              .cast("string"))))
+            .select("doc_id", F.col("quality_score").cast("long"),
+                    "bin", "sort_key"))

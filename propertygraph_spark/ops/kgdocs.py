@@ -1480,6 +1480,64 @@ ORDER BY rank_mu DESC, node
 """
 
 
+def api_hits(documents: DataFrame) -> DataFrame:
+    """HITS hubs/authorities over the corpus call graph
+    (ops/graph.hits_int through the distributed join+agg loop): caller
+    classes are pure hubs (no in-edges — authority 0), callee fqns
+    pure authorities — the 'which classes aggregate the important
+    APIs / which APIs are aggregated' dual ranking a code-KG consumer
+    reads next to PageRank. Same bounded-edge-table scale shape as
+    kg_api_pagerank."""
+    from propertygraph_spark.ops.graph import hits_int
+    edges = (call_graph(documents)
+             .select(F.col("caller").alias("src"),
+                     F.col("callee").alias("dst")))
+    return (hits_int(edges)
+            .orderBy(F.desc("auth_mu"), F.desc("hub_mu"), "node"))
+
+
+def api_hits_oracle_sql() -> str:
+    """DuckDB twin of api_hits: host replay of the identical integer
+    max-normalized HITS recurrence over the linking-argmax edge set
+    (all-templates-present assumption as api_pagerank)."""
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    edges: set = set()
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is not None:
+                edges.add((f"D{tpl}", best[0]))
+    if not edges:
+        raise RuntimeError("frozen call-site multiset yields no edges")
+    unit = 1_000_000
+    nodes = sorted({x for e in edges for x in e})
+    hub = {n: unit for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(3):
+        a_raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            a_raw[v] += hub[u]
+        mx = max(a_raw.values())
+        auth = {n: (a_raw[n] * unit) // mx if mx > 0 else 0
+                for n in nodes}
+        h_raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            h_raw[u] += auth[v]
+        mx = max(h_raw.values())
+        hub = {n: (h_raw[n] * unit) // mx if mx > 0 else 0
+               for n in nodes}
+    values = ", ".join(f"('{n}', {hub[n]}, {auth[n]})" for n in nodes)
+    return f"""
+SELECT node, CAST(hub_mu AS BIGINT) AS hub_mu,
+       CAST(auth_mu AS BIGINT) AS auth_mu
+FROM (VALUES {values}) AS t(node, hub_mu, auth_mu)
+ORDER BY auth_mu DESC, hub_mu DESC, node
+"""
+
+
 def call_graph_oracle_sql() -> str:
     """DuckDB twin of call_graph: host-replayed linking argmax over the
     frozen call-site occurrences -> per-template per-doc edge constants,

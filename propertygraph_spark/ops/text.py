@@ -915,3 +915,33 @@ def language_mixture(docs: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_lines"),
         main.alias("main_lang"),
         gini.cast("long").alias("gini_ppm"))
+
+
+def source_ngram_overlap(docs: DataFrame, k: int = 13) -> DataFrame:
+    """Cross-source contamination matrix — the corpus-forensics op that
+    catches syndication, mirror crawls and shared boilerplate BETWEEN
+    sources before they skew dedup or eval-split independence: for
+    every source pair, the number of distinct token 13-grams (the Lee
+    et al. dup unit) present in BOTH sources.
+
+    Scale shape: distinct (source, md5-13-gram) pairs — one map-side-
+    combined distinct; one groupBy per hash collecting the SORTED
+    source set (bounded by the source COUNT, not the corpus — a corpus
+    has thousands of sources, not billions); in-row pair explode of
+    that bounded set; final count on the sources^2-bounded pair key.
+    The output is a bounded matrix, so the terminal sort is free."""
+    d = with_shingle_arr(docs.select("source", "text"), k)
+    sh = (d.select("source", F.explode(F.array_distinct(
+        F.transform("sh", F.md5))).alias("h"))
+          .distinct())
+    byh = (sh.groupBy("h")
+           .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+           .filter(F.size("ss") >= 2))
+    pairs = byh.select(F.explode(F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("src_a"),
+                          F.col("p.b").alias("src_b"))
+            .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+            .orderBy("src_a", "src_b"))

@@ -1980,3 +1980,55 @@ def test_kmeans_cells_separates_blobs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = sorted(tuple(r) for r in kmeans_cells(df, k=2, iters=2).collect())
     assert got == [(0, 3, 2), (1, 3, 2)]
+
+
+def test_curriculum_order_semantics(spark):
+    """Bin 0 = highest quality; sort_key ascending plays bins in order
+    with md5-shuffled ties; values = the quality_score formula."""
+    from propertygraph_spark.ops.dataset import curriculum_order
+    hi = " ".join(["the and of to a in is that for it"] * 10)  # stopwordy
+    lo = "!!! ??? ,,, ;;; ::: %%% @@@ ###"                     # punct soup
+    mid = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, hi), (2, lo), (3, mid)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in curriculum_order(df).collect()}
+    assert rows[1]["bin"] == 0                      # best -> first bin
+    assert rows[2]["bin"] == 7                      # worst -> last bin
+    assert rows[1]["sort_key"] < rows[3]["sort_key"] < rows[2]["sort_key"]
+    assert rows[1]["sort_key"].startswith("00|")
+
+
+def test_source_ngram_overlap_semantics(spark):
+    """Only source pairs genuinely sharing a 13-gram appear, counted
+    once per DISTINCT shared shingle."""
+    from propertygraph_spark.ops.text import source_ngram_overlap
+    shared = " ".join(f"s{i}" for i in range(13))
+    rows = [(1, shared + " ax bx", "A"),
+            (2, "cx dx " + shared, "B"),
+            (3, "totally unrelated words here only", "C"),
+            (4, shared + " ex", "A")]   # same source repeat: still 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = [tuple(r) for r in source_ngram_overlap(df).collect()]
+    assert got == [("A", "B", 1)]
+
+
+def test_api_hits_matches_host_replay(spark):
+    """The distributed integer HITS loop over the corpus call graph is
+    bit-identical to the host replay inlined in the oracle; callers
+    (no in-edges) hold authority exactly 0, callees hub exactly 0."""
+    import re
+    from propertygraph_spark.ops.kgdocs import api_hits, api_hits_oracle_sql
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["node"]: (r["hub_mu"], r["auth_mu"])
+           for r in api_hits(docs).collect()}
+    expected = {n: (int(h), int(a)) for n, h, a in
+                re.findall(r"\('([^']+)', (\d+), (\d+)\)",
+                           api_hits_oracle_sql())}
+    assert got == expected
+    for n, (h, a) in got.items():
+        if re.fullmatch(r"D\d", n):
+            assert a == 0 and h > 0, n
+        else:
+            assert h == 0 and a > 0, n
