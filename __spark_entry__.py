@@ -64,7 +64,7 @@ _PREV_DRIVER_CHECKED = frozenset({
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
 # _window_reorder preserves).
-_WINDOW_OVERFLOW = ("kg_triangles", "kg_kcore",
+_WINDOW_OVERFLOW = ("kg_triangles", "kg_kcore", "kg_cfg_bfs",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_api_pagerank"] = lambda s, d: kgdocs.api_pagerank(_docs(s, d))
     q["kg_api_hits"] = lambda s, d: kgdocs.api_hits(_docs(s, d))
+    q["kg_backward_slice"] = lambda s, d: kgdocs.backward_slice_by_template(
+        _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
 
@@ -668,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_cyclomatic"] = kgdocs.cyclomatic_oracle_sql()
     o["kg_api_pagerank"] = kgdocs.api_pagerank_oracle_sql()
     o["kg_api_hits"] = kgdocs.api_hits_oracle_sql()
+    o["kg_backward_slice"] = kgdocs.backward_slice_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

@@ -282,6 +282,8 @@ def main() -> None:
         "text_source_overlap": lambda: text.source_ngram_overlap(
             docs(spark, sf_dir)),
         "kg_api_hits": lambda: kgdocs.api_hits(docs(spark, sf_dir)),
+        "kg_backward_slice": lambda: kgdocs.backward_slice_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

@@ -72,6 +72,7 @@ TEMPLATE_CFG_LAYERS: dict[int, tuple] = {}               # filled below
 TEMPLATE_PDG_CLUSTERING: dict[int, tuple] = {}           # filled below
 TEMPLATE_CFG_WL: dict[int, tuple] = {}                   # filled below
 TEMPLATE_CFG_CYCLOMATIC: dict[int, tuple] = {}           # filled below
+TEMPLATE_PDG_SLICE: dict[int, tuple] = {}                # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -227,6 +228,39 @@ def _cyclomatic_stats(triples: list) -> tuple:
         sum_cc += cc
         max_cc = max(max_cc, cc)
     return n_methods, sum_cc, max_cc
+
+
+def _slice_stats(nodes: list, triples: list) -> tuple:
+    """Backward program slices (Weiser 1981 over the PDG — TinyPDG's
+    original purpose): for every Return statement, the set of nodes it
+    transitively depends on over pdg_data + pdg_control edges
+    (execution-order edges excluded — the classic slice uses data and
+    control dependence only), slice size counted INCLUDING the return
+    itself. (n_returns, sum of slice sizes, max slice size) across the
+    doc's methods — reverse-DFS host replay, independent of the
+    distributed closure path."""
+    radj: dict = {}
+    for t in triples:
+        if t["pred"].startswith("pdg_") and t["pred"] != "pdg_execution":
+            radj.setdefault(t["method_id"], {}).setdefault(
+                t["obj"], set()).add(t["subj"])
+    n_ret, sum_sz, max_sz = 0, 0, 0
+    for nd in nodes:
+        if nd["graph"] != "pdg" or nd["category"] != "Return":
+            continue
+        n_ret += 1
+        seen = {nd["node_id"]}
+        stack = [nd["node_id"]]
+        adj = radj.get(nd["method_id"], {})
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        sum_sz += len(seen)
+        max_sz = max(max_sz, len(seen))
+    return n_ret, sum_sz, max_sz
 
 
 def _dom_stats(triples: list) -> tuple:
@@ -503,7 +537,7 @@ def _freeze_constants() -> None:
     from propertygraph_spark.kernel.extract import extract_document
     for tpl, template in enumerate(JAVA_TEMPLATES):
         src = template % 7
-        _, triples, mentions, err = extract_document(f"tpl{tpl}", src)
+        nodes, triples, mentions, err = extract_document(f"tpl{tpl}", src)
         assert err is None, f"template {tpl} failed: {err}"
         by_pred: dict[str, int] = {}
         for t in triples:
@@ -526,6 +560,7 @@ def _freeze_constants() -> None:
         TEMPLATE_PDG_CLUSTERING[tpl] = _clustcoef_stats(triples)
         TEMPLATE_CFG_WL[tpl] = _wl_stats(triples)
         TEMPLATE_CFG_CYCLOMATIC[tpl] = _cyclomatic_stats(triples)
+        TEMPLATE_PDG_SLICE[tpl] = _slice_stats(nodes, triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -934,6 +969,63 @@ SELECT c.tpl AS tpl, CAST(t.n * c.nm AS BIGINT) AS n_methods,
        CAST(t.n * c.s AS BIGINT) AS sum_cc,
        CAST(c.mx AS BIGINT) AS max_cc
 FROM consts c JOIN tplcount t USING (tpl)
+ORDER BY c.tpl
+"""
+
+
+def backward_slice_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed backward program slicing (Weiser 1981) — the query
+    the reference's PDG exists to serve (TinyPDG was built as a slicing
+    research substrate; README.md:4-5): for every Return statement, the
+    size of its backward slice over pdg_data + pdg_control dependence
+    edges (pdg_execution excluded, per the classic slice definition),
+    rolled up per template to (return count, total slice size, max
+    slice size).
+
+    Scale shape: the scoped per-method transitive closure (ONE
+    scope-hash exchange + streaming host kernel) joined once against
+    the bounded Return-node anchor set; per-method graphs never
+    co-shuffle."""
+    from propertygraph_spark.ops.graph import transitive_closure
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    nodes, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("pdg_")
+                            & (F.col("pred") != "pdg_execution"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    clo = transitive_closure(edges, scope="method_id")
+    rets = (nodes.filter((F.col("graph") == "pdg")
+                         & (F.col("category") == "Return"))
+            .select("method_id", F.col("node_id").alias("r")))
+    deps = (rets.join(clo, (rets["method_id"] == clo["method_id"])
+                      & (clo["b"] == rets["r"]), "left")
+            .groupBy(rets["method_id"].alias("method_id"), "r")
+            .agg((F.count_distinct("a")
+                  + F.lit(1)).cast("long").alias("slice_sz")))
+    return (deps
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_returns"),
+                 F.sum("slice_sz").cast("long").alias("sum_slice"),
+                 F.max("slice_sz").cast("long").alias("max_slice"))
+            .orderBy("tpl"))
+
+
+def backward_slice_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {s}, {mx})"
+        for tpl, (n, s, mx) in TEMPLATE_PDG_SLICE.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, nr, s, mx) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.nr AS BIGINT) AS n_returns,
+       CAST(t.n * c.s AS BIGINT) AS sum_slice,
+       CAST(c.mx AS BIGINT) AS max_slice
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.nr > 0
 ORDER BY c.tpl
 """
 

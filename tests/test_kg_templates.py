@@ -155,3 +155,14 @@ def test_api_pagerank_oracle_is_exact_integer_replay():
     assert all(int(ranks[c]) == 150000 for c in callers)
     callees = {n: int(r) for n, r in ranks.items() if n not in callers}
     assert callees and all(r > 150000 for r in callees.values())
+
+
+def test_backward_slice_constants_pinned():
+    """Weiser backward slices of the four templates' single Return,
+    pinned literally: data+control closure reaches 7/11/6/11 nodes
+    (incl. the return) — the loop templates 1/3 pull in the loop
+    condition and its dependence cone, the straight-line template 2
+    the least."""
+    from propertygraph_spark.ops.kgdocs import TEMPLATE_PDG_SLICE
+    assert TEMPLATE_PDG_SLICE == {0: (1, 7, 7), 1: (1, 11, 11),
+                                  2: (1, 6, 6), 3: (1, 11, 11)}

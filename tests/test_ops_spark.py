@@ -2032,3 +2032,16 @@ def test_api_hits_matches_host_replay(spark):
             assert a == 0 and h > 0, n
         else:
             assert h == 0 and a > 0, n
+
+
+def test_backward_slice_small_corpus(spark):
+    """Distributed scoped-closure slicing on an 8-doc corpus doubles
+    the per-doc frozen constants (max stays)."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_PDG_SLICE,
+                                                backward_slice_by_template)
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_returns"], r["sum_slice"], r["max_slice"])
+           for r in backward_slice_by_template(docs).collect()}
+    assert got == {tpl: (2 * n, 2 * s, mx)
+                   for tpl, (n, s, mx) in TEMPLATE_PDG_SLICE.items()}
