@@ -1,6 +1,9 @@
 """Deduplication operators over the documents table.
 
-Five families, each a ``queries()`` entry with a DuckDB oracle:
+Core families (each a ``queries()`` entry with a DuckDB oracle —
+substring span marking/cutting, line-level cutting, cluster
+representatives, quality-aware keep-best and Broder containment join
+them below):
 
 - exact          : hash-groupBy on content MD5 (map-side partial agg; the
                    only shuffle is on the 16-byte digest, never the text)

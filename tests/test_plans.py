@@ -638,8 +638,13 @@ def test_priority_sample_is_take_ordered(spark):
 
 def test_language_mixture_is_exchange_free(spark):
     """Per-line langid + Gini is pure higher-order functions — a corpus
-    scan with ZERO exchanges (r5s5)."""
-    from propertygraph_spark.ops.text import language_mixture
+    scan with ZERO exchanges (r5s5) — AND the heavy line-label
+    transform must stay in its own projection: each marker list's
+    array_contains appears exactly ONCE in the physical plan. If
+    CollapseProject ever re-inlines it per downstream reference the
+    count jumps to ~6x (measured 16x slower)."""
+    from propertygraph_spark.ops.text import LANG_MARKERS, language_mixture
     df = spark.createDataFrame([(1, "a b\nc d")], "doc_id long, text string")
     p = plan(language_mixture(df))
     assert "Exchange" not in p, p
+    assert p.count("array_contains") == len(LANG_MARKERS), p
