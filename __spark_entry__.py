@@ -64,7 +64,9 @@ _PREV_DRIVER_CHECKED = frozenset({
 # round since r1) are ordered LAST among the unchecked and absorb it
 # (tuple order = their original registration order, which is what
 # _window_reorder preserves).
-_WINDOW_OVERFLOW = ("kg_triangles", "kg_kcore", "kg_cfg_bfs",
+_WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
+                    "kg_pagerank",
+                    "kg_triangles", "kg_kcore", "kg_cfg_bfs",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -274,6 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lang_mixture"] = lambda s, d: text.language_mixture(
         _docs_with_lang_lines(s, d))
+    q["text_rarity"] = lambda s, d: text.rarity_buckets(_docs(s, d))
+    q["text_bm25"] = lambda s, d: text.bm25_topk(
+        _docs(s, d), ["hash", "join", "window", "stream"])
 
     # --- dedup ---
     # exact dedup would be vacuous on the driver corpus (no duplicate
@@ -330,6 +335,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment"] = lambda s, d: dedup.containment_pairs(
         _docs_with_contained(s, d))
+    # fuzzy decontamination needs near-copies CROSSING the eval
+    # boundary: every 3rd eval doc (doc_id % 39 == 0, eval_mod 13) gets
+    # a train-side near-copy (+1M id, which is ≡ 1 mod 13, with a
+    # 2-token suffix) — mirrored in the oracle
+    def _docs_with_eval_neardupes(s_, d_):
+        base = _docs(s_, d_).select("doc_id", "text")
+        copies = (base.filter(F.col("doc_id") % 39 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+                  .withColumn("text", F.concat(F.col("text"),
+                                               F.lit(" qqfuzz wwfuzz"))))
+        return base.unionByName(copies)
+
+    q["dedup_eval_fuzzy"] = lambda s, d: dedup.eval_fuzzy_contamination(
+        _docs_with_eval_neardupes(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dupes(
@@ -604,7 +623,7 @@ FROM af GROUP BY cell ORDER BY cell
 """)
 
 
-def _shingle_sql(k: int = 3) -> str:
+def _shingle_sql(k: int = 3, src: str = "documents") -> str:
     """(doc_id, shingle) distinct via per-row generate_series list +
     unnest (DuckDB's lateral generate_series rejects column params)."""
     parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
@@ -613,14 +632,14 @@ SELECT DISTINCT doc_id, {parts} AS shingle
 FROM (SELECT doc_id, toks,
              unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0)))
                AS i
-      FROM (SELECT doc_id, {_sql_tokens()} AS toks FROM documents))
+      FROM (SELECT doc_id, {_sql_tokens()} AS toks FROM {src}))
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     aggs = ", ".join(
         f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(dedup.N_MINHASH))
-    return f"WITH sh AS ({_shingle_sql()}) " \
+    return f"WITH sh AS ({_shingle_sql(src=src)}) " \
            f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
 
 
@@ -1655,6 +1674,52 @@ SELECT a.source AS src_a, b.source AS src_b,
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+    o["text_rarity"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM cnt),
+pd AS (SELECT doc_id, sum(tf) AS n_tokens,
+              sum(tf * (length(bin(total // n)) - 1)) * 1000 // sum(tf)
+                AS sup
+       FROM tf JOIN cnt USING (token), tot GROUP BY 1),
+fin AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(sup, 0) AS sup
+        FROM documents d LEFT JOIN pd USING (doc_id))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sup AS BIGINT) AS surprisal_milli,
+       CASE WHEN sup < 4020 THEN 'head' WHEN sup < 4050 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM fin ORDER BY doc_id
+"""
+    bm25_terms = ", ".join(f"'{t}'"
+                           for t in ["hash", "join", "window", "stream"])
+    o["text_bm25"] = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+qtok AS (SELECT doc_id, token
+         FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+         WHERE token IN ({bm25_terms})),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM qtok GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(toks)) AS BIGINT) AS total FROM t),
+sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+              (n_docs * 1000000 // df) * tf * (1200 + 1000) //
+              (tf * 1000 + (1200 * (1000 - 750 + (750 * dl * 1000) //
+                (total * 1000 // n_docs))) // 1000) AS term_score
+       FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st),
+agg AS (SELECT doc_id, sum(term_score) AS score, max(dl) AS dl
+        FROM sc GROUP BY 1),
+rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       FROM agg)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(score AS BIGINT) AS score, CAST(dl AS BIGINT) AS dl
+FROM rk WHERE rank <= 15 ORDER BY rank
+"""
     gopher_stops = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) \
         + "]"
     o["text_gopher_quality"] = f"""
@@ -1978,6 +2043,21 @@ WHERE floor(n_inter * 1000 / (ca.n_sh + cb.n_sh - n_inter)) >= 200
                                    (b + 1) * dedup.ROWS_PER_BAND))
         band_buckets.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    o["dedup_eval_fuzzy"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' qqfuzz wwfuzz' AS text
+  FROM documents WHERE doc_id % 39 = 0
+), sig AS ({_minhash_sql('aug')}),
+banded AS ({' UNION ALL '.join(band_buckets)}),
+ev AS (SELECT DISTINCT band, bucket, doc_id AS eval_doc
+       FROM banded WHERE doc_id % 13 = 0),
+tr AS (SELECT * FROM banded WHERE doc_id % 13 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_band_hits,
+       CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev USING (band, bucket) GROUP BY 1
+"""
     o["dedup_minhash_lsh"] = f"""
 WITH sig AS ({_minhash_sql()}),
 banded AS ({' UNION ALL '.join(band_buckets)})

@@ -284,6 +284,11 @@ def main() -> None:
         "kg_api_hits": lambda: kgdocs.api_hits(docs(spark, sf_dir)),
         "kg_backward_slice": lambda: kgdocs.backward_slice_by_template(
             docs(spark, sf_dir)),
+        "text_rarity": lambda: text.rarity_buckets(docs(spark, sf_dir)),
+        "text_bm25": lambda: text.bm25_topk(
+            docs(spark, sf_dir), ["hash", "join", "window", "stream"]),
+        "dedup_eval_fuzzy": lambda: dedup.eval_fuzzy_contamination(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

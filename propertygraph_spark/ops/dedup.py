@@ -658,3 +658,40 @@ def containment_pairs(docs: DataFrame, k: int = 5,
                     F.col("shared").cast("long"),
                     F.col("n_a").cast("long"), F.col("n_b").cast("long"),
                     "containment_ppm"))
+
+
+def eval_fuzzy_contamination(docs: DataFrame, k: int = 3,
+                             eval_mod: int = 13) -> DataFrame:
+    """FUZZY benchmark-contamination scan — the MinHash upgrade of
+    text.contamination_check (which needs an EXACT shared k-gram): a
+    train document is flagged when any of its LSH band buckets collides
+    with an eval-slice document's (doc_id % eval_mod == 0, the stand-in
+    for a benchmark suite), i.e. when it is NEAR-duplicate to eval text
+    even after light edits. This is the decontamination pass GPT-3's
+    appendix and the Lee et al. dedup paper both call for: paraphrased
+    or lightly-edited benchmark leakage that exact n-gram matching
+    misses.
+
+    Returns (doc_id, n_band_hits, n_eval_docs) per contaminated train
+    doc — how many band collisions and against how many distinct eval
+    documents.
+
+    Scale shape: ONE banding pass over the whole corpus (the signature
+    groupBy is shared by eval and train sides via a localCheckpoint-free
+    single lineage — the filter splits AFTER banding); the eval side is
+    corpus/eval_mod-sized and joins via BROADCAST on (band, bucket), so
+    the 10^12-row train side never shuffles; the per-doc rollup is
+    map-side combined. A benchmark suite is small by construction — if
+    the eval slice outgrows broadcast, the same plan degrades to a hash
+    join by dropping the hint."""
+    banded = _minhash_banded(docs, k)
+    ev = (banded.filter(F.col("doc_id") % eval_mod == 0)
+          .select("band", "bucket",
+                  F.col("doc_id").alias("eval_doc"))
+          .distinct())
+    train = banded.filter(F.col("doc_id") % eval_mod != 0)
+    return (train.join(F.broadcast(ev), ["band", "bucket"])
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_band_hits"),
+                 F.count_distinct("eval_doc").cast("long")
+                 .alias("n_eval_docs")))

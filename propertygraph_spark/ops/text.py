@@ -945,3 +945,109 @@ def source_ngram_overlap(docs: DataFrame, k: int = 13) -> DataFrame:
                           F.col("p.b").alias("src_b"))
             .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
             .orderBy("src_a", "src_b"))
+
+
+def rarity_buckets(docs: DataFrame, head_lt: int = 4020,
+                   middle_lt: int = 4050, salt: int = 16) -> DataFrame:
+    """CCNet-style perplexity-proxy quality bucketing (Wenzek et al.
+    2020 §4.3 — split the corpus into head/middle/tail by language-model
+    perplexity; here the LM is the corpus' own unigram distribution):
+    per-token surprisal = floor(log2(total_tokens / count(token))),
+    per-doc mean surprisal in milli-bits, then a fixed-threshold
+    head/middle/tail assignment (thresholds are corpus-calibrated
+    terciles at the default scale; both are explicit parameters).
+
+    Exactness: floor(log2(x)) for integer x >= 1 is length(bin(x)) - 1
+    — the bit length of the integer quotient — so the whole score is
+    pure BIGINT arithmetic, bit-identical on any engine (no float log
+    anywhere). Zero-token docs score 0 (head; documented edge).
+
+    Scale shape: one token explode + (doc, token) map-side-combined agg;
+    the vocabulary-sized count table joins back on the SKEWED token key,
+    so the count side (one row per token) is SALTED across ``salt``
+    shards exactly like salient_terms; total-token count is a 1-row
+    broadcast crossJoin; the final per-doc agg is map-side combined.
+    Unbounded output — no terminal sort (driver hash is order-blind)."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = (toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+          .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("n"))
+    cnt_salted = cnt.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.lit(salt - 1).cast("long"))))
+    total = cnt.agg(F.sum("n").alias("total"))
+    bits = F.length(F.bin(F.expr("total div n"))) - 1
+    per_doc = (tf.join(cnt_salted, ["token", "salt"])
+               .crossJoin(F.broadcast(total))
+               .withColumn("bits", bits.cast("long"))
+               .groupBy("doc_id")
+               .agg(F.sum("tf").alias("n_tokens"),
+                    F.expr("sum(tf * bits) * 1000 div sum(tf)")
+                    .alias("surprisal_milli")))
+    sup = F.coalesce("surprisal_milli", F.lit(0))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    sup.cast("long").alias("surprisal_milli"),
+                    F.when(sup < head_lt, F.lit("head"))
+                    .when(sup < middle_lt, F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], top_k: int = 15,
+              k1_milli: int = 1200, b_milli: int = 750) -> DataFrame:
+    """Integer-exact BM25 retrieval (Robertson & Walker 1994) — the
+    keyword-search primitive a curation pipeline runs for targeted data
+    selection and decontamination triage. Per (doc, query-term):
+
+        idf_micro   = (n_docs * 1_000_000) div df        (linearized
+                      idf — strictly decreasing in df, the same
+                      float-free substitution as salient_terms)
+        norm_milli  = 1000 - b + (b * dl * 1000) div avgdl_milli
+        term_score  = (idf_micro * tf * (k1 + 1000))
+                      div (tf * 1000 + (k1 * norm_milli) div 1000)
+
+    with k1, b in milli units and avgdl_milli = total_tokens * 1000
+    div n_docs. Every step is BIGINT floor-division — bit-identical in
+    Spark and DuckDB. Doc score = sum over query terms; top_k by
+    (score desc, doc_id) is a total order.
+
+    Scale shape: the tf table is pre-filtered to the query terms (a
+    tiny literal IN probe pushed into the token explode), so only
+    matching docs survive; df and the corpus stats are bounded (<=
+    |terms| rows / 1 row) and broadcast; doc length joins on the
+    UNIQUE doc_id key (no skew); the final top-k compiles to
+    TakeOrderedAndProject — O(k) per partition, no global sort."""
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = (docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+            .filter(F.array_contains(term_arr, F.col("token"))))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = docs.select("doc_id", F.size(tokens_col()).cast("long")
+                     .alias("dl"))
+    stats = docs.select(F.size(tokens_col()).cast("long").alias("n")) \
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("total"))
+    scored = (tf.join(F.broadcast(df), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("avgdl_milli", F.expr("total * 1000 div n_docs"))
+              .withColumn("idf_micro",
+                          F.expr("n_docs * 1000000 div df"))
+              .withColumn(
+                  "norm_milli",
+                  F.expr(f"1000 - {b_milli} + "
+                         f"({b_milli} * dl * 1000) div avgdl_milli"))
+              .withColumn(
+                  "term_score",
+                  F.expr(f"(idf_micro * tf * ({k1_milli} + 1000)) div "
+                         f"(tf * 1000 + ({k1_milli} * norm_milli) "
+                         f"div 1000)")))
+    top = (scored.groupBy("doc_id")
+           .agg(F.sum("term_score").cast("long").alias("score"),
+                F.max("dl").cast("long").alias("dl"))
+           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(top_k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")) \
+              .select("rank", "doc_id", "score", "dl")

@@ -2045,3 +2045,67 @@ def test_backward_slice_small_corpus(spark):
            for r in backward_slice_by_template(docs).collect()}
     assert got == {tpl: (2 * n, 2 * s, mx)
                    for tpl, (n, s, mx) in TEMPLATE_PDG_SLICE.items()}
+
+
+def test_rarity_buckets_semantics(spark):
+    """rarity_buckets vs a hand-computed unigram-surprisal corpus: the
+    common token scores low (head), the rare token high (tail), and
+    floor(log2) comes out as the exact bit length."""
+    from propertygraph_spark.ops.text import rarity_buckets
+    # corpus: 'a' x 14 + 'z' x 2 -> total 16; surprisal(a)=log2(16/14)
+    # =0 bits, surprisal(z)=log2(16/2)=3 bits
+    df = spark.createDataFrame(
+        [(1, "a a a a a a a"), (2, "a a a a a a a"), (3, "z z"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in rarity_buckets(df, head_lt=1000,
+                                   middle_lt=2500).collect()}
+    assert got[1]["surprisal_milli"] == 0          # 7 tokens x 0 bits
+    assert got[1]["bucket"] == "head"
+    assert got[3]["surprisal_milli"] == 3000       # 2 tokens x 3 bits
+    assert got[3]["bucket"] == "tail"
+    assert got[4]["n_tokens"] == 0                 # empty doc -> 0/head
+    assert got[4]["surprisal_milli"] == 0
+    assert got[4]["bucket"] == "head"
+    assert got[1]["n_tokens"] == 7
+
+
+def test_bm25_ranking_semantics(spark):
+    """bm25_topk orders docs by the classic trade-offs: more query-term
+    hits beat fewer; at equal tf the SHORTER doc wins (length
+    normalization); a doc with no query term never appears."""
+    from propertygraph_spark.ops.text import bm25_topk
+    filler = " ".join(["x"] * 40)
+    df = spark.createDataFrame(
+        [(1, "q q q " + filler),        # 3 hits, long
+         (2, "q " + filler),            # 1 hit, long
+         (3, "q q q x x"),              # 3 hits, short -> best
+         (4, filler)],                  # no hit -> absent
+        "doc_id long, text string")
+    rows = bm25_topk(df, ["q"], top_k=10).collect()
+    order = [r["doc_id"] for r in rows]
+    assert order[0] == 3, order            # short + max tf wins
+    assert order.index(1) < order.index(2)  # tf dominates at equal len
+    assert 4 not in order
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_eval_fuzzy_contamination_flags_neardup_of_eval(spark):
+    """eval_fuzzy_contamination: a train doc near-duplicate to an EVAL
+    doc (doc_id % mod == 0) is flagged; unrelated train docs and
+    near-dups of other TRAIN docs are not; eval docs never appear."""
+    from propertygraph_spark.ops.dedup import eval_fuzzy_contamination
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"v{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, base),                      # eval (0 % 13 == 0)
+         (1, base + " tail edit"),       # train near-dup of eval -> flag
+         (2, other),                     # train, unrelated
+         (3, other + " tail edit")],     # train near-dup of TRAIN only
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in eval_fuzzy_contamination(df, eval_mod=13).collect()}
+    assert 1 in got and got[1]["n_eval_docs"] == 1
+    assert got[1]["n_band_hits"] >= 1
+    assert 0 not in got and 2 not in got and 3 not in got
