@@ -86,7 +86,7 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "events_weekly_retention", "events_top_per_user",
                     "events_rolling_sum", "events_transitions",
                     "events_json_props", "text_token_stats",
-                    "text_quality")
+                    "text_quality", "text_lm_fluency")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_api_pagerank"] = lambda s, d: kgdocs.api_pagerank(_docs(s, d))
     q["kg_api_hits"] = lambda s, d: kgdocs.api_hits(_docs(s, d))
     q["kg_backward_slice"] = lambda s, d: kgdocs.backward_slice_by_template(
+        _docs(s, d))
+    q["kg_forward_slice"] = lambda s, d: kgdocs.forward_slice_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
@@ -690,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_api_pagerank"] = kgdocs.api_pagerank_oracle_sql()
     o["kg_api_hits"] = kgdocs.api_hits_oracle_sql()
     o["kg_backward_slice"] = kgdocs.backward_slice_oracle_sql()
+    o["kg_forward_slice"] = kgdocs.forward_slice_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

@@ -289,6 +289,8 @@ def main() -> None:
             docs(spark, sf_dir), ["hash", "join", "window", "stream"]),
         "dedup_eval_fuzzy": lambda: dedup.eval_fuzzy_contamination(
             docs(spark, sf_dir)),
+        "kg_forward_slice": lambda: kgdocs.forward_slice_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

@@ -73,6 +73,7 @@ TEMPLATE_PDG_CLUSTERING: dict[int, tuple] = {}           # filled below
 TEMPLATE_CFG_WL: dict[int, tuple] = {}                   # filled below
 TEMPLATE_CFG_CYCLOMATIC: dict[int, tuple] = {}           # filled below
 TEMPLATE_PDG_SLICE: dict[int, tuple] = {}                # filled below
+TEMPLATE_PDG_FSLICE: dict[int, tuple] = {}               # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -261,6 +262,37 @@ def _slice_stats(nodes: list, triples: list) -> tuple:
         sum_sz += len(seen)
         max_sz = max(max_sz, len(seen))
     return n_ret, sum_sz, max_sz
+
+
+def _fslice_stats(nodes: list, triples: list) -> tuple:
+    """Forward program slices (the Weiser dual — impact analysis /
+    taint propagation): for every method PARAMETER node, the set of
+    nodes transitively dependent ON it over pdg_data + pdg_control
+    edges (execution edges excluded), slice size counted INCLUDING the
+    parameter itself. (n_params, sum of slice sizes, max slice size) —
+    forward-DFS host replay, independent of the distributed closure."""
+    adj: dict = {}
+    for t in triples:
+        if t["pred"].startswith("pdg_") and t["pred"] != "pdg_execution":
+            adj.setdefault(t["method_id"], {}).setdefault(
+                t["subj"], set()).add(t["obj"])
+    n_par, sum_sz, max_sz = 0, 0, 0
+    for nd in nodes:
+        if nd["graph"] != "pdg" or nd["category"] != "PARAMETER":
+            continue
+        n_par += 1
+        seen = {nd["node_id"]}
+        stack = [nd["node_id"]]
+        a = adj.get(nd["method_id"], {})
+        while stack:
+            x = stack.pop()
+            for y in a.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        sum_sz += len(seen)
+        max_sz = max(max_sz, len(seen))
+    return n_par, sum_sz, max_sz
 
 
 def _dom_stats(triples: list) -> tuple:
@@ -561,6 +593,7 @@ def _freeze_constants() -> None:
         TEMPLATE_CFG_WL[tpl] = _wl_stats(triples)
         TEMPLATE_CFG_CYCLOMATIC[tpl] = _cyclomatic_stats(triples)
         TEMPLATE_PDG_SLICE[tpl] = _slice_stats(nodes, triples)
+        TEMPLATE_PDG_FSLICE[tpl] = _fslice_stats(nodes, triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -1026,6 +1059,64 @@ SELECT c.tpl AS tpl, CAST(t.n * c.nr AS BIGINT) AS n_returns,
        CAST(c.mx AS BIGINT) AS max_slice
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.nr > 0
+ORDER BY c.tpl
+"""
+
+
+def forward_slice_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed FORWARD program slicing — the impact-analysis dual of
+    backward_slice_by_template (Weiser 1981; forward slices answer
+    "what does this input influence?", the taint-propagation question a
+    code-KG consumer asks of method parameters): for every PARAMETER
+    node, the size of its forward slice over pdg_data + pdg_control
+    dependence edges (pdg_execution excluded), rolled up per template
+    to (parameter count, total slice size, max slice size).
+
+    Scale shape: identical to the backward query — the scoped
+    per-method transitive closure (ONE scope-hash exchange + streaming
+    host kernel) joined once against the bounded PARAMETER anchor set;
+    the closure is direction-agnostic, only the join side flips
+    (anchor matches the closure SOURCE instead of the sink)."""
+    from propertygraph_spark.ops.graph import transitive_closure
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    nodes, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("pdg_")
+                            & (F.col("pred") != "pdg_execution"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    clo = transitive_closure(edges, scope="method_id")
+    pars = (nodes.filter((F.col("graph") == "pdg")
+                         & (F.col("category") == "PARAMETER"))
+            .select("method_id", F.col("node_id").alias("p")))
+    deps = (pars.join(clo, (pars["method_id"] == clo["method_id"])
+                      & (clo["a"] == pars["p"]), "left")
+            .groupBy(pars["method_id"].alias("method_id"), "p")
+            .agg((F.count_distinct("b")
+                  + F.lit(1)).cast("long").alias("slice_sz")))
+    return (deps
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_params"),
+                 F.sum("slice_sz").cast("long").alias("sum_slice"),
+                 F.max("slice_sz").cast("long").alias("max_slice"))
+            .orderBy("tpl"))
+
+
+def forward_slice_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {s}, {mx})"
+        for tpl, (n, s, mx) in TEMPLATE_PDG_FSLICE.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, np, s, mx) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.np AS BIGINT) AS n_params,
+       CAST(t.n * c.s AS BIGINT) AS sum_slice,
+       CAST(c.mx AS BIGINT) AS max_slice
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.np > 0
 ORDER BY c.tpl
 """
 

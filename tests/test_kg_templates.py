@@ -166,3 +166,14 @@ def test_backward_slice_constants_pinned():
     from propertygraph_spark.ops.kgdocs import TEMPLATE_PDG_SLICE
     assert TEMPLATE_PDG_SLICE == {0: (1, 7, 7), 1: (1, 11, 11),
                                   2: (1, 6, 6), 3: (1, 11, 11)}
+
+
+def test_forward_slice_constants_pinned():
+    """Forward slices from the four templates' two parameters each,
+    pinned literally: the dependence cones REACHED FROM (a, b) — the
+    loop templates 1/3 propagate a parameter through the loop
+    condition into more of the method body (max 7), the straight-line
+    templates stop at 5."""
+    from propertygraph_spark.ops.kgdocs import TEMPLATE_PDG_FSLICE
+    assert TEMPLATE_PDG_FSLICE == {0: (2, 9, 5), 1: (2, 8, 7),
+                                   2: (2, 7, 5), 3: (2, 12, 7)}

@@ -2109,3 +2109,17 @@ def test_eval_fuzzy_contamination_flags_neardup_of_eval(spark):
     assert 1 in got and got[1]["n_eval_docs"] == 1
     assert got[1]["n_band_hits"] >= 1
     assert 0 not in got and 2 not in got and 3 not in got
+
+
+def test_forward_slice_small_corpus(spark):
+    """Distributed scoped-closure FORWARD slicing on an 8-doc corpus
+    doubles the per-doc frozen constants (max stays) — the exact dual
+    of the backward-slice contract."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_PDG_FSLICE,
+                                                forward_slice_by_template)
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_params"], r["sum_slice"], r["max_slice"])
+           for r in forward_slice_by_template(docs).collect()}
+    assert got == {tpl: (2 * n, 2 * s, mx)
+                   for tpl, (n, s, mx) in TEMPLATE_PDG_FSLICE.items()}
