@@ -66,7 +66,7 @@ _PREV_DRIVER_CHECKED = frozenset({
 # _window_reorder preserves).
 _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "kg_pagerank",
-                    "kg_triangles", "kg_kcore", "kg_cfg_bfs",
+                    "kg_triangles", "kg_kcore", "kg_cfg_bfs", "kg_communities",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), k=5)
     q["ann_ivfpq_refine_topk"] = lambda s, d: \
         similarity.ann_ivfpq_refine_topk(_emb(s, d), k=5)
+    q["ann_sign_topk"] = lambda s, d: similarity.ann_sign_topk(
+        _emb(s, d), k=5)
     q["emb_centroids"] = lambda s, d: similarity.centroid_by_label(_emb(s, d))
     q["emb_kmeans"] = lambda s, d: similarity.kmeans_cells(_emb(s, d))
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
@@ -2471,6 +2473,39 @@ SELECT vec_id, neighbor_id, adc_pm, rnk FROM ranked WHERE rnk <= 5
     # distance, neighbor tiebreak) pays the exact cosine; top-5 on the
     # exact score. Shares every CTE with the plain ivfpq oracle.
     _ivfpq_base = o["ann_ivfpq_topk"].split("), ranked AS")[0]
+    o["ann_sign_topk"] = """
+WITH c AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(generate_series(0, 31), d -> CASE WHEN embedding[d + 1] > 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS sig_lo,
+         list_sum(list_transform(generate_series(32, 63), d -> CASE WHEN embedding[d + 1] > 0 THEN (1::BIGINT << (d - 32)) ELSE 0::BIGINT END)) AS sig_hi
+  FROM embeddings
+), ham AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         bit_count(xor(a.sig_lo, b.sig_lo))
+           + bit_count(xor(a.sig_hi, b.sig_hi)) AS hamming
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+), short AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY hamming, neighbor_id) AS hr
+  FROM ham
+), scored AS (
+  SELECT s.vec_id, s.neighbor_id,
+         CAST(floor(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                    * 1000000) AS BIGINT) AS cos_pm
+  FROM short s
+  JOIN c a ON a.vec_id = s.vec_id
+  JOIN c b ON b.vec_id = s.neighbor_id
+  WHERE s.hr <= 32
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_pm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_pm DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cos_pm, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
     o["ann_ivfpq_refine_topk"] = f"""{_ivfpq_base}), shortlist AS (
   SELECT vec_id, neighbor_id, adc_pm,
          row_number() OVER (PARTITION BY vec_id

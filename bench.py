@@ -291,6 +291,8 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_forward_slice": lambda: kgdocs.forward_slice_by_template(
             docs(spark, sf_dir)),
+        "ann_sign_topk": lambda: similarity.ann_sign_topk(
+            emb(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():
@@ -616,7 +618,8 @@ def main() -> None:
                 emb_df, k=5, nprobe=2)),
             ("ivfpq", lambda: similarity.ann_ivfpq_topk(emb_df, k=5)),
             ("ivfpq_refine", lambda: similarity.ann_ivfpq_refine_topk(
-                emb_df, k=5))):
+                emb_df, k=5)),
+            ("sign64", lambda: similarity.ann_sign_topk(emb_df, k=5))):
         hits = (truth.join(fn().select("vec_id", "neighbor_id"),
                            ["vec_id", "neighbor_id"]).count())
         recall[f"recall_at_5_{nm}"] = (round(hits / n_truth, 3)

@@ -2123,3 +2123,29 @@ def test_forward_slice_small_corpus(spark):
            for r in forward_slice_by_template(docs).collect()}
     assert got == {tpl: (2 * n, 2 * s, mx)
                    for tpl, (n, s, mx) in TEMPLATE_PDG_FSLICE.items()}
+
+
+def test_sign_codes_and_ann_sign_topk(spark):
+    """sign_codes packs sign bits into the right halves (dim-32
+    boundary pinned) and ann_sign_topk puts a bit-identical vector at
+    rank 1 while an orthogonal-signed one ranks behind it."""
+    from propertygraph_spark.ops.similarity import ann_sign_topk, sign_codes
+    base = [0.1] * 64
+    flipped = [-x for x in base]
+    near = list(base)
+    near[0] = 0.2                       # same signs as base
+    onebit = [0.1] * 32 + [-0.1] * 32   # hi half flipped
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, flipped), (4, onebit)],
+        "vec_id long, embedding array<float>")
+    codes = {r["vec_id"]: (r["sig_lo"], r["sig_hi"])
+             for r in sign_codes(df).collect()}
+    assert codes[1] == (2**32 - 1, 2**32 - 1)   # all 64 bits set
+    assert codes[3] == (0, 0)                   # all negative
+    assert codes[4] == (2**32 - 1, 0)           # exactly the lo half
+    got = [r for r in ann_sign_topk(df, k=3, shortlist=3).collect()
+           if r["vec_id"] == 1]
+    ranked = sorted(got, key=lambda r: r["rnk"])
+    assert ranked[0]["neighbor_id"] == 2        # same code, top cosine
+    assert ranked[0]["cos_pm"] >= 990_000
+    assert [r["neighbor_id"] for r in ranked].index(3) > 0
