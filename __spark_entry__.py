@@ -67,6 +67,7 @@ _PREV_DRIVER_CHECKED = frozenset({
 _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "kg_pagerank",
                     "kg_triangles", "kg_kcore", "kg_cfg_bfs", "kg_communities",
+                    "kg_pdg_components",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -156,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_backward_slice"] = lambda s, d: kgdocs.backward_slice_by_template(
         _docs(s, d))
     q["kg_forward_slice"] = lambda s, d: kgdocs.forward_slice_by_template(
+        _docs(s, d))
+    q["kg_cfg_closeness"] = lambda s, d: kgdocs.closeness_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
@@ -695,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_api_hits"] = kgdocs.api_hits_oracle_sql()
     o["kg_backward_slice"] = kgdocs.backward_slice_oracle_sql()
     o["kg_forward_slice"] = kgdocs.forward_slice_oracle_sql()
+    o["kg_cfg_closeness"] = kgdocs.closeness_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

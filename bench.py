@@ -293,6 +293,8 @@ def main() -> None:
             docs(spark, sf_dir)),
         "ann_sign_topk": lambda: similarity.ann_sign_topk(
             emb(spark, sf_dir)),
+        "kg_cfg_closeness": lambda: kgdocs.closeness_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

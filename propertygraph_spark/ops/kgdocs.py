@@ -74,6 +74,7 @@ TEMPLATE_CFG_WL: dict[int, tuple] = {}                   # filled below
 TEMPLATE_CFG_CYCLOMATIC: dict[int, tuple] = {}           # filled below
 TEMPLATE_PDG_SLICE: dict[int, tuple] = {}                # filled below
 TEMPLATE_PDG_FSLICE: dict[int, tuple] = {}               # filled below
+TEMPLATE_CFG_CLOSENESS: dict[int, tuple] = {}            # filled below
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -293,6 +294,23 @@ def _fslice_stats(nodes: list, triples: list) -> tuple:
         sum_sz += len(seen)
         max_sz = max(max_sz, len(seen))
     return n_par, sum_sz, max_sz
+
+
+def _closeness_stats(triples: list) -> tuple:
+    """Host replay of integer out-closeness over each method's CFG
+    (graph._k_closeness's exact arithmetic), rolled up across the
+    doc's methods to (n_cfg_nodes, sum closeness_ppm, max
+    closeness_ppm) — independent reimplementation used to freeze the
+    per-template oracle constants."""
+    from propertygraph_spark.ops.graph import _k_closeness
+    per_m = _cfg_edges_by_method(triples)
+    n_nodes, sum_c, max_c = 0, 0, 0
+    for es in per_m.values():
+        for _v, c, _r, _s in _k_closeness(es):
+            n_nodes += 1
+            sum_c += c
+            max_c = max(max_c, c)
+    return n_nodes, sum_c, max_c
 
 
 def _dom_stats(triples: list) -> tuple:
@@ -594,6 +612,7 @@ def _freeze_constants() -> None:
         TEMPLATE_CFG_CYCLOMATIC[tpl] = _cyclomatic_stats(triples)
         TEMPLATE_PDG_SLICE[tpl] = _slice_stats(nodes, triples)
         TEMPLATE_PDG_FSLICE[tpl] = _fslice_stats(nodes, triples)
+        TEMPLATE_CFG_CLOSENESS[tpl] = _closeness_stats(triples)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -1117,6 +1136,49 @@ SELECT c.tpl AS tpl, CAST(t.n * c.np AS BIGINT) AS n_params,
        CAST(c.mx AS BIGINT) AS max_slice
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.np > 0
+ORDER BY c.tpl
+"""
+
+
+def closeness_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed out-closeness centrality (integer ppm, graph.
+    closeness_int scoped fast path) over every method's CFG at once,
+    rolled up per template to (CFG node count, total closeness, max
+    closeness) — the broadcast-reach profile of the corpus' control
+    flow: how few hops a statement needs to influence the rest of its
+    method. Completes the centrality suite next to degree, PageRank
+    and HITS."""
+    from propertygraph_spark.ops.graph import closeness_int
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    per_node = closeness_int(edges, scope="method_id")
+    return (per_node
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_cfg_nodes"),
+                 F.sum("closeness_ppm").cast("long").alias("sum_closeness"),
+                 F.max("closeness_ppm").cast("long").alias("max_closeness"))
+            .orderBy("tpl"))
+
+
+def closeness_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {sc}, {mx})"
+        for tpl, (n, sc, mx) in TEMPLATE_CFG_CLOSENESS.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, nn, sc, mx) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.nn AS BIGINT) AS n_cfg_nodes,
+       CAST(t.n * c.sc AS BIGINT) AS sum_closeness,
+       CAST(c.mx AS BIGINT) AS max_closeness
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.nn > 0
 ORDER BY c.tpl
 """
 

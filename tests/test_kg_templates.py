@@ -177,3 +177,16 @@ def test_forward_slice_constants_pinned():
     from propertygraph_spark.ops.kgdocs import TEMPLATE_PDG_FSLICE
     assert TEMPLATE_PDG_FSLICE == {0: (2, 9, 5), 1: (2, 8, 7),
                                    2: (2, 7, 5), 3: (2, 12, 7)}
+
+
+def test_closeness_constants_pinned():
+    """Integer out-closeness over the four templates' CFGs, pinned
+    literally: (n_cfg_nodes, sum_closeness_ppm, max_closeness_ppm) —
+    template 0's 4-node CFG peaks at the 666666 ppm of a 3-hop chain
+    head; the loop templates dilute per-node reach (max 281250 /
+    347222) because back edges lengthen the average path."""
+    from propertygraph_spark.ops.kgdocs import TEMPLATE_CFG_CLOSENESS
+    assert TEMPLATE_CFG_CLOSENESS == {0: (4, 1599999, 666666),
+                                      1: (9, 1891846, 281250),
+                                      2: (6, 1233332, 300000),
+                                      3: (9, 2188993, 347222)}

@@ -879,8 +879,8 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     import random
 
     from propertygraph_spark.ops.graph import (
-        bfs_levels, clustering_coefficient, dag_layers, dominator_tree,
-        kcore_nodes, label_propagation, pagerank_int,
+        bfs_levels, closeness_int, clustering_coefficient, dag_layers,
+        dominator_tree, kcore_nodes, label_propagation, pagerank_int,
         strongly_connected_components, transitive_closure, triangle_count,
         wl_fingerprints)
     rng = random.Random(42)
@@ -894,7 +894,7 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     for fn in (transitive_closure, bfs_levels, pagerank_int,
                triangle_count, kcore_nodes, label_propagation,
                strongly_connected_components, dominator_tree, dag_layers,
-               clustering_coefficient, wl_fingerprints):
+               clustering_coefficient, wl_fingerprints, closeness_int):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -2149,3 +2149,17 @@ def test_sign_codes_and_ann_sign_topk(spark):
     assert ranked[0]["neighbor_id"] == 2        # same code, top cosine
     assert ranked[0]["cos_pm"] >= 990_000
     assert [r["neighbor_id"] for r in ranked].index(3) > 0
+
+
+def test_closeness_hand_graph(spark):
+    """closeness_int on a 3-node path: head reaches 2 nodes at total
+    distance 3 -> (2^2 * 1e6) / (2 * 3) = 666666 ppm; middle 500000;
+    tail 0 (reaches nothing). Both strategies, exact integers."""
+    from propertygraph_spark.ops.graph import closeness_int
+    df = spark.createDataFrame([("p", 0, 1), ("p", 1, 2)],
+                               "scope string, src long, dst long")
+    for bounded in (True, False):
+        got = sorted(tuple(r) for r in closeness_int(
+            df, scope="scope", bounded_scopes=bounded).collect())
+        assert got == [("p", 0, 666666, 2, 3), ("p", 1, 500000, 1, 1),
+                       ("p", 2, 0, 0, 0)], bounded
