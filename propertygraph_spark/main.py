@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     ap.add_argument("--audit", action="store_true",
                     help="audit stage manifests under --out and exit "
                          "(footer-only, no Spark session)")
+    ap.add_argument("--expire-snapshots", type=int, default=None,
+                    metavar="N",
+                    help="trim every stage's snapshot log to the last "
+                         "N commits and exit (Iceberg expire_snapshots "
+                         "twin; chain + manifest fingerprint preserved)")
     ap.add_argument("--compact", action="store_true",
                     help="compact small files in bucket-incremental "
                          "stages under --out and exit (Iceberg "
@@ -96,6 +101,18 @@ def main(argv=None) -> int:
                   f"rows={a['total_rows']}{extra}")
             rc |= 0 if a["ok"] else 1
         return rc
+    if args.expire_snapshots is not None:
+        from propertygraph_spark.pipeline.materialize import (
+            expire_snapshots)
+        for stage in ("extracted", "linked", "canonical", "nodes",
+                      "edges"):
+            p = os.path.join(args.out, stage)
+            if not os.path.isdir(p):
+                continue
+            res = expire_snapshots(p, keep_last=args.expire_snapshots)
+            print(f"expire {stage}: expired={res['expired']} "
+                  f"retained={res['retained']}")
+        return 0
     if args.compact:
         from propertygraph_spark.pipeline.materialize import (
             compact_stage_buckets)

@@ -762,3 +762,45 @@ def compact_stage_buckets(spark: SparkSession, path: str,
                           for b in sorted(current, key=int))),
             {"compacted": {b: list(v) for b, v in out.items()}})
     return out
+
+
+def expire_snapshots(path: str, keep_last: int = 10) -> dict:
+    """Snapshot-log retention — the Iceberg ``expire_snapshots``
+    maintenance action, scoped to what this table format retains:
+    since overwrites reclaim superseded data files immediately
+    (documented substitution — commit LINEAGE, not data time travel),
+    expiry here trims the append-only ``_snapshots.json`` so the log
+    stops growing with commit count. A stage committed to every few
+    minutes for a year carries ~100k log entries that every audit and
+    every ``_append_snapshot`` rewrite pays for; retention caps that
+    at ``keep_last``.
+
+    The expired prefix collapses into ONE ``expire`` tombstone whose
+    ``snapshot_id`` is exactly the first retained entry's
+    ``parent_id``, so the parent-linked chain the audit verifies stays
+    intact end-to-end (sequence numbers are renumbered from the
+    tombstone at 0). The manifest fingerprint is untouched — the LAST
+    snapshot still matches it, which is the invariant consumers check.
+    Returns {"expired": n, "retained": n, "ok": bool}; a log at or
+    under the cap is a no-op."""
+    history = snapshot_history(path)
+    if len(history) <= keep_last:
+        return {"expired": 0, "retained": len(history), "ok": True}
+    expired, kept = history[:-keep_last], history[-keep_last:]
+    tomb = {
+        "snapshot_id": kept[0]["parent_id"],
+        "parent_id": None,
+        "sequence_number": 0,
+        "operation": "expire",
+        "fingerprint": expired[-1].get("fingerprint"),
+        "committed_at": time.time(),
+        "expired_count": len(expired),
+        "expired_first_id": expired[0]["snapshot_id"],
+        "expired_last_committed_at": expired[-1].get("committed_at"),
+    }
+    out = [tomb] + kept
+    for i, snap in enumerate(out):
+        snap["sequence_number"] = i
+    with open(os.path.join(path, "_snapshots.json"), "w") as f:
+        json.dump(out, f)
+    return {"expired": len(expired), "retained": len(out), "ok": True}

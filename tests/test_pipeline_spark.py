@@ -629,3 +629,42 @@ def test_compact_stage_buckets_preserves_rows_and_fps(spark, tmp_path):
     assert files_per_bucket() == after
     # already-compacted stage: a second compaction is a no-op
     assert compact_stage_buckets(spark, path) == {}
+
+
+def test_expire_snapshots_trims_log_keeps_chain(spark, tmp_path):
+    """Iceberg expire_snapshots twin: 8 commits -> keep_last=3 leaves a
+    4-entry log (expire tombstone + 3), the parent chain and manifest
+    fingerprint stay audit-green, a repeat expiry is a no-op, and the
+    NEXT commit extends the trimmed chain normally."""
+    from propertygraph_spark.pipeline.materialize import (
+        audit_stage, expire_snapshots, snapshot_history, write_stage)
+
+    path = str(tmp_path / "stage")
+    for i in range(8):
+        df = spark.createDataFrame([(j, f"c{i}") for j in range(4)],
+                                   "id long, payload string")
+        write_stage(df, path, fp=f"fp{i}", spark=spark)
+    assert len(snapshot_history(path)) == 8
+
+    res = expire_snapshots(path, keep_last=3)
+    assert res == {"expired": 5, "retained": 4, "ok": True}
+    hist = snapshot_history(path)
+    assert len(hist) == 4
+    assert hist[0]["operation"] == "expire"
+    assert hist[0]["expired_count"] == 5
+    # chain intact end to end and manifest fp untouched
+    audit = audit_stage(path)
+    assert audit["ok"], audit
+    assert hist[-1]["fingerprint"] == "fp7"
+
+    # at-or-under cap -> no-op
+    assert expire_snapshots(path, keep_last=10) \
+        == {"expired": 0, "retained": 4, "ok": True}
+
+    # a later commit appends to the trimmed chain and still audits OK
+    df = spark.createDataFrame([(0, "c9")], "id long, payload string")
+    write_stage(df, path, fp="fp9", spark=spark)
+    hist2 = snapshot_history(path)
+    assert len(hist2) == 5 and hist2[-1]["fingerprint"] == "fp9"
+    assert hist2[-1]["parent_id"] == hist[-1]["snapshot_id"]
+    assert audit_stage(path)["ok"]
