@@ -67,7 +67,7 @@ _PREV_DRIVER_CHECKED = frozenset({
 _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "kg_pagerank",
                     "kg_triangles", "kg_kcore", "kg_cfg_bfs", "kg_communities",
-                    "kg_pdg_components",
+                    "kg_pdg_components", "kg_cfg_scc",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_forward_slice"] = lambda s, d: kgdocs.forward_slice_by_template(
         _docs(s, d))
     q["kg_cfg_closeness"] = lambda s, d: kgdocs.closeness_by_template(
+        _docs(s, d))
+    q["kg_clone_type2"] = lambda s, d: kgdocs.clone2_by_template(
         _docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
@@ -699,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_backward_slice"] = kgdocs.backward_slice_oracle_sql()
     o["kg_forward_slice"] = kgdocs.forward_slice_oracle_sql()
     o["kg_cfg_closeness"] = kgdocs.closeness_oracle_sql()
+    o["kg_clone_type2"] = kgdocs.clone2_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

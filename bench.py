@@ -295,6 +295,8 @@ def main() -> None:
             emb(spark, sf_dir)),
         "kg_cfg_closeness": lambda: kgdocs.closeness_by_template(
             docs(spark, sf_dir)),
+        "kg_clone_type2": lambda: kgdocs.clone2_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

@@ -75,6 +75,18 @@ TEMPLATE_CFG_CYCLOMATIC: dict[int, tuple] = {}           # filled below
 TEMPLATE_PDG_SLICE: dict[int, tuple] = {}                # filled below
 TEMPLATE_PDG_FSLICE: dict[int, tuple] = {}               # filled below
 TEMPLATE_CFG_CLOSENESS: dict[int, tuple] = {}            # filled below
+TEMPLATE_CLONE2: dict[int, tuple] = {}                   # filled below
+
+# Java reserved words kept verbatim by the type-2 clone normalization
+# (everything else alphanumeric collapses to '$', numbers to '#') —
+# JLS §3.9 keyword list plus the boolean/null literals and 'var'.
+JAVA_KEYWORDS = (
+    "abstract assert boolean break byte case catch char class const "
+    "continue default do double else enum extends final finally float "
+    "for goto if implements import instanceof int interface long native "
+    "new package private protected public return short static strictfp "
+    "super switch synchronized this throw throws transient try void "
+    "volatile while var true false null").split()
 
 
 def _pagerank_hist(triples: list, iters: int = 3, unit: int = 1_000_000,
@@ -311,6 +323,61 @@ def _closeness_stats(triples: list) -> tuple:
             sum_c += c
             max_c = max(max_c, c)
     return n_nodes, sum_c, max_c
+
+
+def _norm_clone_tokens(text: str) -> str:
+    """Type-2 token normalization (SourcererCC-style): split on
+    non-word runs; numbers -> '#', Java keywords kept, every other
+    identifier -> '$'. The HOST twin of the Catalyst expression in
+    clone2_by_template — both must change together."""
+    import re
+    out = []
+    for t in re.split(r"[^A-Za-z0-9_]+", text or ""):
+        if not t:
+            continue
+        if t[0].isdigit():
+            out.append("#")
+        elif t in JAVA_KEYWORDS:
+            out.append(t)
+        else:
+            out.append("$")
+    return " ".join(out)
+
+
+def _clone2_stats(tpl: int, template: str) -> tuple:
+    """Freeze helper for type-2 clone detection: extract TWO
+    instantiations of the template (literals 7 and 8), build each
+    method's normalized-token key over its PDG nodes in node_id order,
+    and return (methods per doc, distinct RAW keys per doc, distinct
+    clone groups across both docs). The raw keys differ between the
+    two docs (the embedded literal), the normalized keys must NOT —
+    clone groups == methods per doc is the type-2 collapse."""
+    from propertygraph_spark.kernel.extract import extract_document
+    raw_keys, norm_keys, methods = set(), set(), set()
+    per_doc_raw = None
+    for lit in (7, 8):
+        nodes, _t, _m, err = extract_document(f"c{lit}", template % lit)
+        assert err is None
+        by_m: dict = {}
+        for nd in nodes:
+            if nd["graph"] != "pdg":
+                continue
+            by_m.setdefault(nd["method_id"], []).append(
+                (nd["node_id"], nd["category"], nd["text"]))
+        doc_raw = set()
+        for m, rows in by_m.items():
+            rows.sort()
+            raw = "|".join(f"{c}:{t}" for _i, c, t in rows)
+            norm = "|".join(f"{c}:{_norm_clone_tokens(t)}"
+                            for _i, c, t in rows)
+            doc_raw.add(raw)
+            norm_keys.add(norm)
+            methods.add((lit, m))
+        raw_keys |= {(lit, r) for r in doc_raw}
+        per_doc_raw = len(doc_raw)
+    n_methods_per_doc = len(methods) // 2
+    assert len(raw_keys) == 2 * per_doc_raw      # literal makes docs differ
+    return n_methods_per_doc, per_doc_raw, len(norm_keys)
 
 
 def _dom_stats(triples: list) -> tuple:
@@ -613,6 +680,7 @@ def _freeze_constants() -> None:
         TEMPLATE_PDG_SLICE[tpl] = _slice_stats(nodes, triples)
         TEMPLATE_PDG_FSLICE[tpl] = _fslice_stats(nodes, triples)
         TEMPLATE_CFG_CLOSENESS[tpl] = _closeness_stats(triples)
+        TEMPLATE_CLONE2[tpl] = _clone2_stats(tpl, template)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
         # out-degree histogram per predicate family: {(pred, degree): n}
@@ -1179,6 +1247,75 @@ SELECT c.tpl AS tpl, CAST(t.n * c.nn AS BIGINT) AS n_cfg_nodes,
        CAST(c.mx AS BIGINT) AS max_closeness
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.nn > 0
+ORDER BY c.tpl
+"""
+
+
+def clone2_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed Type-2 code-clone detection (SourcererCC-flavor
+    normalized-token fingerprints; Sajnani et al. 2016): every method's
+    clone key is the md5 of its PDG nodes in node_id order, each node
+    contributing category + its tokens with numbers -> '#', Java
+    keywords kept, all other identifiers -> '$'. Docs instantiated from
+    the same template differ in their embedded int literal — so their
+    RAW keys are all distinct while their type-2 keys collapse: per
+    template, n_raw_keys scales with the corpus and n_clone_groups
+    stays at the frozen constant. (WL shapes prove GRAPH-structural
+    collapse; this is the complementary token-level normalization that
+    also distinguishes e.g. if vs while on identical graph shapes.)
+
+    Scale shape: normalization is pure Catalyst higher-order functions
+    inside the row; ONE method-keyed agg builds the keys (sort_array
+    of (node_id, norm) structs — bounded by method size), one bounded
+    per-template rollup on top."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    nodes, _, _, _ = split_union(union)
+    kw = F.array(*[F.lit(k) for k in JAVA_KEYWORDS])
+    toks = F.filter(F.split(F.col("text"), "[^A-Za-z0-9_]+"),
+                    lambda t: t != F.lit(""))
+    norm = F.transform(
+        toks, lambda t: F.when(t.rlike("^[0-9]"), F.lit("#"))
+        .when(F.array_contains(kw, t), t).otherwise(F.lit("$")))
+    per_node = (nodes.filter(F.col("graph") == "pdg")
+                .select("method_id", "node_id",
+                        F.concat(F.col("category"), F.lit(":"),
+                                 F.concat_ws(" ", norm)).alias("nn"),
+                        F.concat(F.col("category"), F.lit(":"),
+                                 F.col("text")).alias("nr")))
+    keys = (per_node.groupBy("method_id")
+            .agg(F.md5(F.concat_ws("|", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("node_id", "nn"))),
+                     lambda x: x["nn"]))).alias("clone_key"),
+                 F.md5(F.concat_ws("|", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("node_id", "nr"))),
+                     lambda x: x["nr"]))).alias("raw_key")))
+    return (keys.withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_methods"),
+                 F.countDistinct("raw_key").cast("long")
+                 .alias("n_raw_keys"),
+                 F.countDistinct("clone_key").cast("long")
+                 .alias("n_clone_groups"))
+            .orderBy("tpl"))
+
+
+def clone2_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {m}, {r}, {g})"
+        for tpl, (m, r, g) in TEMPLATE_CLONE2.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, m, r, g) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.m AS BIGINT) AS n_methods,
+       CAST(t.n * c.r AS BIGINT) AS n_raw_keys,
+       CAST(c.g AS BIGINT) AS n_clone_groups
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.m > 0
 ORDER BY c.tpl
 """
 

@@ -190,3 +190,18 @@ def test_closeness_constants_pinned():
                                       1: (9, 1891846, 281250),
                                       2: (6, 1233332, 300000),
                                       3: (9, 2188993, 347222)}
+
+
+def test_clone2_constants_pinned():
+    """Type-2 clone freeze: one method per template doc, raw keys
+    distinct per doc (the embedded literal), and two different
+    instantiations collapse to ONE normalized clone group."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_CLONE2,
+                                                _norm_clone_tokens)
+    assert TEMPLATE_CLONE2 == {0: (1, 1, 1), 1: (1, 1, 1),
+                               2: (1, 1, 1), 3: (1, 1, 1)}
+    # the normalization itself: literals -> '#', keywords kept,
+    # identifiers -> '$', non-word runs are separators
+    assert _norm_clone_tokens("int total = foo(42, bar);") \
+        == "int $ $ # $"
+    assert _norm_clone_tokens("") == ""

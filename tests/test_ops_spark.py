@@ -2163,3 +2163,16 @@ def test_closeness_hand_graph(spark):
             df, scope="scope", bounded_scopes=bounded).collect())
         assert got == [("p", 0, 666666, 2, 3), ("p", 1, 500000, 1, 1),
                        ("p", 2, 0, 0, 0)], bounded
+
+
+def test_clone2_collapses_renamed_literals(spark):
+    """Two docs from the same template (different embedded literals)
+    land in ONE clone group with TWO raw keys; docs from different
+    templates never share a group (per-template rollup pins it)."""
+    from propertygraph_spark.ops.kgdocs import clone2_by_template
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_methods"], r["n_raw_keys"],
+                      r["n_clone_groups"])
+           for r in clone2_by_template(docs).collect()}
+    assert got == {t: (2, 2, 1) for t in range(4)}
