@@ -67,7 +67,7 @@ _PREV_DRIVER_CHECKED = frozenset({
 _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "kg_pagerank",
                     "kg_triangles", "kg_kcore", "kg_cfg_bfs", "kg_communities",
-                    "kg_pdg_components", "kg_cfg_scc",
+                    "kg_pdg_components", "kg_cfg_scc", "kg_cfg_layers",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -439,6 +439,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_text_alignment(_docs(s_, d_), _emb(s_, d_))
 
     q["media_alignment"] = _alignment
+
+    # perceptual-hash near-dup pairs need media that IS near-duplicate:
+    # every 25th doc gets a copy with a new id but the SAME text — the
+    # payload's md5(text) half (the 16 bytes the pHash reads) is then
+    # byte-identical, so each (orig, copy) pair sits at distance 0.
+    # Mirrored in the oracle.
+    def _phash_pairs(s_, d_):
+        from propertygraph_spark.ops.multimodal import (media_phash_pairs,
+                                                        synthesize_media)
+        base = _docs(s_, d_).select("doc_id", "text")
+        copies = (base.filter(F.col("doc_id") % 25 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        return media_phash_pairs(
+            synthesize_media(base.unionByName(copies)))
+
+    q["media_phash"] = _phash_pairs
 
     # --- dataset assembly (split + sequence packing) ---
     from propertygraph_spark.ops.dataset import pack_sequences, split_assign
@@ -2654,6 +2670,88 @@ SELECT mb.doc_id, mb.media_kind,
                                     i -> fbytes[i] * codes[i]))
             AS BIGINT) AS align_x
 FROM mb JOIN t3 USING (doc_id) ORDER BY mb.doc_id
+"""
+    o["media_phash"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 25 = 0
+), m AS (SELECT doc_id, md5(text) AS h FROM aug),
+mb AS (SELECT doc_id,
+             (ascii(substr(h, 1, 1)) - 48 - 39 * CAST(ascii(substr(h, 1, 1)) >= 97 AS INT)) AS n0,
+             (ascii(substr(h, 2, 1)) - 48 - 39 * CAST(ascii(substr(h, 2, 1)) >= 97 AS INT)) AS n1,
+             (ascii(substr(h, 3, 1)) - 48 - 39 * CAST(ascii(substr(h, 3, 1)) >= 97 AS INT)) AS n2,
+             (ascii(substr(h, 4, 1)) - 48 - 39 * CAST(ascii(substr(h, 4, 1)) >= 97 AS INT)) AS n3,
+             (ascii(substr(h, 5, 1)) - 48 - 39 * CAST(ascii(substr(h, 5, 1)) >= 97 AS INT)) AS n4,
+             (ascii(substr(h, 6, 1)) - 48 - 39 * CAST(ascii(substr(h, 6, 1)) >= 97 AS INT)) AS n5,
+             (ascii(substr(h, 7, 1)) - 48 - 39 * CAST(ascii(substr(h, 7, 1)) >= 97 AS INT)) AS n6,
+             (ascii(substr(h, 8, 1)) - 48 - 39 * CAST(ascii(substr(h, 8, 1)) >= 97 AS INT)) AS n7,
+             (ascii(substr(h, 9, 1)) - 48 - 39 * CAST(ascii(substr(h, 9, 1)) >= 97 AS INT)) AS n8,
+             (ascii(substr(h, 10, 1)) - 48 - 39 * CAST(ascii(substr(h, 10, 1)) >= 97 AS INT)) AS n9,
+             (ascii(substr(h, 11, 1)) - 48 - 39 * CAST(ascii(substr(h, 11, 1)) >= 97 AS INT)) AS n10,
+             (ascii(substr(h, 12, 1)) - 48 - 39 * CAST(ascii(substr(h, 12, 1)) >= 97 AS INT)) AS n11,
+             (ascii(substr(h, 13, 1)) - 48 - 39 * CAST(ascii(substr(h, 13, 1)) >= 97 AS INT)) AS n12,
+             (ascii(substr(h, 14, 1)) - 48 - 39 * CAST(ascii(substr(h, 14, 1)) >= 97 AS INT)) AS n13,
+             (ascii(substr(h, 15, 1)) - 48 - 39 * CAST(ascii(substr(h, 15, 1)) >= 97 AS INT)) AS n14,
+             (ascii(substr(h, 16, 1)) - 48 - 39 * CAST(ascii(substr(h, 16, 1)) >= 97 AS INT)) AS n15,
+             (ascii(substr(h, 17, 1)) - 48 - 39 * CAST(ascii(substr(h, 17, 1)) >= 97 AS INT)) AS n16,
+             (ascii(substr(h, 18, 1)) - 48 - 39 * CAST(ascii(substr(h, 18, 1)) >= 97 AS INT)) AS n17,
+             (ascii(substr(h, 19, 1)) - 48 - 39 * CAST(ascii(substr(h, 19, 1)) >= 97 AS INT)) AS n18,
+             (ascii(substr(h, 20, 1)) - 48 - 39 * CAST(ascii(substr(h, 20, 1)) >= 97 AS INT)) AS n19,
+             (ascii(substr(h, 21, 1)) - 48 - 39 * CAST(ascii(substr(h, 21, 1)) >= 97 AS INT)) AS n20,
+             (ascii(substr(h, 22, 1)) - 48 - 39 * CAST(ascii(substr(h, 22, 1)) >= 97 AS INT)) AS n21,
+             (ascii(substr(h, 23, 1)) - 48 - 39 * CAST(ascii(substr(h, 23, 1)) >= 97 AS INT)) AS n22,
+             (ascii(substr(h, 24, 1)) - 48 - 39 * CAST(ascii(substr(h, 24, 1)) >= 97 AS INT)) AS n23,
+             (ascii(substr(h, 25, 1)) - 48 - 39 * CAST(ascii(substr(h, 25, 1)) >= 97 AS INT)) AS n24,
+             (ascii(substr(h, 26, 1)) - 48 - 39 * CAST(ascii(substr(h, 26, 1)) >= 97 AS INT)) AS n25,
+             (ascii(substr(h, 27, 1)) - 48 - 39 * CAST(ascii(substr(h, 27, 1)) >= 97 AS INT)) AS n26,
+             (ascii(substr(h, 28, 1)) - 48 - 39 * CAST(ascii(substr(h, 28, 1)) >= 97 AS INT)) AS n27,
+             (ascii(substr(h, 29, 1)) - 48 - 39 * CAST(ascii(substr(h, 29, 1)) >= 97 AS INT)) AS n28,
+             (ascii(substr(h, 30, 1)) - 48 - 39 * CAST(ascii(substr(h, 30, 1)) >= 97 AS INT)) AS n29,
+             (ascii(substr(h, 31, 1)) - 48 - 39 * CAST(ascii(substr(h, 31, 1)) >= 97 AS INT)) AS n30,
+             (ascii(substr(h, 32, 1)) - 48 - 39 * CAST(ascii(substr(h, 32, 1)) >= 97 AS INT)) AS n31
+       FROM m),
+ph AS (SELECT doc_id,
+             (CASE WHEN n0 > n1 THEN 1 ELSE 0 END)
+           + (CASE WHEN n1 > n2 THEN 2 ELSE 0 END)
+           + (CASE WHEN n2 > n3 THEN 4 ELSE 0 END)
+           + (CASE WHEN n3 > n4 THEN 8 ELSE 0 END)
+           + (CASE WHEN n4 > n5 THEN 16 ELSE 0 END)
+           + (CASE WHEN n5 > n6 THEN 32 ELSE 0 END)
+           + (CASE WHEN n6 > n7 THEN 64 ELSE 0 END)
+           + (CASE WHEN n7 > n8 THEN 128 ELSE 0 END)
+           + (CASE WHEN n8 > n9 THEN 256 ELSE 0 END)
+           + (CASE WHEN n9 > n10 THEN 512 ELSE 0 END)
+           + (CASE WHEN n10 > n11 THEN 1024 ELSE 0 END)
+           + (CASE WHEN n11 > n12 THEN 2048 ELSE 0 END)
+           + (CASE WHEN n12 > n13 THEN 4096 ELSE 0 END)
+           + (CASE WHEN n13 > n14 THEN 8192 ELSE 0 END)
+           + (CASE WHEN n14 > n15 THEN 16384 ELSE 0 END)
+           + (CASE WHEN n15 > n16 THEN 32768 ELSE 0 END)
+           + (CASE WHEN n16 > n17 THEN 65536 ELSE 0 END)
+           + (CASE WHEN n17 > n18 THEN 131072 ELSE 0 END)
+           + (CASE WHEN n18 > n19 THEN 262144 ELSE 0 END)
+           + (CASE WHEN n19 > n20 THEN 524288 ELSE 0 END)
+           + (CASE WHEN n20 > n21 THEN 1048576 ELSE 0 END)
+           + (CASE WHEN n21 > n22 THEN 2097152 ELSE 0 END)
+           + (CASE WHEN n22 > n23 THEN 4194304 ELSE 0 END)
+           + (CASE WHEN n23 > n24 THEN 8388608 ELSE 0 END)
+           + (CASE WHEN n24 > n25 THEN 16777216 ELSE 0 END)
+           + (CASE WHEN n25 > n26 THEN 33554432 ELSE 0 END)
+           + (CASE WHEN n26 > n27 THEN 67108864 ELSE 0 END)
+           + (CASE WHEN n27 > n28 THEN 134217728 ELSE 0 END)
+           + (CASE WHEN n28 > n29 THEN 268435456 ELSE 0 END)
+           + (CASE WHEN n29 > n30 THEN 536870912 ELSE 0 END)
+           + (CASE WHEN n30 > n31 THEN 1073741824 ELSE 0 END)
+           + (CASE WHEN n31 > n0 THEN 2147483648 ELSE 0 END) AS phash
+       FROM mb),
+banded AS (SELECT doc_id, phash, 0 AS band, (phash // 1) % 256 AS nib FROM ph UNION ALL SELECT doc_id, phash, 1 AS band, (phash // 256) % 256 AS nib FROM ph UNION ALL SELECT doc_id, phash, 2 AS band, (phash // 65536) % 256 AS nib FROM ph UNION ALL SELECT doc_id, phash, 3 AS band, (phash // 16777216) % 256 AS nib FROM ph)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
     o["media_decode_meta"] = f"""
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)

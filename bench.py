@@ -297,6 +297,10 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_clone_type2": lambda: kgdocs.clone2_by_template(
             docs(spark, sf_dir)),
+        "media_phash": lambda: __import__(
+            "propertygraph_spark.ops.multimodal",
+            fromlist=["media_phash_pairs"]).media_phash_pairs(
+                synthesize_media(docs(spark, sf_dir))),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

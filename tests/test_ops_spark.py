@@ -2176,3 +2176,28 @@ def test_clone2_collapses_renamed_literals(spark):
                       r["n_clone_groups"])
            for r in clone2_by_template(docs).collect()}
     assert got == {t: (2, 2, 1) for t in range(4)}
+
+
+def test_media_phash_pairs_identical_and_perturbed(spark):
+    """perceptual_hash: identical payload halves (same text) -> hamming
+    0 pair; a payload differing in many pixels doesn't pair; the
+    banded candidate join misses nothing the brute-force check finds
+    at distance <= 3."""
+    from propertygraph_spark.ops.multimodal import (media_phash_pairs,
+                                                    perceptual_hash,
+                                                    synthesize_media)
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "entirely different")],
+        "doc_id long, text string")
+    media = synthesize_media(docs)
+    ph = {r["doc_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert ph[1] == ph[2]                    # same md5(text) half
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in media_phash_pairs(media).collect()}
+    assert got.get((1, 2)) == 0
+    # brute force over the 3 hashes: every pair at distance <= 3 must
+    # appear in the banded output (pigeonhole completeness)
+    import itertools
+    for a, b in itertools.combinations(sorted(ph), 2):
+        d = bin(ph[a] ^ ph[b]).count("1")
+        assert ((a, b) in got) == (d <= 3), (a, b, d)
