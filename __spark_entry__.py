@@ -68,6 +68,7 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "kg_pagerank",
                     "kg_triangles", "kg_kcore", "kg_cfg_bfs", "kg_communities",
                     "kg_pdg_components", "kg_cfg_scc", "kg_cfg_layers",
+                    "kg_pdg_clustering",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
                     "part_type_shares", "events_minutely",
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_clone_type2"] = lambda s, d: kgdocs.clone2_by_template(
         _docs(s, d))
+    q["kg_api_bigrams"] = lambda s, d: kgdocs.api_bigrams(_docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
 
@@ -718,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_forward_slice"] = kgdocs.forward_slice_oracle_sql()
     o["kg_cfg_closeness"] = kgdocs.closeness_oracle_sql()
     o["kg_clone_type2"] = kgdocs.clone2_oracle_sql()
+    o["kg_api_bigrams"] = kgdocs.api_bigrams_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

@@ -297,6 +297,7 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_clone_type2": lambda: kgdocs.clone2_by_template(
             docs(spark, sf_dir)),
+        "kg_api_bigrams": lambda: kgdocs.api_bigrams(docs(spark, sf_dir)),
         "media_phash": lambda: __import__(
             "propertygraph_spark.ops.multimodal",
             fromlist=["media_phash_pairs"]).media_phash_pairs(

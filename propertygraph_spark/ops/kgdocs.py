@@ -1798,6 +1798,76 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def api_bigrams(documents: DataFrame) -> DataFrame:
+    """ORDERED API-sequence mining (the other half of MAPO, Zhong et
+    al. 2009: mined patterns are call SEQUENCES, not just co-occurring
+    sets): consecutive pairs of linked callee fqns per document in
+    call-site order (node_id = preorder position), counted across the
+    corpus. 'put is followed by length' is an ordering rule
+    api_cooccurrence cannot express. Returns (api_from, api_to,
+    n_occurrences).
+
+    Scale shape: packed map-only linking, one groupBy(doc_id)
+    collect_list bounded by the doc's own call-site count, adjacent
+    pairs generated IN-ROW by zipping the sequence with itself shifted
+    by one (arrays_zip of two slices — no join), and the final count
+    groups on the bounded fqn-pair key space."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.linking import (link_mentions,
+                                                      symbol_dictionary)
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, _, mentions, _ = split_union(union)
+    linked = link_mentions(mentions,
+                           symbol_dictionary(documents.sparkSession))
+    calls = linked.filter(F.col("kind") == "call_site")
+    seq = (calls.groupBy("doc_id")
+           .agg(F.transform(
+               F.sort_array(F.collect_list(F.struct("node_id", "fqn"))),
+               lambda x: x["fqn"]).alias("apis")))
+    n = F.size("apis")
+    pairs = seq.select(F.explode(F.arrays_zip(
+        F.slice("apis", 1, n - 1).alias("api_from"),
+        F.slice("apis", 2, n - 1).alias("api_to"))).alias("p"))
+    return (pairs.groupBy(F.col("p.api_from").alias("api_from"),
+                          F.col("p.api_to").alias("api_to"))
+            .agg(F.count("*").cast("long").alias("n_occurrences"))
+            .orderBy("api_from", "api_to"))
+
+
+def api_bigrams_oracle_sql() -> str:
+    """DuckDB twin of api_bigrams: host-replayed linking argmax over
+    each template's ORDERED call-site occurrence list -> its adjacent
+    fqn pairs, scaled by the doc_id%4 template counts."""
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    bigram_tpls: dict = {}
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        fqns = []
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is not None:
+                fqns.append(best[0])
+        for a, b in zip(fqns, fqns[1:]):
+            bigram_tpls.setdefault((a, b), []).append(tpl)
+    if not bigram_tpls:
+        raise RuntimeError("frozen call-site sequences yield no bigrams")
+    values = ", ".join(
+        f"({tpl}, '{a}', '{b}')"
+        for (a, b), tpls in sorted(bigram_tpls.items()) for tpl in tpls)
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, a, b) AS (VALUES {values})
+SELECT c.a AS api_from, c.b AS api_to,
+       CAST(sum(t.n) AS BIGINT) AS n_occurrences
+FROM consts c JOIN tplcount t USING (tpl)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def api_pagerank(documents: DataFrame) -> DataFrame:
     """PageRank over the CORPUS-WIDE call graph — 'which symbols matter
     most' across every document at once, the KG-consumer ranking query

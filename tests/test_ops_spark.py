@@ -2201,3 +2201,21 @@ def test_media_phash_pairs_identical_and_perturbed(spark):
     for a, b in itertools.combinations(sorted(ph), 2):
         d = bin(ph[a] ^ ph[b]).count("1")
         assert ((a, b) in got) == (d <= 3), (a, b, d)
+
+
+def test_api_bigrams_ordered_small_corpus(spark):
+    """api_bigrams on an 8-doc corpus doubles each template's frozen
+    adjacent-pair counts, and the pairs are ORDERED (node_id
+    sequence), which the unordered co-occurrence op cannot express:
+    template 3's two getValue calls link to different fqns, so the
+    bigram direction is pinned."""
+    from propertygraph_spark.ops.kgdocs import api_bigrams
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {(r["api_from"], r["api_to"]): r["n_occurrences"]
+           for r in api_bigrams(docs).collect()}
+    assert got[("org.acme.util.Text.getValue",
+                "java.lang.String.getValue")] == 2
+    assert ("java.lang.String.getValue",
+            "org.acme.util.Text.getValue") not in got
+    assert all(v % 2 == 0 for v in got.values())

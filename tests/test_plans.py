@@ -648,3 +648,44 @@ def test_language_mixture_is_exchange_free(spark):
     p = plan(language_mixture(df))
     assert "Exchange" not in p, p
     assert p.count("array_contains") == len(LANG_MARKERS), p
+
+
+def test_bm25_topk_is_take_ordered_with_broadcasts(spark):
+    """BM25's top-k must be TakeOrderedAndProject (never a global
+    sort), and the bounded sides (per-term df, corpus stats) must
+    broadcast — the corpus-sized side never shuffles for them."""
+    df = spark.createDataFrame([(1, "q x")], "doc_id long, text string")
+    p = plan(text.bm25_topk(df, ["q"]))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_rarity_buckets_salts_the_token_join(spark):
+    """The vocabulary join key is skewed (stopwords), so the count side
+    must be salted: the plan joins on (token, salt) — both columns in
+    one hashpartitioning — and the corpus total is a broadcast."""
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    p = plan(text.rarity_buckets(df))
+    assert "BroadcastExchange" in p, p
+    import re
+    joins = re.findall(r"hashpartitioning\(token[^)]*salt", p)
+    assert joins, p
+
+
+def test_eval_fuzzy_contamination_broadcasts_eval_side(spark):
+    """The eval slice joins via BROADCAST on (band, bucket): the train
+    side must not shuffle for the probe (no SortMergeJoin anywhere)."""
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    p = plan(dedup.eval_fuzzy_contamination(df))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_media_phash_pairs_single_equijoin_no_cartesian(spark):
+    """The pHash pair search is ONE equi-join on (band, nib) — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    from propertygraph_spark.ops.multimodal import (media_phash_pairs,
+                                                    synthesize_media)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    p = plan(media_phash_pairs(synthesize_media(df)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
