@@ -404,3 +404,44 @@ def streaming_user_hll_registers(events: DataFrame,
     the same register table into the integer harmonic mean."""
     from propertygraph_spark.ops.relational import hll_registers
     return hll_registers(events, m=m)
+
+
+def streaming_view_click_join(events: DataFrame,
+                              max_delay: str = "5 minutes",
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Stream-STREAM interval join — the attribution query (every view
+    a user's click can be credited to, view within ``max_delay``
+    BEFORE the click), run with state on BOTH sides: views wait for
+    future clicks, clicks wait for late views. This is the one
+    Structured Streaming state shape the suite's stream-static and
+    aggregation ops don't exercise.
+
+    State bound: both inputs are watermarked, and the join's time-range
+    condition lets Spark evict a buffered view once the click-side
+    watermark passes view_ts + max_delay (and clicks likewise) — state
+    tracks the delay window, not the stream length. Inner join, so
+    matches emit as they are found (append mode, no watermark wait for
+    results). The batch twin is the identical join expression over the
+    static table; equality across multi-file triggers is pinned in
+    tests (a view buffered in an early trigger joins a click arriving
+    triggers later)."""
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    cond = ((F.col("v_user") == F.col("c_user"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (F.col("view_ts") >=
+               F.col("click_ts") - F.expr(f"INTERVAL {max_delay}")))
+    return (views.join(clicks, cond)
+            .select(F.col("v_user").alias("user_id"), "view_id",
+                    "click_id", "view_ts", "click_ts",
+                    (F.unix_timestamp("click_ts")
+                     - F.unix_timestamp("view_ts"))
+                    .cast("long").alias("lag_sec")))

@@ -548,3 +548,56 @@ def test_streaming_hll_registers_match_batch(spark, events_path):
     static = spark.read.parquet(events_path)
     want = {tuple(r) for r in hll_registers(static).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_view_click_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the identical batch join, with
+    the attribution pair SPLIT ACROSS TRIGGERS (the view arrives two
+    files before its click — both-side state carries it), an
+    out-of-window view excluded, and cross-user pairs never joined."""
+    import os
+
+    from propertygraph_spark.streaming.events import (
+        read_events_stream, run_to_memory, streaming_view_click_join)
+    rows = [
+        # u1: view at 00:00, click at 00:03 (in window, CROSS-file)
+        (10, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        # u2: view at 00:01, clicks at 00:02 and 00:04 (both credit it)
+        (11, "2024-01-01 00:01:00", 2, "view", 1.0, "{}"),
+        (12, "2024-01-01 00:02:00", 2, "click", 1.0, "{}"),
+        # file 2
+        (13, "2024-01-01 00:03:00", 1, "click", 1.0, "{}"),
+        (14, "2024-01-01 00:04:00", 2, "click", 1.0, "{}"),
+        # u3: view 10 minutes before its click -> OUT of 5-min window
+        (15, "2024-01-01 00:00:00", 3, "view", 1.0, "{}"),
+        # file 3
+        (16, "2024-01-01 00:10:00", 3, "click", 1.0, "{}"),
+        (17, "2024-01-01 00:20:00", 9, "click", 1.0, "{}"),  # advances wm
+    ]
+    path = str(tmp_path / "ev.parquet")
+    os.makedirs(path)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    # mod-time-ordered files so triggers replay the order above
+    import time as _t
+    for i, frac in enumerate(((10, 11, 12), (13, 14, 15), (16, 17))):
+        df.filter(F.col("event_id").isin(*frac)).coalesce(1) \
+          .write.mode("append").parquet(path)
+        _t.sleep(1.1)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    q = run_to_memory(streaming_view_click_join(stream), "vc_join",
+                      output_mode="append")
+    try:
+        got = {(r["user_id"], r["view_id"], r["click_id"], r["lag_sec"])
+               for r in spark.sql("select * from vc_join").collect()}
+    finally:
+        q.stop()
+    batch = streaming_view_click_join(spark.read.parquet(path))
+    want = {(r["user_id"], r["view_id"], r["click_id"], r["lag_sec"])
+            for r in batch.collect()}
+    assert got == want
+    assert (1, 10, 13, 180) in got          # cross-trigger pair
+    assert (2, 11, 12, 60) in got and (2, 11, 14, 180) in got
+    assert not any(u == 3 for (u, _v, _c, _l) in got)   # out of window
