@@ -59,6 +59,13 @@ def main(argv=None) -> int:
                     help="trim every stage's snapshot log to the last "
                          "N commits and exit (Iceberg expire_snapshots "
                          "twin; chain + manifest fingerprint preserved)")
+    ap.add_argument("--remove-orphans", action="store_true",
+                    help="delete files no committed state references "
+                         "under --out's stages and exit (Iceberg "
+                         "remove_orphan_files twin; --dry-run lists "
+                         "only)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="with --remove-orphans: report, delete nothing")
     ap.add_argument("--compact", action="store_true",
                     help="compact small files in bucket-incremental "
                          "stages under --out and exit (Iceberg "
@@ -101,6 +108,24 @@ def main(argv=None) -> int:
                   f"rows={a['total_rows']}{extra}")
             rc |= 0 if a["ok"] else 1
         return rc
+    if args.remove_orphans:
+        from propertygraph_spark.pipeline.materialize import (
+            remove_orphan_files)
+        for stage in ("extracted", "linked", "canonical", "nodes",
+                      "edges"):
+            p = os.path.join(args.out, stage)
+            if not os.path.isdir(p):
+                continue
+            try:
+                res = remove_orphan_files(p, delete=not args.dry_run)
+            except ValueError as exc:
+                print(f"orphans {stage}: SKIP ({exc})")
+                continue
+            verb = "found" if args.dry_run else "removed"
+            print(f"orphans {stage} [{res['mode']}]: {verb}="
+                  f"{len(res['orphans'])}"
+                  + (f" {res['orphans'][:5]}" if res["orphans"] else ""))
+        return 0
     if args.expire_snapshots is not None:
         from propertygraph_spark.pipeline.materialize import (
             expire_snapshots)

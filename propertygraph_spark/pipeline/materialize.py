@@ -804,3 +804,87 @@ def expire_snapshots(path: str, keep_last: int = 10) -> dict:
     with open(os.path.join(path, "_snapshots.json"), "w") as f:
         json.dump(out, f)
     return {"expired": len(expired), "retained": len(out), "ok": True}
+
+
+def remove_orphan_files(path: str, delete: bool = False) -> dict:
+    """Orphan-file cleanup — the Iceberg ``remove_orphan_files``
+    maintenance action for this table format. An orphan is any file
+    under the stage dir that no committed state references: a parquet
+    data file absent from the manifest's ``data_files`` list (torn
+    job attempt, killed executor's stray part file), a data file in a
+    ``bucket=B`` dir that ``_buckets.json`` does not govern, any
+    root-level data file in a bucket-incremental layout (dynamic
+    overwrite can never reclaim it and mixed-depth layouts crash the
+    reader), and anything inside a ``_temporary`` dir (a failed
+    commit's staging debris). At fleet scale these accumulate silently
+    and a 100 TB table drags TBs of dead bytes through every list/audit
+    — Iceberg ships the same action for the same reason.
+
+    Table state files (``_manifest.json``/``_buckets.json``/
+    ``_snapshots.json``/``_SUCCESS``) and run telemetry
+    (``_runmetrics``) are never orphans. ``delete=False`` (default) is
+    the dry run: it only reports. Returns ``{"mode": "manifest" |
+    "buckets", "orphans": [rel paths], "deleted": bool}``; raises
+    ``ValueError`` on a dir with neither state file (unauditable — the
+    caller cannot know what is live, same rule as the audit)."""
+    keep_names = {"_manifest.json", "_buckets.json", "_snapshots.json",
+                  "_SUCCESS"}
+    has_manifest = os.path.exists(_manifest_path(path))
+    state_file = os.path.join(path, "_buckets.json")
+    has_buckets = os.path.exists(state_file)
+    if not has_manifest and not has_buckets:
+        raise ValueError(f"no committed state under {path} (neither "
+                         f"_manifest.json nor _buckets.json): refusing "
+                         f"to classify files as orphans")
+    if has_manifest:
+        mode = "manifest"
+        with open(_manifest_path(path)) as f:
+            live = {x["path"] for x in json.load(f)["data_files"]}
+        governed_buckets: set = set()
+    else:
+        mode = "buckets"
+        live = set()
+        with open(state_file) as f:
+            governed_buckets = {str(k) for k in json.load(f)}
+    orphans: list = []
+    for root, dirs, names in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        parts = [] if rel_root == "." else rel_root.split(os.sep)
+        if "_runmetrics" in parts:
+            continue
+        in_temp = any(p == "_temporary" for p in parts)
+        bucket = next((p.split("=", 1)[1] for p in parts
+                       if p.startswith("bucket=")), None)
+        for name in sorted(names):
+            # a Hadoop ChecksumFileSystem companion (".<data>.crc") is
+            # live exactly when its data file is live — classify it by
+            # the data file's name, never on its own
+            data_name = name
+            if name.startswith(".") and name.endswith(".crc"):
+                data_name = name[1:-4]
+            rel = name if rel_root == "." else os.path.join(rel_root, name)
+            data_rel = (data_name if rel_root == "."
+                        else os.path.join(rel_root, data_name))
+            if rel_root == "." and data_name in keep_names:
+                continue
+            if in_temp:
+                orphans.append(rel)
+            elif mode == "manifest":
+                if data_rel not in live and data_name.endswith(".parquet"):
+                    orphans.append(rel)
+            else:
+                if not data_name.endswith(".parquet"):
+                    continue
+                if bucket is None or bucket not in governed_buckets:
+                    orphans.append(rel)
+    if delete:
+        for rel in orphans:
+            full = os.path.join(path, rel)
+            if os.path.isfile(full):
+                os.remove(full)
+        # prune now-empty dirs bottom-up (a deleted stray bucket dir or
+        # _temporary tree must not linger and re-flag the audit)
+        for root, dirs, names in os.walk(path, topdown=False):
+            if root != path and not os.listdir(root):
+                os.rmdir(root)
+    return {"mode": mode, "orphans": sorted(orphans), "deleted": delete}

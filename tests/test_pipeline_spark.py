@@ -668,3 +668,105 @@ def test_expire_snapshots_trims_log_keeps_chain(spark, tmp_path):
     assert len(hist2) == 5 and hist2[-1]["fingerprint"] == "fp9"
     assert hist2[-1]["parent_id"] == hist[-1]["snapshot_id"]
     assert audit_stage(path)["ok"]
+
+
+def test_remove_orphan_files_manifest_and_bucket_stages(spark, tmp_path):
+    """Iceberg remove_orphan_files twin: unreferenced data files (stray
+    part files, _temporary debris, ungoverned bucket dirs, root-level
+    files in a bucket layout) are reported in dry-run and deleted for
+    real; live files and their .crc companions survive, audits go
+    red -> green, rows are unchanged, and a stage with no committed
+    state refuses to classify anything."""
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, audit_stage, remove_orphan_files, write_stage,
+        write_stage_buckets)
+
+    # --- manifest stage ---
+    path = str(tmp_path / "extracted")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(8)],
+                               "id long, payload string")
+    write_stage(df, path, fp="fp0", spark=spark)
+    rows_before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    live = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+    assert live
+    # live .crc companion must never be classified as an orphan
+    live_crc = os.path.join(path, f".{live[0]}.crc")
+    with open(live_crc, "wb") as f:
+        f.write(b"\x00" * 8)
+    # orphan 1: stray part file from a torn job attempt
+    stray = os.path.join(path, "part-99999-dead.snappy.parquet")
+    with open(os.path.join(path, live[0]), "rb") as f:
+        payload = f.read()
+    with open(stray, "wb") as f:
+        f.write(payload)
+    # orphan 2: its checksum companion
+    with open(os.path.join(path, ".part-99999-dead.snappy.parquet.crc"),
+              "wb") as f:
+        f.write(b"\x00" * 8)
+    # orphan 3: failed-commit staging debris
+    tempdir = os.path.join(path, "_temporary", "0", "task_0")
+    os.makedirs(tempdir)
+    with open(os.path.join(tempdir, "part-0.parquet"), "wb") as f:
+        f.write(payload)
+    assert not audit_stage(path)["ok"]
+
+    dry = remove_orphan_files(path, delete=False)
+    assert dry["mode"] == "manifest" and not dry["deleted"]
+    assert dry["orphans"] == [
+        ".part-99999-dead.snappy.parquet.crc",
+        "_temporary/0/task_0/part-0.parquet",
+        "part-99999-dead.snappy.parquet"]
+    assert os.path.exists(stray)  # dry run deletes nothing
+
+    res = remove_orphan_files(path, delete=True)
+    assert res["orphans"] == dry["orphans"] and res["deleted"]
+    assert not os.path.exists(stray)
+    assert not os.path.isdir(os.path.join(path, "_temporary"))
+    assert os.path.exists(live_crc)
+    assert audit_stage(path)["ok"]
+    # (the fabricated companion holds no real checksum — drop it before
+    # Hadoop's ChecksumFileSystem verifies the live file against it)
+    os.remove(live_crc)
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} \
+        == rows_before
+
+    # --- bucket-incremental stage ---
+    bpath = str(tmp_path / "nodes")
+    bdf = spark.createDataFrame([(i, i % 4, f"v{i}") for i in range(32)],
+                                "id long, bucket int, payload string")
+    write_stage_buckets(bdf, bpath, {b: f"fp{b}" for b in range(4)},
+                        spark=spark)
+    brows = {tuple(r) for r in spark.read.parquet(bpath).collect()}
+    os.makedirs(os.path.join(bpath, "bucket=99"))
+    with open(os.path.join(bpath, "bucket=99", "part-0.parquet"),
+              "wb") as f:
+        f.write(payload)
+    with open(os.path.join(bpath, "rootlevel.parquet"), "wb") as f:
+        f.write(payload)
+    assert not audit_bucket_stage(bpath)["ok"]
+    bres = remove_orphan_files(bpath, delete=True)
+    assert bres["mode"] == "buckets"
+    assert bres["orphans"] == ["bucket=99/part-0.parquet",
+                               "rootlevel.parquet"]
+    assert not os.path.isdir(os.path.join(bpath, "bucket=99"))
+    assert audit_bucket_stage(bpath)["ok"]
+    assert {tuple(r) for r in spark.read.parquet(bpath).collect()} == brows
+
+    # --- no committed state: refuse ---
+    empty = str(tmp_path / "mystery")
+    os.makedirs(empty)
+    with open(os.path.join(empty, "data.parquet"), "wb") as f:
+        f.write(payload)
+    with pytest.raises(ValueError):
+        remove_orphan_files(empty, delete=True)
+
+    # --- CLI twin: dry run reports, real run cleans ---
+    from propertygraph_spark.main import main as cli_main
+    with open(os.path.join(bpath, "rootlevel.parquet"), "wb") as f:
+        f.write(payload)
+    assert cli_main(["--remove-orphans", "--dry-run",
+                     "--out", str(tmp_path)]) == 0
+    assert os.path.exists(os.path.join(bpath, "rootlevel.parquet"))
+    assert cli_main(["--remove-orphans", "--out", str(tmp_path)]) == 0
+    assert not os.path.exists(os.path.join(bpath, "rootlevel.parquet"))
+    assert audit_bucket_stage(bpath)["ok"]
