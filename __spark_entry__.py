@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), k=5)
+    q["ann_mutual_knn"] = lambda s, d: similarity.mutual_knn(_emb(s, d), k=5)
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
     q["ann_lsh_mt_topk"] = lambda s, d: similarity.ann_lsh_mt_topk(
         _emb(s, d), k=5)
@@ -2573,6 +2574,33 @@ WITH n AS (
   FROM pairs
 )
 SELECT vec_id, neighbor_id, cos_pm, rnk FROM ranked WHERE rnk <= 5
+"""
+    o["ann_mutual_knn"] = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(floor(list_sum(list_transform(
+                 list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_pm
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT * FROM (
+    SELECT vec_id, neighbor_id, cos_pm,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_pm DESC, neighbor_id ASC) AS rnk
+    FROM pairs)
+  WHERE rnk <= 5
+)
+SELECT a.vec_id AS src, a.neighbor_id AS dst, a.cos_pm AS cos_pm,
+       CAST(a.rnk AS BIGINT) AS rnk_fwd, CAST(b.rnk AS BIGINT) AS rnk_back
+FROM knn a JOIN knn b
+  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+WHERE a.vec_id < a.neighbor_id
 """
     o["emb_matryoshka"] = """
 WITH s AS (SELECT vec_id,

@@ -184,6 +184,41 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     return reduce_topk(partials)
 
 
+def mutual_knn(emb: DataFrame, k: int = 5,
+               knn: DataFrame | None = None) -> DataFrame:
+    """Mutual k-NN graph over an embedding column — the neighborhood
+    graph semantic-clustering pipelines build before community/CC steps
+    (SemDeDup-style curation, UMAP/HDBSCAN preprocessing): an
+    undirected edge (src, dst) survives iff EACH endpoint ranks the
+    other inside its own top-k. Mutuality prunes hub vectors'
+    asymmetric fan-in, which is what makes the downstream clustering
+    robust.
+
+    Built as a composition: the exact blocked-broadcast ``cosine_topk``
+    (or any ANN variant passed via ``knn`` — the contract is only
+    (vec_id, neighbor_id, cos_pm, rnk)) produces the directed n*k edge
+    table; one self-equi-join on the reversed key keeps mutual pairs,
+    and ``src < dst`` canonicalizes direction. The join shuffles only
+    n*k rows (never the raw vectors), so the mutuality step costs the
+    same at 10^9 vectors as any edge-table shuffle; the kNN stage is
+    localCheckpointed so its BLAS passes run once, not once per join
+    side."""
+    directed = (knn if knn is not None else cosine_topk(emb, k=k)) \
+        .select("vec_id", "neighbor_id", "cos_pm", "rnk") \
+        .localCheckpoint(eager=False)
+    rev = directed.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("rnk").alias("rnk_back"))
+    return (directed.join(rev, ["vec_id", "neighbor_id"])
+            .filter(F.col("vec_id") < F.col("neighbor_id"))
+            .select(F.col("vec_id").alias("src"),
+                    F.col("neighbor_id").alias("dst"),
+                    "cos_pm",
+                    F.col("rnk").alias("rnk_fwd"),
+                    F.col("rnk_back")))
+
+
 def plane_signs(j: int, dims: int) -> list:
     """Deterministic +-1 pattern for hyperplane j: parity of the first
     hex char of md5('<j>|<dim>') — computed host-side once (the same

@@ -2219,3 +2219,30 @@ def test_api_bigrams_ordered_small_corpus(spark):
     assert ("java.lang.String.getValue",
             "org.acme.util.Text.getValue") not in got
     assert all(v % 2 == 0 for v in got.values())
+
+
+def test_mutual_knn_prunes_asymmetric_hub_edges(spark):
+    """mutual_knn with k=1 on three 2-D vectors: A and B are each
+    other's nearest neighbor (mutual edge), C's nearest is A but A's
+    top-1 is B — the asymmetric C->A edge must be pruned. Passing a
+    precomputed kNN table gives identical rows."""
+    from propertygraph_spark.ops.similarity import cosine_topk, mutual_knn
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.02]), (3, [0.9, 0.44])],
+        "vec_id long, embedding array<float>")
+    got = sorted(tuple(r) for r in mutual_knn(emb, k=1).collect())
+    assert len(got) == 1
+    src, dst, cos_pm, rnk_fwd, rnk_back = got[0]
+    assert (src, dst) == (1, 2)
+    assert rnk_fwd == 1 and rnk_back == 1
+    assert cos_pm > 999_000
+
+    via_knn = sorted(tuple(r) for r in mutual_knn(
+        emb, knn=cosine_topk(emb, k=1)).collect())
+    assert via_knn == got
+
+    # k=2 on 3 vectors: every directed edge exists, so all 3 pairs are
+    # mutual — the canonical direction is src < dst exactly once each
+    got2 = sorted((r["src"], r["dst"])
+                  for r in mutual_knn(emb, k=2).collect())
+    assert got2 == [(1, 2), (1, 3), (2, 3)]
