@@ -2021,6 +2021,103 @@ ORDER BY caller, callee
 """
 
 
+def negative_samples(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Link-prediction negative sampling over the corpus call graph —
+    the training-row generator for KG-embedding models (TransE-family
+    corrupted triples, Bordes et al. 2013): for every positive edge
+    (caller, callee) and draw index i < k, the corrupted tail is the
+    entity at position md5(caller|callee|i) mod |V| in the sorted
+    callee vocabulary; draws that land on a TRUE edge of the same
+    caller are dropped (filtered negative sampling — the standard
+    protocol), so every emitted row is a genuine negative. Fully
+    deterministic: the same corpus always yields the same training set,
+    which is what makes distributed regeneration reproducible.
+
+    Scale shape: positives come from the bounded-key call-graph rollup;
+    the vocabulary is dictionary-sized (distinct fqns), so its global
+    row_number index and the two joins (idx lookup, true-edge
+    anti-join) all broadcast — the only corpus-sized work is upstream
+    linking, and the per-edge explode multiplies the BOUNDED edge
+    table by k, never the mention table."""
+    from pyspark.sql.window import Window
+    edges = call_graph(documents).select("caller", "callee")
+    vocab = (edges.select("callee").distinct()
+             .withColumn("idx", F.row_number().over(
+                 Window.orderBy("callee")).cast("long") - 1))
+    n_vocab = vocab.count()  # dictionary-sized scalar (bounded)
+    if n_vocab == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "caller string, callee string, neg_idx long, "
+                "neg_callee string")
+    draw_key = F.md5(F.concat_ws("|", "caller", "callee",
+                                 F.col("neg_idx").cast("string")))
+    cand = (edges
+            .withColumn("neg_idx", F.explode(
+                F.sequence(F.lit(0).cast("long"),
+                           F.lit(k - 1).cast("long"))))
+            .withColumn("idx", F.pmod(
+                F.conv(F.substring(draw_key, 1, 12), 16, 10).cast("long"),
+                F.lit(n_vocab))))
+    lookup = vocab.select("idx", F.col("callee").alias("neg_callee"))
+    negs = (cand.join(F.broadcast(lookup), "idx")
+            .select("caller", "callee", "neg_idx", "neg_callee"))
+    true_edges = edges.select("caller",
+                              F.col("callee").alias("neg_callee"))
+    return (negs.join(F.broadcast(true_edges), ["caller", "neg_callee"],
+                      "left_anti")
+            .select("caller", "callee", "neg_idx", "neg_callee")
+            .orderBy("caller", "callee", "neg_idx"))
+
+
+def negative_samples_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of negative_samples: the frozen per-template linked
+    callee constants give the positive edges; the vocabulary index,
+    md5 draw arithmetic and filtered anti-join are replayed in SQL
+    with the identical 12-hex-digit integerization."""
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    seen = set()
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is not None:
+                seen.add((tpl, best[0]))
+    values = ", ".join(f"({tpl}, '{fqn}')" for tpl, fqn in sorted(seen))
+
+    def _hexval(c: str) -> str:
+        return f"(ascii({c}) - 48 - 39 * CAST(ascii({c}) >= 97 AS INT))"
+
+    hv12 = " + ".join(
+        "CAST(" + _hexval(f"substr(md5(caller || '|' || callee || '|' || "
+                          f"CAST(i.i AS VARCHAR)), {j + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (11 - j)}" for j in range(12))
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, callee) AS (VALUES {values}),
+edges AS (
+  SELECT DISTINCT 'D' || CAST(c.tpl AS VARCHAR) AS caller, c.callee
+  FROM consts c JOIN tplcount t USING (tpl) WHERE t.n > 0
+), vocab AS (
+  SELECT callee, row_number() OVER (ORDER BY callee) - 1 AS idx
+  FROM (SELECT DISTINCT callee FROM edges)
+), cand AS (
+  SELECT e.caller, e.callee, CAST(i.i AS BIGINT) AS neg_idx,
+         ({hv12}) % (SELECT count(*) FROM vocab) AS idx
+  FROM edges e CROSS JOIN (SELECT unnest(range({k})) AS i) i
+), negs AS (
+  SELECT c.caller, c.callee, c.neg_idx, v.callee AS neg_callee
+  FROM cand c JOIN vocab v USING (idx)
+)
+SELECT caller, callee, neg_idx, neg_callee FROM negs n
+WHERE NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.caller = n.caller AND e.callee = n.neg_callee)
+ORDER BY caller, callee, neg_idx
+"""
+
+
 XFILE_DECL_SRC = "package org.acme.util; class Text { }"
 
 

@@ -2246,3 +2246,29 @@ def test_mutual_knn_prunes_asymmetric_hub_edges(spark):
     got2 = sorted((r["src"], r["dst"])
                   for r in mutual_knn(emb, k=2).collect())
     assert got2 == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    """negative_samples: every emitted row's corrupted tail is drawn
+    from the callee vocabulary, is NEVER a true edge of the same
+    caller (filtered protocol), at most k draws per positive edge
+    survive, and regeneration is bit-identical (deterministic md5
+    draws — reproducible distributed regeneration)."""
+    from propertygraph_spark.ops.kgdocs import call_graph, negative_samples
+    docs = spark.createDataFrame([(i, "t") for i in range(8)],
+                                 "doc_id long, text string")
+    edges = {(r["caller"], r["callee"])
+             for r in call_graph(docs).collect()}
+    vocab = {c for _, c in edges}
+    rows = [tuple(r) for r in negative_samples(docs, k=3).collect()]
+    assert rows
+    per_edge: dict = {}
+    for caller, callee, neg_idx, neg in rows:
+        assert (caller, callee) in edges
+        assert neg in vocab
+        assert (caller, neg) not in edges  # filtered
+        assert 0 <= neg_idx < 3
+        per_edge[(caller, callee)] = per_edge.get((caller, callee), 0) + 1
+    assert all(n <= 3 for n in per_edge.values())
+    rows2 = [tuple(r) for r in negative_samples(docs, k=3).collect()]
+    assert rows2 == rows
