@@ -1393,3 +1393,154 @@ def closeness_int(edges: DataFrame, src: str = "src", dst: str = "dst",
         .otherwise(F.lit(0)).cast("long").alias("closeness_ppm"),
         F.coalesce("r1", F.lit(0)).cast("long").alias("n_reached"),
         F.coalesce("s", F.lit(0)).cast("long").alias("sum_dist")))
+
+
+def _k_betweenness(es):
+    """Per-scope kernel: stress and floored-betweenness centrality,
+    both EXACT integers. For every ordered pair (s, t), sigma_st counts
+    shortest s->t paths and sigma_st(v) = sigma_sv * sigma_vt counts
+    those passing strictly through v (valid iff d(s,v) + d(v,t) =
+    d(s,t)); then per interior node v
+
+        stress  = sum sigma_st(v)                       (Shimbel stress)
+        bc_fppm = sum (1_000_000 * sigma_st(v)) div sigma_st
+
+    — betweenness with the pair dependency floored to ppm BEFORE the
+    sum, which keeps the statistic integer-exact across every physical
+    strategy (a float or rational sum would make the scoped kernel, the
+    distributed join twin and the oracle disagree in the last ulp).
+    All-pairs BFS with level-synchronous path counting, O(n*(n+e)) +
+    O(n^2) pair accumulation per scope — bounded by method size under
+    the scoped premise. Yields (node, stress, bc_fppm) for EVERY node."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in set(es):
+        nodes.add(a)
+        nodes.add(b)
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    dist: dict = {}
+    sig: dict = {}
+    for s in nodes:
+        d = {s: 0}
+        g = {s: 1}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in d:
+                        d[y] = d[x] + 1
+                        g[y] = g[x]
+                        nxt.append(y)
+                    elif d[y] == d[x] + 1:
+                        g[y] += g[x]
+            frontier = nxt
+        dist[s] = d
+        sig[s] = g
+    for v in sorted(nodes):
+        stress = bc = 0
+        dv, gv = dist[v], sig[v]
+        for s in nodes:
+            if s == v or v not in dist[s]:
+                continue
+            ds, gs = dist[s], sig[s]
+            d_sv = ds[v]
+            for t, d_st in ds.items():
+                if t == s or t == v or t not in dv:
+                    continue
+                if d_sv + dv[t] == d_st:
+                    num = gs[v] * gv[t]
+                    stress += num
+                    bc += (1_000_000 * num) // gs[t]
+        yield (v, stress, bc)
+
+
+def betweenness_int(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    scope: str | None = None, max_iter: int = 60,
+                    bounded_scopes: bool = True) -> DataFrame:
+    """Stress + floored-betweenness centrality per node, exact integers
+    (see ``_k_betweenness`` for the statistic) — the brokerage
+    centrality the suite lacked next to closeness's broadcast reach:
+    how much shortest-path traffic a statement MEDIATES in its method's
+    CFG (high-betweenness nodes are the choke points program-slicing
+    and refactoring tools rank by).
+
+    With ``scope`` + ``bounded_scopes`` (default): the shared scoped
+    streaming kernel (one exchange, all-pairs BFS per scope). The
+    distributed twin (``bounded_scopes=False``) is the semi-naive APSP
+    of ``closeness_int`` EXTENDED with level-synchronous path counting
+    — the (u, v, d, sigma) pair frontier steps by one edge join per
+    round, summing sigma over predecessors discovered in the SAME
+    round (exactly BFS's sigma accumulation, so counts are exact) —
+    followed by the s-v-t double join on the pair table with the
+    distance-additivity filter and the identical integer-div fold.
+    Joins hash on (scope, node); rounds = max eccentricity. Both
+    strategies return identical rows (pinned by the 25-graph battery
+    and hand graphs)."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope),
+                                   F.col(src).alias("node"))
+                      .withColumn("stress", F.lit(0).cast("long"))
+                      .withColumn("bc_fppm", F.lit(0).cast("long"))
+                      .schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_betweenness,
+                                  out_schema)
+    keys = [scope] if scope else []
+    e = (edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(*keys, F.col(src).alias("node"))
+             .unionByName(edges.select(*keys, F.col(dst).alias("node")))
+             .distinct())
+    pairs = (e.withColumn("d", F.lit(1).cast("long"))
+             .withColumn("sigma", F.lit(1).cast("long"))
+             .localCheckpoint(eager=True))
+    frontier = pairs
+    for _ in range(max_iter - 1):
+        # one BFS level for every source at once: extend the frontier
+        # by one edge and SUM sigma over same-round predecessors (the
+        # level-synchronous path-count recurrence), keeping only pairs
+        # not seen at a smaller distance
+        stepped = (frontier.withColumnRenamed("v", "w")
+                   .join(e.withColumnRenamed("u", "w"), keys + ["w"])
+                   .filter(F.col("v") != F.col("u"))
+                   .groupBy(*keys, "u", "v")
+                   .agg((F.max("d") + 1).alias("d"),
+                        F.sum("sigma").alias("sigma")))
+        new = (stepped.join(pairs.select(*keys, "u", "v"),
+                            keys + ["u", "v"], "left_anti")
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        pairs = pairs.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    sv = pairs.select(*keys, F.col("u").alias("s"),
+                      F.col("v").alias("m"),
+                      F.col("d").alias("d_sv"),
+                      F.col("sigma").alias("g_sv"))
+    vt = pairs.select(*keys, F.col("u").alias("m"),
+                      F.col("v").alias("t"),
+                      F.col("d").alias("d_vt"),
+                      F.col("sigma").alias("g_vt"))
+    st = pairs.select(*keys, F.col("u").alias("s"),
+                      F.col("v").alias("t"),
+                      F.col("d").alias("d_st"),
+                      F.col("sigma").alias("g_st"))
+    contrib = (sv.join(vt, keys + ["m"])
+               .filter(F.col("s") != F.col("t"))
+               .join(st, keys + ["s", "t"])
+               .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+               .select(*keys, F.col("m").alias("node"),
+                       (F.col("g_sv") * F.col("g_vt")).alias("num"),
+                       F.expr("(1000000 * g_sv * g_vt) div g_st")
+                       .alias("dep_fppm")))
+    per_node = (contrib.groupBy(*keys, "node")
+                .agg(F.sum("num").alias("stress"),
+                     F.sum("dep_fppm").alias("bc_fppm")))
+    return (nodes.join(per_node, keys + ["node"], "left")
+            .select(*keys, "node",
+                    F.coalesce("stress", F.lit(0)).cast("long")
+                    .alias("stress"),
+                    F.coalesce("bc_fppm", F.lit(0)).cast("long")
+                    .alias("bc_fppm")))

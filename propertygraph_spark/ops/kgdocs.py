@@ -75,6 +75,7 @@ TEMPLATE_CFG_CYCLOMATIC: dict[int, tuple] = {}           # filled below
 TEMPLATE_PDG_SLICE: dict[int, tuple] = {}                # filled below
 TEMPLATE_PDG_FSLICE: dict[int, tuple] = {}               # filled below
 TEMPLATE_CFG_CLOSENESS: dict[int, tuple] = {}            # filled below
+TEMPLATE_CFG_BETWEENNESS: dict[int, tuple] = {}          # filled below
 TEMPLATE_CLONE2: dict[int, tuple] = {}                   # filled below
 
 # Java reserved words kept verbatim by the type-2 clone normalization
@@ -323,6 +324,66 @@ def _closeness_stats(triples: list) -> tuple:
             sum_c += c
             max_c = max(max_c, c)
     return n_nodes, sum_c, max_c
+
+
+def _betweenness_stats(triples: list) -> tuple:
+    """Host replay of stress + floored-betweenness over each method's
+    CFG, by EXPLICIT shortest-path enumeration — DFS over the BFS
+    distance DAG lists every shortest (s, t) path and counts interior
+    visits directly, a genuinely different algorithm from the kernel's
+    sigma-multiplication (graph._k_betweenness) and the distributed
+    pair-table twin; used to freeze the per-template oracle constants.
+    Rolled up to (n_cfg_nodes, sum_stress, max_stress, sum_bc_fppm)."""
+    per_m = _cfg_edges_by_method(triples)
+    n_nodes, sum_stress, max_stress, sum_bc = 0, 0, 0, 0
+    for es in per_m.values():
+        adj: dict = {}
+        nodes = set()
+        for a, b in set(es):
+            nodes.add(a)
+            nodes.add(b)
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+        stress = {v: 0 for v in nodes}
+        bc = {v: 0 for v in nodes}
+        for s_ in nodes:
+            d = {s_: 0}
+            q = [s_]
+            while q:
+                nq = []
+                for x in q:
+                    for y in adj.get(x, ()):
+                        if y not in d:
+                            d[y] = d[x] + 1
+                            nq.append(y)
+                q = nq
+            for t in d:
+                if t == s_:
+                    continue
+                paths = []
+                stack = [(s_, (s_,))]
+                while stack:
+                    x, pth = stack.pop()
+                    if x == t:
+                        paths.append(pth)
+                        continue
+                    if d[x] >= d[t]:
+                        continue
+                    for y in adj.get(x, ()):
+                        if y in d and d[y] == d[x] + 1:
+                            stack.append((y, pth + (y,)))
+                through: dict = {}
+                for pth in paths:
+                    for v in pth[1:-1]:
+                        through[v] = through.get(v, 0) + 1
+                for v, c in through.items():
+                    stress[v] += c
+                    bc[v] += (1_000_000 * c) // len(paths)
+        n_nodes += len(nodes)
+        sum_stress += sum(stress.values())
+        max_stress = max([max_stress] + list(stress.values()))
+        sum_bc += sum(bc.values())
+    return n_nodes, sum_stress, max_stress, sum_bc
 
 
 def _norm_clone_tokens(text: str) -> str:
@@ -680,6 +741,7 @@ def _freeze_constants() -> None:
         TEMPLATE_PDG_SLICE[tpl] = _slice_stats(nodes, triples)
         TEMPLATE_PDG_FSLICE[tpl] = _fslice_stats(nodes, triples)
         TEMPLATE_CFG_CLOSENESS[tpl] = _closeness_stats(triples)
+        TEMPLATE_CFG_BETWEENNESS[tpl] = _betweenness_stats(triples)
         TEMPLATE_CLONE2[tpl] = _clone2_stats(tpl, template)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
@@ -1245,6 +1307,51 @@ WITH tplcount AS (
 SELECT c.tpl AS tpl, CAST(t.n * c.nn AS BIGINT) AS n_cfg_nodes,
        CAST(t.n * c.sc AS BIGINT) AS sum_closeness,
        CAST(c.mx AS BIGINT) AS max_closeness
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.nn > 0
+ORDER BY c.tpl
+"""
+
+
+def betweenness_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed stress + floored-betweenness centrality
+    (graph.betweenness_int scoped fast path) over every method's CFG
+    at once, rolled up per template to (CFG node count, total stress,
+    max stress, total bc_fppm) — the brokerage profile of the corpus'
+    control flow: which statements mediate shortest-path traffic
+    (the choke points slicing/refactoring tools rank by), completing
+    the centrality suite next to degree/PageRank/HITS/closeness."""
+    from propertygraph_spark.ops.graph import betweenness_int
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    per_node = betweenness_int(edges, scope="method_id")
+    return (per_node
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_cfg_nodes"),
+                 F.sum("stress").cast("long").alias("sum_stress"),
+                 F.max("stress").cast("long").alias("max_stress"),
+                 F.sum("bc_fppm").cast("long").alias("sum_bc_fppm"))
+            .orderBy("tpl"))
+
+
+def betweenness_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {ss}, {mx}, {bc})"
+        for tpl, (n, ss, mx, bc) in TEMPLATE_CFG_BETWEENNESS.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, nn, ss, mx, bc) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.nn AS BIGINT) AS n_cfg_nodes,
+       CAST(t.n * c.ss AS BIGINT) AS sum_stress,
+       CAST(c.mx AS BIGINT) AS max_stress,
+       CAST(t.n * c.bc AS BIGINT) AS sum_bc_fppm
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.nn > 0
 ORDER BY c.tpl

@@ -205,3 +205,20 @@ def test_clone2_constants_pinned():
     assert _norm_clone_tokens("int total = foo(42, bar);") \
         == "int $ $ # $"
     assert _norm_clone_tokens("") == ""
+
+
+def test_betweenness_constants_pinned():
+    """Stress + floored-betweenness freeze (explicit shortest-path
+    enumeration replay): (n_cfg_nodes, sum_stress, max_stress,
+    sum_bc_fppm) per template. The straight-line template 0 has two
+    interior brokers at stress 1+... = 2; the loop templates (1, 3)
+    concentrate traffic on the loop head/condition (max 18 / 22). On
+    these CFGs every pair has a UNIQUE shortest path, so sum_bc_fppm
+    == 1e6 * sum_stress — the diamond case where they diverge is
+    pinned in test_ops_spark's hand graphs."""
+    from propertygraph_spark.ops.kgdocs import TEMPLATE_CFG_BETWEENNESS
+    assert TEMPLATE_CFG_BETWEENNESS == {
+        0: (4, 2, 2, 2_000_000),
+        1: (9, 76, 18, 76_000_000),
+        2: (6, 5, 2, 5_000_000),
+        3: (9, 68, 22, 68_000_000)}

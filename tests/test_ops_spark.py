@@ -879,10 +879,10 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     import random
 
     from propertygraph_spark.ops.graph import (
-        bfs_levels, closeness_int, clustering_coefficient, dag_layers,
-        dominator_tree, kcore_nodes, label_propagation, pagerank_int,
-        strongly_connected_components, transitive_closure, triangle_count,
-        wl_fingerprints)
+        betweenness_int, bfs_levels, closeness_int, clustering_coefficient,
+        dag_layers, dominator_tree, kcore_nodes, label_propagation,
+        pagerank_int, strongly_connected_components, transitive_closure,
+        triangle_count, wl_fingerprints)
     rng = random.Random(42)
     rows = []
     for g in range(25):
@@ -894,7 +894,8 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
     for fn in (transitive_closure, bfs_levels, pagerank_int,
                triangle_count, kcore_nodes, label_propagation,
                strongly_connected_components, dominator_tree, dag_layers,
-               clustering_coefficient, wl_fingerprints, closeness_int):
+               clustering_coefficient, wl_fingerprints, closeness_int,
+               betweenness_int):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -2272,3 +2273,26 @@ def test_negative_samples_filtered_and_deterministic(spark):
     assert all(n <= 3 for n in per_edge.values())
     rows2 = [tuple(r) for r in negative_samples(docs, k=3).collect()]
     assert rows2 == rows
+
+
+def test_betweenness_hand_graphs(spark):
+    """betweenness_int exact integers, both strategies: on a 3-node
+    path the middle node mediates the single (0,2) pair (stress 1,
+    bc_fppm 1e6); on the 4-node diamond each middle node carries one
+    of the two (0,3) shortest paths (stress 1, bc_fppm floor(1e6/2) =
+    500000) — the case where stress and betweenness diverge."""
+    from propertygraph_spark.ops.graph import betweenness_int
+    path = spark.createDataFrame([("p", 0, 1), ("p", 1, 2)],
+                                 "scope string, src long, dst long")
+    dia = spark.createDataFrame(
+        [("d", 0, 1), ("d", 0, 2), ("d", 1, 3), ("d", 2, 3)],
+        "scope string, src long, dst long")
+    for bounded in (True, False):
+        got = sorted(tuple(r) for r in betweenness_int(
+            path, scope="scope", bounded_scopes=bounded).collect())
+        assert got == [("p", 0, 0, 0), ("p", 1, 1, 1_000_000),
+                       ("p", 2, 0, 0)], bounded
+        got = sorted(tuple(r) for r in betweenness_int(
+            dia, scope="scope", bounded_scopes=bounded).collect())
+        assert got == [("d", 0, 0, 0), ("d", 1, 1, 500_000),
+                       ("d", 2, 1, 500_000), ("d", 3, 0, 0)], bounded
