@@ -445,3 +445,41 @@ def streaming_view_click_join(events: DataFrame,
                     (F.unix_timestamp("click_ts")
                      - F.unix_timestamp("view_ts"))
                     .cast("long").alias("lag_sec")))
+
+
+def streaming_view_click_join_outer(events: DataFrame,
+                                    max_delay: str = "5 minutes",
+                                    watermark: str = "10 minutes"
+                                    ) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the unmatched-row
+    state shape the inner attribution join can't exercise: every view
+    emits exactly once, either credited to a click inside
+    ``max_delay`` or, once the watermark proves no such click can
+    still arrive, as a NULL-click row (the 'unconverted impressions'
+    feed billing/funnel pipelines reconcile against). Inner matches
+    emit as found; null rows emit only when the view's state is
+    evicted at watermark + delay — which is why the batch twin (the
+    identical left join over the static table) equals the stream
+    output exactly once the watermark has passed every view's
+    eviction horizon (pinned in tests with a cross-trigger match, a
+    view whose only click is out of window, and a clickless view)."""
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    cond = ((F.col("v_user") == F.col("c_user"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (F.col("view_ts") >=
+               F.col("click_ts") - F.expr(f"INTERVAL {max_delay}")))
+    return (views.join(clicks, cond, "leftOuter")
+            .select(F.col("v_user").alias("user_id"), "view_id",
+                    "click_id", "view_ts", "click_ts",
+                    (F.unix_timestamp("click_ts")
+                     - F.unix_timestamp("view_ts"))
+                    .cast("long").alias("lag_sec")))

@@ -601,3 +601,58 @@ def test_streaming_view_click_join_matches_batch(spark, tmp_path):
     assert (1, 10, 13, 180) in got          # cross-trigger pair
     assert (2, 11, 12, 60) in got and (2, 11, 14, 180) in got
     assert not any(u == 3 for (u, _v, _c, _l) in got)   # out of window
+
+
+def test_streaming_view_click_join_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: a matched view emits
+    its credited row (cross-trigger), a view whose only click falls
+    OUTSIDE the window and a clickless view each emit exactly one
+    NULL-click row once the watermark passes their eviction horizon —
+    and the drained stream equals the identical batch left join."""
+    import os
+    import time as _t
+
+    from propertygraph_spark.streaming.events import (
+        read_events_stream, run_to_memory, streaming_view_click_join_outer)
+    rows = [
+        # file 1: three views
+        (10, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (15, "2024-01-01 00:00:00", 3, "view", 1.0, "{}"),
+        (18, "2024-01-01 00:02:00", 4, "view", 1.0, "{}"),
+        # file 2: u1's click in window; u3's click 10 min late
+        (13, "2024-01-01 00:03:00", 1, "click", 1.0, "{}"),
+        (16, "2024-01-01 00:10:00", 3, "click", 1.0, "{}"),
+        # file 3: far-future pair on BOTH sides -> watermark advances
+        # past every file-1 view's eviction horizon
+        (20, "2024-01-01 00:40:00", 9, "view", 1.0, "{}"),
+        (21, "2024-01-01 00:40:00", 9, "click", 1.0, "{}"),
+    ]
+    path = str(tmp_path / "ev.parquet")
+    os.makedirs(path)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    for frac in ((10, 15, 18), (13, 16), (20, 21)):
+        df.filter(F.col("event_id").isin(*frac)).coalesce(1) \
+          .write.mode("append").parquet(path)
+        _t.sleep(1.1)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    q = run_to_memory(streaming_view_click_join_outer(stream), "vc_outer",
+                      output_mode="append")
+    try:
+        q.processAllAvailable()  # extra cycles: watermark advance ->
+        q.processAllAvailable()  # null-row emission
+        got = {(r["user_id"], r["view_id"], r["click_id"], r["lag_sec"])
+               for r in spark.sql("select * from vc_outer").collect()}
+    finally:
+        q.stop()
+    batch = streaming_view_click_join_outer(spark.read.parquet(path))
+    want = {(r["user_id"], r["view_id"], r["click_id"], r["lag_sec"])
+            for r in batch.collect()}
+    assert got == want
+    assert (1, 10, 13, 180) in got            # cross-trigger match
+    assert (3, 15, None, None) in got         # only-click out of window
+    assert (4, 18, None, None) in got         # clickless view
+    assert (9, 20, 21, 0) in got              # same-trigger match
+    assert len(got) == 4                      # each view exactly once
