@@ -76,6 +76,8 @@ TEMPLATE_PDG_SLICE: dict[int, tuple] = {}                # filled below
 TEMPLATE_PDG_FSLICE: dict[int, tuple] = {}               # filled below
 TEMPLATE_CFG_CLOSENESS: dict[int, tuple] = {}            # filled below
 TEMPLATE_CFG_BETWEENNESS: dict[int, tuple] = {}          # filled below
+TEMPLATE_HALSTEAD: dict[int, tuple] = {}                 # filled below
+TEMPLATE_HALSTEAD_SPECIAL: dict[int, tuple] = {}         # doc_id 0/1
 TEMPLATE_CLONE2: dict[int, tuple] = {}                   # filled below
 
 # Java reserved words kept verbatim by the type-2 clone normalization
@@ -324,6 +326,42 @@ def _closeness_stats(triples: list) -> tuple:
             sum_c += c
             max_c = max(max_c, c)
     return n_nodes, sum_c, max_c
+
+
+HALSTEAD_OPERAND_CATS = ("SimpleName", "Number", "String", "Character",
+                         "Boolean", "Null", "This")
+
+
+def _halstead_stats(nodes: list) -> tuple:
+    """Host replay of the per-method Halstead counts (convention
+    documented in halstead_by_template): operators = AST Operator
+    nodes, operands = AST leaf name/literal nodes
+    (HALSTEAD_OPERAND_CATS); distincts over the node TEXT. Derived
+    metrics in exact integers: volume = N * floor(log2(n)) (the
+    bit-length log both engines share), difficulty_milli =
+    (1000 * n1 * N2) div (2 * n2). Rolled up across the doc's
+    methods to (n_methods, n1, n2, N1, N2, volume, difficulty_milli)
+    sums — used to freeze the per-template oracle constants."""
+    per_m: dict = {}
+    for nd in nodes:
+        if nd["graph"] != "ast" or nd["method_id"] is None:
+            continue
+        m = per_m.setdefault(nd["method_id"],
+                             {"ops": [], "opnds": []})
+        if nd["category"] == "Operator":
+            m["ops"].append(nd["text"])
+        elif nd["category"] in HALSTEAD_OPERAND_CATS:
+            m["opnds"].append(nd["text"])
+    tot = [0] * 7
+    for m in per_m.values():
+        n1, n2 = len(set(m["ops"])), len(set(m["opnds"]))
+        bn1, bn2 = len(m["ops"]), len(m["opnds"])
+        n = n1 + n2
+        vol = (bn1 + bn2) * (n.bit_length() - 1) if n > 0 else 0
+        diff = (1000 * n1 * bn2) // (2 * n2) if n2 > 0 else 0
+        for i, v in enumerate((1, n1, n2, bn1, bn2, vol, diff)):
+            tot[i] += v
+    return tuple(tot)
 
 
 def _betweenness_stats(triples: list) -> tuple:
@@ -742,6 +780,13 @@ def _freeze_constants() -> None:
         TEMPLATE_PDG_FSLICE[tpl] = _fslice_stats(nodes, triples)
         TEMPLATE_CFG_CLOSENESS[tpl] = _closeness_stats(triples)
         TEMPLATE_CFG_BETWEENNESS[tpl] = _betweenness_stats(triples)
+        TEMPLATE_HALSTEAD[tpl] = _halstead_stats(nodes)
+        # Halstead counts DISTINCT texts, so the injected doc_id
+        # literal can collide with a template literal ("0"/"1" in the
+        # loop templates) and shift n2 for exactly that doc — the only
+        # frozen stat sensitive to the literal VALUE. Only doc_ids 0
+        # and 1 can ever equal a template literal; freeze their exact
+        # stats separately (folded in by halstead_oracle_sql).
         TEMPLATE_CLONE2[tpl] = _clone2_stats(tpl, template)
         TEMPLATE_LINK_OCCURRENCES[tpl] = [
             (m["mention"], m["kind"], m["candidate"]) for m in mentions]
@@ -757,6 +802,19 @@ def _freeze_constants() -> None:
 
 
 _freeze_constants()
+
+
+def _freeze_halstead_specials() -> None:
+    from propertygraph_spark.kernel.extract import extract_document
+    for d in (0, 1):
+        tpl = d % len(JAVA_TEMPLATES)
+        nodes, _t, _m, err = extract_document(f"s{d}",
+                                              JAVA_TEMPLATES[tpl] % d)
+        assert err is None
+        TEMPLATE_HALSTEAD_SPECIAL[d] = _halstead_stats(nodes)
+
+
+_freeze_halstead_specials()
 
 
 # Extended kernel-shape templates (VERDICT r4 "What's missing" #3): the
@@ -1354,6 +1412,109 @@ SELECT c.tpl AS tpl, CAST(t.n * c.nn AS BIGINT) AS n_cfg_nodes,
        CAST(t.n * c.bc AS BIGINT) AS sum_bc_fppm
 FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.nn > 0
+ORDER BY c.tpl
+"""
+
+
+def halstead_by_template(documents: DataFrame) -> DataFrame:
+    """Distributed Halstead software-science metrics (Halstead 1977)
+    per method, rolled up per template — the classic complement to
+    cyclomatic complexity for corpus-level code-quality profiling and
+    training-data curation (effort/volume thresholds are standard
+    quality gates). Convention: operators = AST Operator nodes
+    (OperatorInfo, ProgramElementInfo.java's operator children),
+    operands = AST leaf name/literal nodes (HALSTEAD_OPERAND_CATS);
+    n1/n2 = distinct texts, N1/N2 = occurrences. Derived metrics stay
+    integer-exact on both engines: volume = (N1+N2) *
+    floor(log2(n1+n2)) via the bit-length idiom, difficulty_milli =
+    (1000 * n1 * N2) div (2 * n2).
+
+    Scale shape: one groupBy (doc_id, method_id) over the AST node
+    slice (conditional count-distincts, no joins), then the bounded
+    per-template rollup — all Catalyst, no Python in the loop."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    nodes, _, _, _ = split_union(union)
+    ast = nodes.filter((F.col("graph") == "ast")
+                       & F.col("method_id").isNotNull())
+    is_op = F.col("category") == "Operator"
+    is_opnd = F.col("category").isin(*HALSTEAD_OPERAND_CATS)
+    per_m = (ast.groupBy("doc_id", "method_id")
+             .agg(F.countDistinct(F.when(is_op, F.col("text")))
+                  .cast("long").alias("n1"),
+                  F.countDistinct(F.when(is_opnd, F.col("text")))
+                  .cast("long").alias("n2"),
+                  F.sum(is_op.cast("long")).alias("bn1"),
+                  F.sum(is_opnd.cast("long")).alias("bn2")))
+    vocab = F.col("n1") + F.col("n2")
+    derived = per_m.select(
+        "doc_id", "method_id", "n1", "n2", "bn1", "bn2",
+        F.when(vocab > 0, (F.col("bn1") + F.col("bn2"))
+               * (F.length(F.bin(vocab)) - 1))
+        .otherwise(F.lit(0)).cast("long").alias("volume"),
+        F.when(F.col("n2") > 0,
+               F.expr("(1000 * n1 * bn2) div (2 * n2)"))
+        .otherwise(F.lit(0)).cast("long").alias("difficulty_milli"))
+    return (derived
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_methods"),
+                 F.sum("n1").cast("long").alias("n1_sum"),
+                 F.sum("n2").cast("long").alias("n2_sum"),
+                 F.sum("bn1").cast("long").alias("bign1_sum"),
+                 F.sum("bn2").cast("long").alias("bign2_sum"),
+                 F.sum("volume").cast("long").alias("volume_sum"),
+                 F.sum("difficulty_milli").cast("long")
+                 .alias("difficulty_milli_sum"))
+            .orderBy("tpl"))
+
+
+def halstead_oracle_sql() -> str:
+    """Per-template constants scaled by doc counts, with doc_ids 0/1
+    carved out: their injected literal can equal a template literal
+    ("1" in the loop templates), shifting that one doc's distinct
+    operand count — the frozen SPECIAL stats replace the normal
+    constants for exactly the special docs present in the corpus."""
+    values = ", ".join(
+        f"({tpl}, {m}, {n1}, {n2}, {bn1}, {bn2}, {vol}, {diff})"
+        for tpl, (m, n1, n2, bn1, bn2, vol, diff)
+        in TEMPLATE_HALSTEAD.items())
+    svalues = ", ".join(
+        f"({d}, {d % len(JAVA_TEMPLATES)}, {m}, {n1}, {n2}, {bn1}, "
+        f"{bn2}, {vol}, {diff})"
+        for d, (m, n1, n2, bn1, bn2, vol, diff)
+        in TEMPLATE_HALSTEAD_SPECIAL.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, m, n1, n2, bn1, bn2, vol, diff) AS (VALUES {values}),
+special(sdoc, tpl, m, n1, n2, bn1, bn2, vol, diff) AS (VALUES {svalues}),
+spec AS (
+  SELECT s.tpl, count(*) AS sc, sum(s.m) AS m, sum(s.n1) AS n1,
+         sum(s.n2) AS n2, sum(s.bn1) AS bn1, sum(s.bn2) AS bn2,
+         sum(s.vol) AS vol, sum(s.diff) AS diff
+  FROM special s JOIN documents d ON d.doc_id = s.sdoc
+  GROUP BY s.tpl
+)
+SELECT c.tpl AS tpl,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.m + coalesce(sp.m, 0) AS BIGINT)
+    AS n_methods,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.n1 + coalesce(sp.n1, 0) AS BIGINT)
+    AS n1_sum,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.n2 + coalesce(sp.n2, 0) AS BIGINT)
+    AS n2_sum,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.bn1 + coalesce(sp.bn1, 0) AS BIGINT)
+    AS bign1_sum,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.bn2 + coalesce(sp.bn2, 0) AS BIGINT)
+    AS bign2_sum,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.vol + coalesce(sp.vol, 0) AS BIGINT)
+    AS volume_sum,
+  CAST((t.n - coalesce(sp.sc, 0)) * c.diff + coalesce(sp.diff, 0)
+    AS BIGINT) AS difficulty_milli_sum
+FROM consts c JOIN tplcount t USING (tpl)
+LEFT JOIN spec sp ON sp.tpl = c.tpl
+WHERE c.m > 0
 ORDER BY c.tpl
 """
 

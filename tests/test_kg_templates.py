@@ -222,3 +222,23 @@ def test_betweenness_constants_pinned():
         1: (9, 76, 18, 76_000_000),
         2: (6, 5, 2, 5_000_000),
         3: (9, 68, 22, 68_000_000)}
+
+
+def test_halstead_constants_and_literal_collision_pinned():
+    """Halstead freeze: per-template (n_methods, n1, n2, N1, N2,
+    volume, difficulty_milli) — and the SPECIAL doc_id=1 case, the
+    only doc whose injected literal can collide with a template
+    literal ("1" in template 1's loop increment): its distinct
+    operand count drops from 9 to 8 and difficulty rises 3500 ->
+    3937, which the oracle folds in per present special doc."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_HALSTEAD,
+                                                TEMPLATE_HALSTEAD_SPECIAL)
+    assert TEMPLATE_HALSTEAD == {
+        0: (1, 4, 5, 4, 9, 39, 3600),
+        1: (1, 3, 9, 7, 21, 84, 3500),
+        2: (1, 2, 9, 3, 15, 54, 1666),
+        3: (1, 4, 9, 8, 20, 84, 4444)}
+    # doc 0's literal "0" does NOT appear in template 0 -> identical
+    assert TEMPLATE_HALSTEAD_SPECIAL[0] == TEMPLATE_HALSTEAD[0]
+    # doc 1's literal "1" collides with template 1's "i = i + 1"
+    assert TEMPLATE_HALSTEAD_SPECIAL[1] == (1, 3, 8, 7, 21, 84, 3937)
