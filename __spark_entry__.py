@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), k=5)
     q["ann_mutual_knn"] = lambda s, d: similarity.mutual_knn(_emb(s, d), k=5)
+    q["emb_gram_int8"] = lambda s, d: similarity.gram_int8(_emb(s, d))
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
     q["ann_lsh_mt_topk"] = lambda s, d: similarity.ann_lsh_mt_topk(
         _emb(s, d), k=5)
@@ -2608,6 +2609,24 @@ SELECT a.vec_id AS src, a.neighbor_id AS dst, a.cos_pm AS cos_pm,
 FROM knn a JOIN knn b
   ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
 WHERE a.vec_id < a.neighbor_id
+"""
+    o["emb_gram_int8"] = """
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE)
+              * (CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END)
+              + 0.5) AS BIGINT)) AS codes
+  FROM (SELECT embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        FROM embeddings)
+)
+SELECT CAST(i.i AS INT) - 1 AS i, CAST(j.j AS INT) - 1 AS j,
+       CAST(sum(codes[i.i] * codes[j.j]) AS BIGINT) AS dot_sum
+FROM q, (SELECT unnest(range(1, 65)) AS i) i,
+        (SELECT unnest(range(1, 65)) AS j) j
+WHERE j.j >= i.i
+GROUP BY 1, 2
 """
     o["emb_matryoshka"] = """
 WITH s AS (SELECT vec_id,

@@ -1056,3 +1056,49 @@ def ann_sign_topk(emb: DataFrame, k: int = 5,
             .withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= k)
             .select("vec_id", "neighbor_id", "cos_pm", "rnk"))
+
+
+def gram_int8(emb: DataFrame) -> DataFrame:
+    """Distributed integer Gram matrix X^T X over the int8-quantized
+    embedding column — the one-pass sufficient statistic corpus-scale
+    PCA / whitening / linear-probe fits reduce to (the D x D Gram is
+    all the driver-side eigendecomposition needs; the corpus itself
+    never leaves the executors). Quantization uses ``quantize_int8``'s
+    exact arithmetic (scale 127/absmax, half-up floor), so every sum
+    is INTEGER: order-insensitive, overflow-safe to ~10^14 vectors at
+    D=64, and bit-identical to the SQL twin — a float Gram would
+    depend on reduction order.
+
+    Scale shape: each Arrow batch computes its own D x D Gram with one
+    BLAS matmul and emits D*(D+1)/2 upper-triangle partial rows; the
+    only shuffle is the (i, j)-keyed sum of those partials — rows per
+    partition are a function of D alone, independent of corpus size.
+    Returns (i, j, dot_sum) for 0 <= i <= j < D."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, \
+        StructType
+    schema = StructType([
+        StructField("i", IntegerType(), False),
+        StructField("j", IntegerType(), False),
+        StructField("dot_sum", LongType(), False),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([list(e) for e in pdf["embedding"]],
+                         dtype=np.float64)
+            absmax = np.abs(X).max(axis=1)
+            scale = np.where(absmax > 0, 127.0 / absmax, 0.0)
+            C = np.floor(X * scale[:, None] + 0.5).astype(np.int64)
+            G = C.T @ C
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame({"i": iu.astype(np.int32),
+                                "j": ju.astype(np.int32),
+                                "dot_sum": G[iu, ju]})
+
+    partials = emb.select("embedding").mapInPandas(batches, schema)
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("dot_sum").alias("dot_sum")))

@@ -2296,3 +2296,21 @@ def test_betweenness_hand_graphs(spark):
             dia, scope="scope", bounded_scopes=bounded).collect())
         assert got == [("d", 0, 0, 0), ("d", 1, 1, 500_000),
                        ("d", 2, 1, 500_000), ("d", 3, 0, 0)], bounded
+
+
+def test_gram_int8_exact_hand_vectors(spark):
+    """gram_int8 on two hand vectors quantizing to integer codes:
+    v1=[1,0.5] -> absmax 1, scale 127 -> codes [127, 64] (63.5 + 0.5
+    rounds half-up); v2=[-2,2] -> codes [-127, 127]. Gram entries are
+    the exact integer sums; partition layout must not change them."""
+    from propertygraph_spark.ops.similarity import gram_int8
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [-2.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    want = {(0, 0, 127 * 127 + 127 * 127),
+            (0, 1, 127 * 64 + (-127) * 127),
+            (1, 1, 64 * 64 + 127 * 127)}
+    got = {tuple(r) for r in gram_int8(emb).collect()}
+    assert got == want
+    got2 = {tuple(r) for r in gram_int8(emb.repartition(4)).collect()}
+    assert got2 == want
