@@ -656,3 +656,91 @@ def test_streaming_view_click_join_outer_emits_unmatched(spark, tmp_path):
     assert (4, 18, None, None) in got         # clickless view
     assert (9, 20, 21, 0) in got              # same-trigger match
     assert len(got) == 4                      # each view exactly once
+
+
+def test_streaming_commit_sink_exactly_once(spark, tmp_path):
+    """foreachBatch commit sink: (1) a drained stream lands every input
+    row exactly once with one parent-linked ledger entry per batch;
+    (2) a REPLAYED batch (same id — the at-least-once case after a
+    crash between sink work and offset commit) is a no-op even with
+    different data; (3) a restart with new input appends only the new
+    batch; (4) a torn write of an uncommitted batch is replaced
+    wholesale on replay, not appended to."""
+    import os
+    import time as _t
+
+    from propertygraph_spark.pipeline.materialize import snapshot_history
+    from propertygraph_spark.streaming.events import (read_events_stream,
+                                                      streaming_commit_sink)
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 3, "view", 1.0, "{}")
+         for i in range(20)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn("ts", F.to_timestamp("ts"))
+    df.filter(F.col("event_id") < 10).coalesce(1) \
+      .write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    df.filter(F.col("event_id") >= 10).coalesce(1) \
+      .write.mode("append").parquet(src)
+
+    q = streaming_commit_sink(read_events_stream(spark, src,
+                                                 max_files_per_trigger=1),
+                              out, ckpt)
+    q.awaitTermination(60)
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert got.select("event_id").distinct().count() == 20
+    hist = snapshot_history(out)
+    batch_fps = [s["fingerprint"] for s in hist]
+    assert sorted(batch_fps) == ["batch:0", "batch:1"]
+    assert hist[1]["parent_id"] == hist[0]["snapshot_id"]
+
+    # (2) replay of a committed batch: no-op before any write —
+    # simulate the crash-replay by running the sink over a stream that
+    # re-reads everything with a FRESH checkpoint but the SAME output
+    # dir: batch ids 0/1 recur and must be skipped
+    rows_before = got.count()
+    q2 = streaming_commit_sink(read_events_stream(spark, src,
+                                                  max_files_per_trigger=1),
+                               out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == rows_before
+    assert len(snapshot_history(out)) == 2
+
+    # (3) restart with the ORIGINAL checkpoint + new input: only the
+    # new batch commits
+    df2 = spark.createDataFrame(
+        [(100 + i, "2024-01-01 00:01:00", 7, "click", 1.0, "{}")
+         for i in range(5)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn("ts", F.to_timestamp("ts"))
+    _t.sleep(1.1)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    q3 = streaming_commit_sink(read_events_stream(spark, src,
+                                                  max_files_per_trigger=1),
+                               out, ckpt)
+    q3.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 25
+    hist3 = snapshot_history(out)
+    assert len(hist3) == 3 and hist3[-1]["fingerprint"] == "batch:2"
+
+    # (4) torn write of an UNCOMMITTED batch: stray files under a
+    # batch dir with no ledger entry are replaced wholesale on replay
+    torn = os.path.join(out, "batch=3")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+    _t.sleep(1.1)
+    df2.withColumn("event_id", F.col("event_id") + 100).coalesce(1) \
+       .write.mode("append").parquet(src)
+    q4 = streaming_commit_sink(read_events_stream(spark, src,
+                                                  max_files_per_trigger=1),
+                               out, ckpt)
+    q4.awaitTermination(60)
+    assert not os.path.exists(os.path.join(torn, "part-torn.parquet"))
+    assert spark.read.parquet(out).count() == 30
+    assert snapshot_history(out)[-1]["fingerprint"] == "batch:3"
