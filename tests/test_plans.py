@@ -689,3 +689,46 @@ def test_media_phash_pairs_single_equijoin_no_cartesian(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     p = plan(media_phash_pairs(synthesize_media(df)))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_r5s7_new_op_plan_shapes(spark):
+    """Plan pins for the session-7 ops: betweenness's scoped fast path
+    is one scope-hash exchange feeding a MapInPandas (no joins);
+    mutual_knn joins the kNN edge table without any cartesian product;
+    gram_int8 is one MapInPandas feeding a single (i,j) aggregate
+    exchange with no joins anywhere."""
+    from propertygraph_spark.ops.graph import betweenness_int
+    from propertygraph_spark.ops.similarity import gram_int8, mutual_knn
+
+    edges = spark.createDataFrame(
+        [("m", 1, 2), ("m", 2, 3), ("n", 1, 2)],
+        "scope string, src long, dst long")
+    p = plan(betweenness_int(edges, scope="scope"))
+    assert "MapInPandas" in p and "Join" not in p, p
+    assert p.count("hashpartitioning") == 1, p
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    p = plan(mutual_knn(emb, k=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p, p
+
+    p = plan(gram_int8(emb))
+    assert "MapInPandas" in p and "Join" not in p, p
+    assert p.count("hashpartitioning") == 1, p
+
+
+def test_neg_samples_joins_all_broadcast(spark):
+    """kg_neg_samples: the vocabulary lookup and the true-edge
+    anti-join (and everything in the linking stage feeding it) are
+    broadcast joins — the corpus-sized side never shuffles for a
+    join; the global row_number rides the bounded dictionary only
+    (the single-partition WindowExec warning is the documented
+    dictionary-sized exception)."""
+    from propertygraph_spark.ops.kgdocs import negative_samples
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(negative_samples(docs))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
