@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_betweenness"] = lambda s, d: kgdocs.betweenness_by_template(
         _docs(s, d))
     q["kg_halstead"] = lambda s, d: kgdocs.halstead_by_template(_docs(s, d))
+    q["kg_ntriples"] = lambda s, d: kgdocs.ntriples_export(_docs(s, d))
     q["kg_xfile_qualified"] = lambda s, d: kgdocs.xfile_qualified_mentions(
         _docs(s, d))
 
@@ -730,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_neg_samples"] = kgdocs.negative_samples_oracle_sql()
     o["kg_betweenness"] = kgdocs.betweenness_oracle_sql()
     o["kg_halstead"] = kgdocs.halstead_oracle_sql()
+    o["kg_ntriples"] = kgdocs.ntriples_oracle_sql()
 
     # --- relational ---
     o["q1_pricing_summary"] = """

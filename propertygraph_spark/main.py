@@ -78,6 +78,9 @@ def main(argv=None) -> int:
                     default=True, help="run entity linking + CC canon")
     ap.add_argument("--dot", action="store_true",
                     help="also write per-doc DOT files (debug scale)")
+    ap.add_argument("--ntriples", action="store_true",
+                    help="also export the edge table as sharded "
+                         "N-Triples text under <out>/edges_nt")
     ap.add_argument("--dot-limit", type=int, default=20)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--buckets", type=int, default=32)
@@ -179,6 +182,13 @@ def main(argv=None) -> int:
                                graphs=graphs)
         print(f"triples={metrics['total']} nodes={metrics['nodes']} "
               f"stages={metrics['stage_times']}")
+
+        if args.ntriples:
+            from propertygraph_spark.pipeline.ntriples import write_ntriples
+            edges_df = spark.read.parquet(os.path.join(args.out, "edges"))
+            n = write_ntriples(edges_df,
+                               os.path.join(args.out, "edges_nt"))
+            print(f"ntriples: {n} lines -> {args.out}/edges_nt")
 
         if args.dot:
             from pyspark.sql import functions as F

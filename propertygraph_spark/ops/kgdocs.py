@@ -78,6 +78,7 @@ TEMPLATE_CFG_CLOSENESS: dict[int, tuple] = {}            # filled below
 TEMPLATE_CFG_BETWEENNESS: dict[int, tuple] = {}          # filled below
 TEMPLATE_HALSTEAD: dict[int, tuple] = {}                 # filled below
 TEMPLATE_HALSTEAD_SPECIAL: dict[int, tuple] = {}         # doc_id 0/1
+TEMPLATE_TRIPLES_FULL: dict[int, list] = {}              # filled below
 TEMPLATE_CLONE2: dict[int, tuple] = {}                   # filled below
 
 # Java reserved words kept verbatim by the type-2 clone normalization
@@ -781,6 +782,8 @@ def _freeze_constants() -> None:
         TEMPLATE_CFG_CLOSENESS[tpl] = _closeness_stats(triples)
         TEMPLATE_CFG_BETWEENNESS[tpl] = _betweenness_stats(triples)
         TEMPLATE_HALSTEAD[tpl] = _halstead_stats(nodes)
+        TEMPLATE_TRIPLES_FULL[tpl] = sorted(
+            (t["subj"], t["pred"], t["obj"], t["label"]) for t in triples)
         # Halstead counts DISTINCT texts, so the injected doc_id
         # literal can collide with a template literal ("0"/"1" in the
         # loop templates) and shift n2 for exactly that doc — the only
@@ -1468,6 +1471,37 @@ def halstead_by_template(documents: DataFrame) -> DataFrame:
                  F.sum("difficulty_milli").cast("long")
                  .alias("difficulty_milli_sum"))
             .orderBy("tpl"))
+
+
+def ntriples_export(documents: DataFrame) -> DataFrame:
+    """N-Triples export of the full corpus KG edge table
+    (pipeline/ntriples.ntriples_lines over the kernel's triples) —
+    the RDF interchange surface; one line per edge, doc-scoped node
+    IRIs, qualifier labels in the predicate fragment. The oracle
+    printf-replays the frozen per-template triple LISTS (the only
+    frozen surface carrying every (subj, pred, obj, label) row, not
+    just counts) against each document's doc_id."""
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.ntriples import ntriples_lines
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    return ntriples_lines(triples)
+
+
+def ntriples_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {subj}, '{pred}', {obj}, '{label}')"
+        for tpl, rows in TEMPLATE_TRIPLES_FULL.items()
+        for subj, pred, obj, label in rows)
+    return f"""
+WITH consts(tpl, subj, pred, obj, label) AS (VALUES {values})
+SELECT printf('<pg:n/%s/%d> <pg:p/%s%s> <pg:n/%s/%d> .',
+              CAST(d.doc_id AS VARCHAR), c.subj, c.pred,
+              CASE WHEN c.label <> '' THEN '#' || c.label ELSE '' END,
+              CAST(d.doc_id AS VARCHAR), c.obj) AS line
+FROM documents d JOIN consts c ON c.tpl = d.doc_id % 4
+"""
 
 
 def halstead_oracle_sql() -> str:

@@ -87,3 +87,32 @@ def test_golden_dot_byte_identical(fixture_tables, kind, fmt):
     with open(os.path.join(GOLDEN_DIR, f"FilenameGuardFilterOld_{kind}.dot")) as f:
         want = f.read()
     assert got == want
+
+
+def test_ntriples_sink_escapes_and_counts(spark, tmp_path):
+    """write_ntriples: one well-formed line per edge, path-like doc ids
+    and variable labels percent-encoded into valid IRIs, qualifier
+    label only on pdg_data predicates, and the returned count matches
+    the shard contents."""
+    import glob
+
+    from propertygraph_spark.pipeline.ntriples import (ntriples_lines,
+                                                       write_ntriples)
+    triples = spark.createDataFrame(
+        [("a/b c.java", 1, "ast_child", 2, ""),
+         ("a/b c.java", 3, "pdg_data", 4, "my var")],
+        "doc_id string, subj long, pred string, obj long, label string")
+    lines = sorted(r["line"] for r in ntriples_lines(triples).collect())
+    assert lines == [
+        "<pg:n/a%2Fb+c.java/1> <pg:p/ast_child> <pg:n/a%2Fb+c.java/2> .",
+        "<pg:n/a%2Fb+c.java/3> <pg:p/pdg_data#my+var> "
+        "<pg:n/a%2Fb+c.java/4> .",
+    ]
+    out = str(tmp_path / "nt")
+    n = write_ntriples(triples, out)
+    assert n == 2
+    on_disk = []
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f) as fh:
+            on_disk += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    assert sorted(on_disk) == lines
