@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_user_hll"] = relational.event_user_hll
     q["events_quantile_sketch"] = relational.event_value_quantile_sketch
     q["events_funnel_ordered"] = relational.events_funnel_ordered
+    q["events_grouping_sets"] = relational.events_grouping_sets
     q["events_mad_outliers"] = relational.events_mad_outliers
     q["events_profile"] = relational.table_profile
     q["q8_market_share"] = relational.nation_market_share
@@ -2629,6 +2630,15 @@ FROM q, (SELECT unnest(range(1, 65)) AS i) i,
         (SELECT unnest(range(1, 65)) AS j) j
 WHERE j.j >= i.i
 GROUP BY 1, 2
+"""
+    o["events_grouping_sets"] = """
+SELECT event_type, hour,
+       CAST(grouping_id(event_type, hour) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(v1000) AS BIGINT) AS sum_value_x1000
+FROM (SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(round(value * 1000) AS BIGINT) AS v1000 FROM events)
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
 """
     o["emb_matryoshka"] = """
 WITH s AS (SELECT vec_id,

@@ -1338,3 +1338,28 @@ def table_profile(spark: SparkSession, sf_dir: str,
                     .alias("hll_distinct"),
                     "min_val", "max_val")
             .orderBy("col"))
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation — the arbitrary-set sibling of CUBE /
+    ROLLUP (dataset.corpus_stats_cube, events_rollup_hourly): one pass
+    produces the (event_type, hour) leaf, the per-type margin, and the
+    grand total, each tagged by grouping_id so a consumer can slice
+    levels without re-aggregating. Spark plans a single Expand +
+    hash aggregate (partial before the exchange), so the three levels
+    cost one shuffle together — the reason warehouses expose the
+    construct at all. Sums integer-scaled; hour from date_trunc on the
+    NTZ timestamp (TZ-independent)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 1000).cast("long").alias("v1000"))
+    ev.createOrReplaceTempView("events_gs_in")
+    return spark.sql("""
+        SELECT event_type, hour,
+               CAST(grouping_id(event_type, hour) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               sum(v1000) AS sum_value_x1000
+        FROM events_gs_in
+        GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
+    """)

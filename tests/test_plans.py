@@ -732,3 +732,13 @@ def test_neg_samples_joins_all_broadcast(spark):
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_grouping_sets_single_expand_one_exchange(spark):
+    """GROUPING SETS plans as ONE Expand + two-phase hash aggregate
+    over a single exchange — three aggregation levels for one shuffle."""
+    from propertygraph_spark.ops.relational import events_grouping_sets
+    p = plan(events_grouping_sets(spark, SF))
+    assert "Expand" in p, p
+    assert p.count("HashAggregate") >= 2 and "partial_count" in p, p
+    assert p.count("Exchange") <= 2, p  # formatted lists tree + details
