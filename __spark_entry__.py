@@ -58,22 +58,23 @@ _PREV_DRIVER_CHECKED = frozenset({
 })
 
 
-# 45 r3-checked + 20 new r5 queries = 65 unchecked > the ~50 window; the
-# overflow must be deterministic, so the FIFTEEN best-covered unchecked
-# queries (driver-green in r3, 40 plan-shape tests, judge parity every
-# round since r1) are ordered LAST among the unchecked and absorb it
-# (tuple order = their original registration order, which is what
-# _window_reorder preserves).
+# 107 unchecked > the ~50 window (r5 sessions added 57 new queries on
+# top of the 45 r3-checked + 5 r4-only); the overflow must be
+# deterministic, so the best-covered unchecked queries (driver-green in
+# r3, plan-pinned, judge parity every round — plus the r5-session ops
+# with the deepest non-driver evidence: byte-exact media oracles,
+# direct-semantics dataset tests) are ordered LAST among the unchecked
+# and absorb it (tuple order = registration order, which is what
+# _window_reorder preserves). Every session-7 query sits inside the
+# driver-checked prefix.
 _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
-                    "kg_pagerank",
-                    "kg_triangles", "kg_kcore", "kg_cfg_bfs", "kg_communities",
-                    "kg_pdg_components", "kg_cfg_scc", "kg_cfg_layers",
-                    "kg_pdg_clustering",
+                    "kg_pagerank", "kg_triangles", "kg_kcore", "kg_cfg_bfs",
+                    "kg_communities", "kg_pdg_components", "kg_cfg_scc",
+                    "kg_cfg_layers", "kg_pdg_clustering",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
-                    "part_type_shares", "events_minutely",
-                    "user_sessions", "event_type_funnel",
-                    "asof_view_before_click",
+                    "part_type_shares", "events_minutely", "user_sessions",
+                    "event_type_funnel", "asof_view_before_click",
                     "q6_revenue_change", "q12_priority_shipmode",
                     "events_rollup_hourly", "events_range_join",
                     "q7_volume_shipping", "q10_returned_items",
@@ -87,8 +88,11 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "q2_min_cost_supplier", "q20_dominant_suppliers",
                     "events_weekly_retention", "events_top_per_user",
                     "events_rolling_sum", "events_transitions",
-                    "events_json_props", "text_token_stats",
-                    "text_quality", "text_lm_fluency")
+                    "events_json_props", "text_token_stats", "text_quality",
+                    "text_lm_fluency", "media_alignment", "media_phash",
+                    "dataset_dsir_sample", "dataset_unimax",
+                    "dataset_priority_sample", "dataset_group_split",
+                    "dataset_curriculum")
 
 
 def _window_reorder(d: dict) -> dict:
