@@ -302,6 +302,19 @@ def main() -> None:
             "propertygraph_spark.ops.multimodal",
             fromlist=["media_phash_pairs"]).media_phash_pairs(
                 synthesize_media(docs(spark, sf_dir))),
+        # r5 session-7 additions
+        "ann_mutual_knn": lambda: similarity.mutual_knn(
+            emb(spark, sf_dir), k=5),
+        "emb_gram_int8": lambda: similarity.gram_int8(emb(spark, sf_dir)),
+        "kg_neg_samples": lambda: kgdocs.negative_samples(
+            docs(spark, sf_dir)),
+        "kg_betweenness": lambda: kgdocs.betweenness_by_template(
+            docs(spark, sf_dir)),
+        "kg_halstead": lambda: kgdocs.halstead_by_template(
+            docs(spark, sf_dir)),
+        "kg_ntriples": lambda: kgdocs.ntriples_export(docs(spark, sf_dir)),
+        "events_grouping_sets": lambda: relational.events_grouping_sets(
+            spark, sf_dir),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

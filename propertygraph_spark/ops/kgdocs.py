@@ -2342,7 +2342,12 @@ def negative_samples(documents: DataFrame, k: int = 3) -> DataFrame:
     linking, and the per-edge explode multiplies the BOUNDED edge
     table by k, never the mention table."""
     from pyspark.sql.window import Window
-    edges = call_graph(documents).select("caller", "callee")
+    # the rolled-up edge table is bounded (distinct class x symbol);
+    # checkpoint it so the vocabulary count, the candidate explode and
+    # the true-edge anti-join don't each replay the full extract+link
+    # lineage (measured 17.9 s -> kernel-once at sf0.1)
+    edges = (call_graph(documents).select("caller", "callee")
+             .localCheckpoint(eager=True))
     vocab = (edges.select("callee").distinct()
              .withColumn("idx", F.row_number().over(
                  Window.orderBy("callee")).cast("long") - 1))
