@@ -888,3 +888,72 @@ def remove_orphan_files(path: str, delete: bool = False) -> dict:
             if root != path and not os.listdir(root):
                 os.rmdir(root)
     return {"mode": mode, "orphans": sorted(orphans), "deleted": delete}
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-aware stage reader — the Iceberg read-side of
+    ADD COLUMN: bucket-incremental commits may carry a WIDER schema in
+    newly-rewritten buckets than in untouched ones (a pipeline upgrade
+    adds a column; only dirty buckets rewrite). A plain parquet read
+    picks one footer's schema at random and silently drops the new
+    column; ``mergeSchema`` unions all footers, old buckets surface
+    NULL for columns they predate — exactly Iceberg's
+    schema-evolution contract. Use this instead of
+    ``spark.read.parquet`` wherever mixed-schema stages are legal."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def zorder_rewrite_buckets(spark: SparkSession, path: str, cols: list,
+                           target_files: int = 4, bits: int = 8) -> dict:
+    """Z-order layout rewrite for a bucket-incremental stage — the
+    Iceberg/Delta ``OPTIMIZE ZORDER BY`` maintenance action (the WRITE
+    path of what ``relational.zorder_skipping_stats`` evaluates): per
+    bucket, rows are rewritten in Morton order over ``cols`` (each
+    dimension folded to ``bits`` bits via pmod), split into
+    ``target_files`` range-partitioned, internally sorted files. Rows
+    are bit-identical as a SET and ``_buckets.json`` fingerprints are
+    untouched (content-keyed, not layout-keyed) — but every parquet
+    footer's min/max column statistics now cover a narrow z-range, so
+    engines with zone-map skipping (Spark row-group pruning, Trino,
+    DuckDB) scan a fraction of the files for multi-dimensional range
+    predicates. Write-then-swap per bucket (crash-safe, same recipe as
+    compaction); commit logged as a ``zorder`` snapshot. Returns
+    {bucket: n_files_after}."""
+    import shutil
+    mask = (1 << bits) - 1
+    zkey = sum(
+        (F.shiftright(F.pmod(F.col(c).cast("long"), F.lit(mask + 1)), i)
+         .bitwiseAND(1) * F.lit(1 << (len(cols) * i + k)))
+        for i in range(bits) for k, c in enumerate(cols)).cast("long")
+    out: dict = {}
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("bucket="):
+            continue
+        bdir = os.path.join(path, name)
+        tmp = os.path.join(path, f"_zorder_tmp_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (spark.read.parquet(bdir)
+         .withColumn("_zkey", zkey)
+         .repartitionByRange(target_files, "_zkey")
+         .sortWithinPartitions("_zkey")
+         .drop("_zkey")
+         .write.mode("overwrite").parquet(tmp))
+        for extra in os.listdir(tmp):
+            if not extra.endswith(".parquet"):
+                os.remove(os.path.join(tmp, extra))
+        shutil.rmtree(bdir)
+        os.rename(tmp, bdir)
+        out[name.split("=", 1)[1]] = len(
+            [f for f in os.listdir(bdir) if f.endswith(".parquet")])
+    if out:
+        try:
+            with open(os.path.join(path, "_buckets.json")) as f:
+                current = json.load(f)
+        except (OSError, ValueError):
+            current = {}
+        _append_snapshot(
+            path, "zorder",
+            fingerprint(*(f"{b}={current[b]}"
+                          for b in sorted(current, key=int))),
+            {"zorder_cols": list(cols), "buckets": out})
+    return out

@@ -770,3 +770,89 @@ def test_remove_orphan_files_manifest_and_bucket_stages(spark, tmp_path):
     assert cli_main(["--remove-orphans", "--out", str(tmp_path)]) == 0
     assert not os.path.exists(os.path.join(bpath, "rootlevel.parquet"))
     assert audit_bucket_stage(bpath)["ok"]
+
+
+def test_zorder_rewrite_tightens_zone_maps(spark, tmp_path):
+    """OPTIMIZE ZORDER BY twin: rows identical as a set, fingerprints
+    untouched, audit green, a 'zorder' snapshot logged — and the
+    parquet footer min/max stats tighten so a 2-D range predicate
+    overlaps strictly fewer files than the unclustered layout."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, snapshot_history, write_stage_buckets,
+        zorder_rewrite_buckets)
+
+    rows = [(i, i % 2, (i * 37) % 256, (i * 91) % 256)
+            for i in range(2048)]
+    df = (spark.createDataFrame(rows, "id long, bucket int, x long, y long")
+          .repartition(8))
+    path = str(tmp_path / "stage")
+    write_stage_buckets(df, path, {0: "fp0", 1: "fp1"}, spark=spark)
+    before_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+    with open(f"{path}/_buckets.json") as f:
+        fps_before = f.read()
+
+    def overlapping(lo_x, hi_x, lo_y, hi_y):
+        hits = total = 0
+        for fpath in globmod.glob(f"{path}/bucket=*/*.parquet"):
+            md = pq.ParquetFile(fpath).metadata
+            stats = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    lo, hi = stats.get(name, (st.min, st.max))
+                    stats[name] = (min(lo, st.min), max(hi, st.max))
+            total += 1
+            if (stats["x"][0] <= hi_x and stats["x"][1] >= lo_x
+                    and stats["y"][0] <= hi_y and stats["y"][1] >= lo_y):
+                hits += 1
+        return hits, total
+
+    before_hits, before_total = overlapping(0, 31, 0, 31)
+    assert before_hits == before_total  # unclustered: every file overlaps
+
+    done = zorder_rewrite_buckets(spark, path, ["x", "y"], target_files=4)
+    assert set(done) == {"0", "1"} and all(v >= 2 for v in done.values())
+    after_hits, after_total = overlapping(0, 31, 0, 31)
+    assert after_total >= 8
+    assert after_hits < after_total, (after_hits, after_total)
+
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} \
+        == before_rows
+    with open(f"{path}/_buckets.json") as f:
+        assert f.read() == fps_before
+    assert snapshot_history(path)[-1]["operation"] == "zorder"
+    assert audit_bucket_stage(path)["ok"]
+
+
+def test_read_stage_merges_evolved_schema(spark, tmp_path):
+    """Schema evolution across bucket-incremental commits: a pipeline
+    upgrade adds a column and only the dirty bucket rewrites with the
+    wider schema. read_stage (mergeSchema) surfaces the union schema
+    with NULLs for pre-evolution buckets; the audit stays green."""
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, read_stage, write_stage_buckets)
+
+    df = spark.createDataFrame([(i, i % 2, f"v{i}") for i in range(16)],
+                               "id long, bucket int, payload string")
+    path = str(tmp_path / "stage")
+    write_stage_buckets(df, path, {0: "fp0", 1: "fp1"}, spark=spark)
+
+    def add_col(sub):
+        return sub.withColumn("extra", F.length("payload").cast("long"))
+
+    # bucket 1 dirties under the upgraded transform; bucket 0 untouched
+    write_stage_buckets(df, path, {0: "fp0", 1: "fp1b"}, spark=spark,
+                        transform=add_col)
+    merged = read_stage(spark, path)
+    assert "extra" in merged.columns
+    got = {(r["id"], r["extra"]) for r in merged.collect()}
+    assert len(got) == 16
+    assert all(e is None for i, e in got if i % 2 == 0)
+    assert all(e == len(f"v{i}") for i, e in got if i % 2 == 1)
+    assert audit_bucket_stage(path)["ok"]
