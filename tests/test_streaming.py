@@ -744,3 +744,50 @@ def test_streaming_commit_sink_exactly_once(spark, tmp_path):
     assert not os.path.exists(os.path.join(torn, "part-torn.parquet"))
     assert spark.read.parquet(out).count() == 30
     assert snapshot_history(out)[-1]["fingerprint"] == "batch:3"
+
+
+def test_streaming_kg_pipeline_exactly_once_sink(spark, tmp_path):
+    """North-rule streaming composition: docs stream -> fused Arrow
+    extraction kernel -> exactly-once commit sink. The landed triple
+    table equals the batch kernel's output row-for-row, one ledger
+    snapshot per micro-batch, and a re-run over the same source with a
+    fresh checkpoint (the crash-replay shape) appends nothing."""
+    from propertygraph_spark.ops.kgdocs import docs_with_spans
+    from propertygraph_spark.pipeline.extract import extract_docs, split_union
+    from propertygraph_spark.pipeline.materialize import snapshot_history
+    from propertygraph_spark.streaming.events import (streaming_commit_sink,
+                                                      streaming_extract)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    spans_path = str(tmp_path / "docs.parquet")
+    docs_with_spans(docs).repartition(2).write.parquet(spans_path)
+
+    stream = (spark.readStream
+              .schema("doc_id string, spans array<struct<kind:string,"
+                      "text:string,media_ref:string,offset:int>>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(spans_path))
+    out = str(tmp_path / "kg_sink")
+    q = streaming_commit_sink(streaming_extract(stream), out,
+                              str(tmp_path / "ckpt"))
+    q.awaitTermination(90)
+
+    landed = (spark.read.parquet(out)
+              .filter(F.col("row_kind") == "triple")
+              .select("doc_id", "method_id", "subj", "pred", "obj",
+                      "label"))
+    batch = split_union(extract_docs(docs_with_spans(docs),
+                                     route=False))[1]
+    assert landed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(landed).count() == 0
+    n_snaps = len(snapshot_history(out))
+    assert n_snaps >= 2  # one per micro-batch (maxFilesPerTrigger=1)
+
+    # crash-replay shape: fresh checkpoint, same source, same sink
+    q2 = streaming_commit_sink(streaming_extract(stream), out,
+                               str(tmp_path / "ckpt2"))
+    q2.awaitTermination(90)
+    assert len(snapshot_history(out)) == n_snaps
+    assert landed.count() == spark.read.parquet(out) \
+        .filter(F.col("row_kind") == "triple").count()
