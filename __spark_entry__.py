@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dupes(
         _emb(s, d), threshold_pm=300_000)
+    q["dataset_leakage_split"] = lambda s, d: dedup.leakage_safe_split(
+        _docs(s, d))
     q["dedup_semantic_clusters"] = lambda s, d: \
         similarity.semantic_dedup_clusters(_emb(s, d), threshold_pm=300_000)
 
@@ -2191,6 +2193,44 @@ pairs AS (
 SELECT m.doc_id, m.cluster_id, m.quality_score,
        CAST(m.doc_id = best.best_doc_id AS INT) AS is_best
 FROM m JOIN best USING (cluster_id)
+"""
+
+    # leakage-safe split: dedup_clusters' CC + an md5 split keyed on the
+    # CLUSTER id so every near-dup member inherits one verdict
+    _ls_hx = lambda c: f"(ascii({c}) - 48 - 39 * CAST(ascii({c}) >= 97 AS INT))"
+    _ls_hexval = " + ".join(
+        f"CAST({_ls_hx(f'substr(h8, {i + 1}, 1)')} AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    o["dataset_leakage_split"] = f"""
+WITH RECURSIVE sig AS ({_minhash_sql()}),
+banded AS ({' UNION ALL '.join(band_buckets)}),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), clustered AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+), hashed AS (
+  SELECT doc_id, cluster_id,
+         substr(md5('lsplit|' || CAST(cluster_id AS VARCHAR)), 1, 8) AS h8
+  FROM clustered
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ({_ls_hexval}) % 1000 < 900 THEN 'train'
+            ELSE 'eval' END AS split
+FROM hashed
 """
     cont_parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(5))
     o["dedup_containment"] = f"""

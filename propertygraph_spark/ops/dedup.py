@@ -695,3 +695,28 @@ def eval_fuzzy_contamination(docs: DataFrame, k: int = 3,
             .agg(F.count("*").cast("long").alias("n_band_hits"),
                  F.count_distinct("eval_doc").cast("long")
                  .alias("n_eval_docs")))
+
+
+def leakage_safe_split(docs: DataFrame, train_pm: int = 900,
+                       k: int = 3) -> DataFrame:
+    """Leakage-safe train/eval split — the composition real curation
+    pipelines need and naive hash splits get wrong: a doc and its
+    near-duplicates must land in the SAME split, or eval examples leak
+    into training through paraphrase copies (the benchmark-contamination
+    mechanism, Lee et al. 2022). Near-dup clusters come from the star-
+    edge MinHash CC (``dedup_clusters``); the split decision hashes the
+    CLUSTER id, so every member inherits one verdict atomically —
+    singletons degrade to an ordinary per-doc hash split.
+
+    Scale shape: everything is the dedup_clusters plan (no pairs ever
+    materialized) plus one map-side md5 on the bounded cluster-id
+    column. Deterministic end to end."""
+    clusters = dedup_clusters(docs, k=k)
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("lsplit|"),
+                       F.col("cluster_id").cast("string"))), 1, 8)
+    bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(1000))
+    return clusters.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < train_pm, F.lit("train"))
+        .otherwise(F.lit("eval")).alias("split"))

@@ -322,3 +322,34 @@ def test_unimax_budget_exceeds_all_caps(spark):
     assert all(r["capped"] == 1 and r["epochs_pm"] == 3000
                for r in got.values())
     assert got["en"]["alloc_tokens"] == 9 and got["de"]["alloc_tokens"] == 6
+
+
+def test_leakage_safe_split_clusters_move_atomically(spark):
+    """Near-duplicate docs must land in the SAME split: seed exact
+    near-copies across many distinct base texts; every cluster has one
+    split verdict, both splits are populated, and re-running is
+    bit-identical."""
+    from propertygraph_spark.ops.dedup import leakage_safe_split
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc{i}"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " tail"))  # near-copy of its base
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # train_pm=700: with ~40 clusters the 90% default has a ~1%
+    # deterministic chance of an all-train draw on this fixture
+    out = leakage_safe_split(docs, train_pm=700)
+    got = [(r["doc_id"], r["cluster_id"], r["split"])
+           for r in out.collect()]
+    assert len(got) == 80
+    by_cluster: dict = {}
+    for doc, cl, sp in got:
+        by_cluster.setdefault(cl, set()).add(sp)
+    assert all(len(v) == 1 for v in by_cluster.values())  # atomic
+    # the near-copy pairs actually clustered together (not 80 singletons)
+    assert len(by_cluster) < 80
+    splits = {sp for _, _, sp in got}
+    assert splits == {"train", "eval"}
+    again = [(r["doc_id"], r["cluster_id"], r["split"])
+             for r in leakage_safe_split(docs, train_pm=700).collect()]
+    assert sorted(again) == sorted(got)
