@@ -89,8 +89,8 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "events_weekly_retention", "events_top_per_user",
                     "events_rolling_sum", "events_transitions",
                     "events_json_props", "text_token_stats", "text_quality",
-                    "text_lm_fluency", "media_alignment", "media_phash",
-                    "dataset_dsir_sample", "dataset_unimax",
+                    "text_lm_fluency", "emb_kmeans", "media_alignment",
+                    "media_phash", "dataset_dsir_sample", "dataset_unimax",
                     "dataset_priority_sample", "dataset_group_split",
                     "dataset_curriculum")
 
