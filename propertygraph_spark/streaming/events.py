@@ -536,3 +536,29 @@ def streaming_commit_sink(stream_df: DataFrame, path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_session_windows(events: DataFrame,
+                              gap: str = "30 minutes",
+                              watermark: str = "1 hour") -> DataFrame:
+    """Native session-window aggregation (F.session_window) — the
+    ENGINE-managed sessionizer next to the suite's custom
+    applyInPandasWithState one (streaming_user_sessions): Spark merges
+    overlapping per-event gap windows in its own session state store,
+    no user state function at all. Worth both paths: the native
+    operator gets incremental state merging, RocksDB spill and
+    watermark eviction for free, while the custom operator expresses
+    semantics session_window can't (emit-on-gap mid-stream, custom
+    carry-over). Output one row per closed session with integer-exact
+    value sums (x1000); batch == streaming pinned in tests (session
+    merge is associative, so trigger slicing cannot show)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id",
+                     F.session_window("ts", gap).alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("sum_value_x1000"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events", "sum_value_x1000"))

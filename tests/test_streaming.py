@@ -791,3 +791,55 @@ def test_streaming_kg_pipeline_exactly_once_sink(spark, tmp_path):
     assert len(snapshot_history(out)) == n_snaps
     assert landed.count() == spark.read.parquet(out) \
         .filter(F.col("row_kind") == "triple").count()
+
+
+def test_native_session_window_matches_batch(spark, tmp_path):
+    """F.session_window sessionization: sessions split across triggers
+    merge in the engine's session state; the drained stream equals the
+    identical batch aggregation, and a 2h gap splits sessions."""
+    import time as _t
+
+    from propertygraph_spark.streaming.events import (
+        read_events_stream, run_to_memory, streaming_session_windows)
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "e", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 1, "e", 2.0, "{}"),
+        # file 2: continues user 1's session (within gap), new user 2
+        (3, "2024-01-01 00:25:00", 1, "e", 3.0, "{}"),
+        (4, "2024-01-01 00:00:00", 2, "e", 4.0, "{}"),
+        # file 3: user 1 after a 2h gap -> second session; far-future
+        # row advances the watermark so closed sessions emit
+        (5, "2024-01-01 02:30:00", 1, "e", 5.0, "{}"),
+        (6, "2024-01-01 09:00:00", 9, "e", 0.0, "{}"),
+    ]
+    path = str(tmp_path / "ev.parquet")
+    os.makedirs(path)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").withColumn("ts", F.to_timestamp("ts"))
+    for frac in ((1, 2), (3, 4), (5, 6)):
+        df.filter(F.col("event_id").isin(*frac)).coalesce(1) \
+          .write.mode("append").parquet(path)
+        _t.sleep(1.1)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    q = run_to_memory(streaming_session_windows(stream), "native_sessions",
+                      output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], str(r["session_start"]), r["n_events"],
+                r["sum_value_x1000"])
+               for r in spark.sql("select * from native_sessions").collect()}
+    finally:
+        q.stop()
+    # closed sessions: user 1's merged 3-event session (00:00-00:55),
+    # its second session at 02:30, user 2's singleton
+    assert (1, "2024-01-01 00:00:00", 3, 6000) in got
+    assert (1, "2024-01-01 02:30:00", 1, 5000) in got
+    assert (2, "2024-01-01 00:00:00", 1, 4000) in got
+    batch = {(r["user_id"], str(r["session_start"]), r["n_events"],
+              r["sum_value_x1000"])
+             for r in streaming_session_windows(
+                 spark.read.parquet(path)).collect()}
+    # the stream emits exactly the batch sessions whose end precedes
+    # the final watermark (user 9's session stays open)
+    assert got == {g for g in batch if g[0] != 9}
