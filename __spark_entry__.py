@@ -68,29 +68,36 @@ _PREV_DRIVER_CHECKED = frozenset({
 # _window_reorder preserves). Every session-7 query sits inside the
 # driver-checked prefix.
 _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
-                    "kg_pagerank", "kg_triangles", "kg_kcore", "kg_cfg_bfs",
-                    "kg_communities", "kg_pdg_components", "kg_cfg_scc",
+                    "kg_pagerank", "kg_triangles", "kg_kcore",
+                    "kg_cfg_bfs", "kg_communities",
+                    "kg_pdg_components", "kg_cfg_scc",
                     "kg_cfg_layers", "kg_pdg_clustering",
                     "q1_pricing_summary", "q3_top_unshipped",
                     "q4_order_priority", "q5_supplier_volume",
-                    "part_type_shares", "events_minutely", "user_sessions",
-                    "event_type_funnel", "asof_view_before_click",
-                    "q6_revenue_change", "q12_priority_shipmode",
-                    "events_rollup_hourly", "events_range_join",
-                    "q7_volume_shipping", "q10_returned_items",
-                    "q14_promo_revenue", "q19_discounted_revenue",
-                    "q22_idle_rich_customers", "q9_nation_year_revenue",
-                    "q13_order_counts", "q16_supplier_parts",
-                    "q18_large_orders", "q11_important_parts",
-                    "events_percentiles", "events_user_sketch",
-                    "q8_market_share", "q15_top_suppliers",
-                    "q17_small_qty_revenue", "q21_last_shippers",
-                    "q2_min_cost_supplier", "q20_dominant_suppliers",
+                    "part_type_shares", "events_minutely",
+                    "user_sessions", "event_type_funnel",
+                    "asof_view_before_click", "q6_revenue_change",
+                    "q12_priority_shipmode", "events_rollup_hourly",
+                    "events_range_join", "q7_volume_shipping",
+                    "q10_returned_items", "q14_promo_revenue",
+                    "q19_discounted_revenue",
+                    "q22_idle_rich_customers",
+                    "q9_nation_year_revenue", "q13_order_counts",
+                    "q16_supplier_parts", "q18_large_orders",
+                    "q11_important_parts", "events_percentiles",
+                    "events_user_sketch", "q8_market_share",
+                    "q15_top_suppliers", "q17_small_qty_revenue",
+                    "q21_last_shippers", "q2_min_cost_supplier",
+                    "q20_dominant_suppliers",
                     "events_weekly_retention", "events_top_per_user",
                     "events_rolling_sum", "events_transitions",
-                    "events_json_props", "text_token_stats", "text_quality",
-                    "text_lm_fluency", "emb_kmeans", "media_alignment",
-                    "media_phash", "dataset_dsir_sample", "dataset_unimax",
+                    "events_zorder_stats", "events_json_props",
+                    "text_token_stats", "text_quality",
+                    "text_lm_fluency", "text_gopher_repetition",
+                    "dedup_semantic_clusters", "emb_gram_int8",
+                    "ann_ivfpq_refine_topk", "ann_sign_topk",
+                    "emb_kmeans", "media_alignment", "media_phash",
+                    "dataset_dsir_sample", "dataset_unimax",
                     "dataset_priority_sample", "dataset_group_split",
                     "dataset_curriculum")
 
@@ -153,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d))
     q["kg_api_cooccurrence"] = lambda s, d: kgdocs.api_cooccurrence(
         _docs(s, d))
+    q["kg_control_dep_fow"] = lambda s, d: \
+        kgdocs.control_dep_fow_by_template(_docs(s, d))
     q["kg_cfg_dominators"] = lambda s, d: kgdocs.cfg_dominators_by_template(
         _docs(s, d))
     q["kg_cyclomatic"] = lambda s, d: kgdocs.cyclomatic_by_template(
@@ -381,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), k=5)
     q["ann_mutual_knn"] = lambda s, d: similarity.mutual_knn(_emb(s, d), k=5)
     q["emb_gram_int8"] = lambda s, d: similarity.gram_int8(_emb(s, d))
+    q["emb_pca_power"] = lambda s, d: similarity.pca_power(_emb(s, d))
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
     q["ann_lsh_mt_topk"] = lambda s, d: similarity.ann_lsh_mt_topk(
         _emb(s, d), k=5)
@@ -512,6 +522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_priority_sample"] = lambda s, d: priority_sample(_docs(s, d))
     q["dataset_group_split"] = lambda s, d: group_split(_docs(s, d))
     q["dataset_curriculum"] = lambda s, d: curriculum_order(_docs(s, d))
+    from propertygraph_spark.ops.dataset import alpha_sample
+    q["dataset_alpha_sample"] = lambda s, d: alpha_sample(_docs(s, d))
+    q["text_bpe_train"] = lambda s, d: text.bpe_train(_docs(s, d))
+    q["kg_link_prediction"] = lambda s, d: kgdocs.api_link_prediction(
+        _docs(s, d))
+    q["events_audience_overlap"] = relational.audience_overlap_hll
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -700,6 +716,93 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash16 FROM v
 """
 
 
+def _pca_power_sql(iters: int) -> str:
+    """Unrolled DuckDB twin of similarity.pca_power: the gram CTE is
+    emb_gram_int8's quantization verbatim, then ``iters`` rounds of
+    u = G v / v = (u * 1000) // max|u| — integer division truncates
+    toward zero in both engines, so every round is bit-identical."""
+    head = """
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE)
+              * (CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END)
+              + 0.5) AS BIGINT)) AS codes
+  FROM (SELECT embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        FROM embeddings)
+),
+gram AS (
+  SELECT CAST(i.i AS BIGINT) - 1 AS i, CAST(j.j AS BIGINT) - 1 AS j,
+         CAST(sum(codes[i.i] * codes[j.j]) AS BIGINT) AS dot_sum
+  FROM q, (SELECT unnest(range(1, 65)) AS i) i,
+          (SELECT unnest(range(1, 65)) AS j) j
+  WHERE j.j >= i.i GROUP BY 1, 2
+),
+sym AS (
+  SELECT i, j, dot_sum FROM gram
+  UNION ALL
+  SELECT j AS i, i AS j, dot_sum FROM gram WHERE i <> j
+),
+v0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i,
+              CAST(1000 AS BIGINT) AS v)"""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f""",
+u{r} AS (SELECT s.i AS i, CAST(sum(s.dot_sum * v.v) AS BIGINT) AS u
+         FROM sym s JOIN v{r - 1} v ON v.i = s.j GROUP BY 1),
+m{r} AS (SELECT max(abs(u)) AS m FROM u{r}),
+v{r} AS (SELECT i, (u * 1000) // m AS v FROM u{r} CROSS JOIN m{r})""")
+    return (head + "".join(rounds)
+            + f"\nSELECT i AS dim, CAST(v AS BIGINT) AS v_milli "
+              f"FROM v{iters} ORDER BY dim")
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of text.bpe_train: per round, one pair-count
+    CTE over the evolving delimited-string vocab, a 1-row argmax CTE,
+    and a replace() merge CTE — the identical non-overlapping
+    leftmost-first replace semantics as Spark's replace(), so the merge
+    order is bit-identical (see bpe_train's exactness contract)."""
+    sep2 = "chr(31) || chr(31)"
+    w = "chr(31) || array_to_string(list_transform(" \
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), " \
+        f"{sep2}) || chr(31)"
+    parts = [f"""
+w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, {w} AS s
+       FROM (SELECT unnest({_sql_tokens()}) AS word FROM documents)
+       WHERE NOT contains(word, chr(31)) GROUP BY word)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+p{r} AS (SELECT pr.lsym AS lsym, pr.rsym AS rsym,
+                CAST(sum(freq) AS BIGINT) AS cnt
+         FROM (SELECT freq,
+                      unnest(list_transform(
+                          generate_series(1, len(syms) - 1),
+                          i -> {{'lsym': syms[i], 'rsym': syms[i+1]}}))
+                        AS pr
+               FROM (SELECT freq,
+                            string_split(substr(s, 2, length(s) - 2),
+                                         {sep2}) AS syms
+                     FROM w{r - 1}) ws
+               WHERE len(syms) >= 2)
+         GROUP BY 1, 2),
+b{r} AS (SELECT lsym, rsym, cnt FROM p{r}
+         ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+w{r} AS (SELECT word, freq,
+                replace(s,
+                        chr(31) || lsym || chr(31) || chr(31)
+                                || rsym || chr(31),
+                        chr(31) || lsym || rsym || chr(31)) AS s
+         FROM w{r - 1} CROSS JOIN b{r})""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round_no, lsym AS left_sym, "
+        f"rsym AS right_sym, lsym || rsym AS merged, cnt AS pair_count "
+        f"FROM b{r}" for r in range(1, n_merges + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT * FROM (\n{rows}\n) ORDER BY round_no")
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -727,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_wl_shapes"] = kgdocs.wl_oracle_sql()
     o["kg_api_cooccurrence"] = kgdocs.api_cooccurrence_oracle_sql()
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
+    o["kg_control_dep_fow"] = kgdocs.control_dep_fow_oracle_sql()
     o["kg_cyclomatic"] = kgdocs.cyclomatic_oracle_sql()
     o["kg_api_pagerank"] = kgdocs.api_pagerank_oracle_sql()
     o["kg_api_hits"] = kgdocs.api_hits_oracle_sql()
@@ -3126,5 +3230,88 @@ SELECT doc_id,
             ELSE 'video' END AS media_kind,
        {feat_cols}
 FROM m
+"""
+
+    # alpha-smoothed (temperature 0.5) stratum sampling: exact isqrt by
+    # floor(sqrt(double)) + a +-1 correction, md5 coin — see
+    # dataset.alpha_sample for the arithmetic contract.
+    _as_coin = " + ".join(
+        "CAST(" + _sql_hexval(
+            f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12))
+    o["dataset_alpha_sample"] = f"""
+WITH per AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+i0 AS (SELECT stratum, n_docs,
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+       FROM per),
+i AS (SELECT stratum, n_docs,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+                  WHEN s0 * s0 > n_docs THEN s0 - 1
+                  ELSE s0 END AS isqrt_docs
+      FROM i0),
+t AS (SELECT CAST(sum(isqrt_docs) AS BIGINT) AS tot FROM i),
+rates AS (SELECT stratum, n_docs, isqrt_docs,
+                 least(CAST(1000000 AS BIGINT),
+                       300 * isqrt_docs * 1000000 // (tot * n_docs))
+                   AS keep_ppm
+          FROM i CROSS JOIN t),
+kept AS (SELECT d.lang AS stratum, CAST(count(*) AS BIGINT) AS n_sampled
+         FROM documents d JOIN rates r ON d.lang = r.stratum
+         WHERE ({_as_coin}) % 1000000 < r.keep_ppm GROUP BY 1)
+SELECT r.stratum, r.n_docs, CAST(r.isqrt_docs AS BIGINT) AS isqrt_docs,
+       CAST(r.keep_ppm AS BIGINT) AS keep_ppm,
+       CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN kept k USING (stratum) ORDER BY stratum
+"""
+
+    o["text_bpe_train"] = _bpe_train_sql(6)
+    o["emb_pca_power"] = _pca_power_sql(8)
+    from propertygraph_spark.ops.kgdocs import api_link_prediction_oracle_sql
+    o["kg_link_prediction"] = api_link_prediction_oracle_sql()
+
+    # HLL audience overlap: identical register machinery to
+    # events_user_hll, dense 64-register frame per type, union =
+    # register-wise max, inclusion-exclusion clamped at 0.
+    _ao_est = lambda s: (f"(({64 * 64 * (1 << 43)} // {s}) * 709) // 1000")
+    o["events_audience_overlap"] = f"""
+WITH h AS (SELECT event_type, user_id, ({hv12}) AS hl FROM events),
+r AS (SELECT event_type, hl % 64 AS reg, hl // 64 AS v FROM h),
+per AS (SELECT event_type, reg, max(43 - ({sig42})) AS mx
+        FROM r GROUP BY event_type, reg),
+types AS (SELECT DISTINCT event_type FROM events),
+g AS (SELECT unnest(generate_series(0, 63)) AS reg),
+dense AS (SELECT t.event_type, g.reg,
+                 CAST(coalesce(p.mx, 0) AS BIGINT) AS mx
+          FROM types t CROSS JOIN g
+          LEFT JOIN per p ON p.event_type = t.event_type
+                         AND p.reg = g.reg),
+pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              a.mx AS mx_a, b.mx AS mx_b
+       FROM dense a JOIN dense b
+         ON a.reg = b.reg AND a.event_type < b.event_type),
+s AS (SELECT type_a, type_b,
+             sum(CAST(1 AS BIGINT) << CAST(43 - mx_a AS INT)) AS s_a,
+             sum(CAST(1 AS BIGINT) << CAST(43 - mx_b AS INT)) AS s_b,
+             sum(CAST(1 AS BIGINT)
+                 << CAST(43 - greatest(mx_a, mx_b) AS INT)) AS s_u
+      FROM pr GROUP BY 1, 2),
+e AS (SELECT type_a, type_b,
+             CAST({_ao_est('s_a')} AS BIGINT) AS est_a,
+             CAST({_ao_est('s_b')} AS BIGINT) AS est_b,
+             CAST({_ao_est('s_u')} AS BIGINT) AS est_union
+      FROM s),
+u AS (SELECT DISTINCT event_type, user_id FROM events),
+ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_overlap
+       FROM u a JOIN u b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT e.type_a, e.type_b, e.est_a, e.est_b, e.est_union,
+       greatest(CAST(0 AS BIGINT),
+                e.est_a + e.est_b - e.est_union) AS est_overlap,
+       CAST(coalesce(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM e LEFT JOIN ex USING (type_a, type_b) ORDER BY type_a, type_b
 """
     return _window_reorder(o)

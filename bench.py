@@ -315,6 +315,18 @@ def main() -> None:
         "kg_ntriples": lambda: kgdocs.ntriples_export(docs(spark, sf_dir)),
         "events_grouping_sets": lambda: relational.events_grouping_sets(
             spark, sf_dir),
+        # r5 session-9 additions
+        "dataset_alpha_sample": lambda: __import__(
+            "propertygraph_spark.ops.dataset",
+            fromlist=["alpha_sample"]).alpha_sample(docs(spark, sf_dir)),
+        "text_bpe_train": lambda: text.bpe_train(docs(spark, sf_dir)),
+        "kg_link_prediction": lambda: kgdocs.api_link_prediction(
+            docs(spark, sf_dir)),
+        "events_audience_overlap": lambda: relational.audience_overlap_hll(
+            spark, sf_dir),
+        "emb_pca_power": lambda: similarity.pca_power(emb(spark, sf_dir)),
+        "kg_control_dep_fow": lambda: kgdocs.control_dep_fow_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

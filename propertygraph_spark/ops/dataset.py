@@ -464,3 +464,56 @@ def curriculum_order(docs: DataFrame, n_bins: int = 8) -> DataFrame:
                                               .cast("string"))))
             .select("doc_id", F.col("quality_score").cast("long"),
                     "bin", "sort_key"))
+
+
+def alpha_sample(docs: DataFrame, alpha_budget: int = 300,
+                 stratum: str = "lang") -> DataFrame:
+    """Temperature-scaled multilingual sampling (Conneau & Lample 2019;
+    XLM-R's alpha-smoothed language distribution, alpha = 0.5): the
+    sampling share of stratum s is sqrt(n_s) / sum_t sqrt(n_t), so
+    low-resource strata are upsampled RELATIVE to proportional
+    sampling while the head stratum still dominates absolutely. The
+    per-doc keep probability that realizes an expected ``alpha_budget``
+    docs is
+
+        keep_ppm_s = min(1e6, alpha_budget * isqrt(n_s) * 1e6
+                              div (sum_t isqrt(n_t) * n_s))
+
+    and a doc keeps iff md5(doc_id)'s first-12-hex value mod 1e6 <
+    keep_ppm_s — a pure function of doc_id, so the sample is stable
+    across runs, engines and cluster sizes. isqrt is exact-integer
+    (floor(sqrt(double)) + a +-1 correction CASE, valid far beyond any
+    stratum count), so the whole rate computation is BIGINT on both
+    engines.
+
+    Returns the BOUNDED per-stratum allocation: (stratum, n_docs,
+    isqrt_docs, keep_ppm, n_sampled).
+
+    Scale shape: one map-side-combined count per stratum (bounded
+    table), the rate arithmetic on that bounded table, one broadcast
+    join back, one map-only coin + one bounded-key count — the corpus
+    is scanned twice (count + coin), shuffled never."""
+    per = docs.groupBy(F.col(stratum).alias("stratum")) \
+              .agg(F.count("*").alias("n_docs"))
+    s0 = F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)")
+    isq = (F.when((s0 + 1) * (s0 + 1) <= F.col("n_docs"), s0 + 1)
+           .when(s0 * s0 > F.col("n_docs"), s0 - 1).otherwise(s0))
+    per = per.withColumn("isqrt_docs", isq.cast("long"))
+    tot = per.agg(F.sum("isqrt_docs").alias("t")).collect()[0]["t"]
+    keep = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.expr(f"{alpha_budget} * isqrt_docs * 1000000"
+               f" div ({int(tot)} * n_docs)"))
+    per = per.withColumn("keep_ppm", keep.cast("long"))
+    coin = F.pmod(F.conv(F.substring(F.md5(F.col("doc_id")
+                                           .cast("string")), 1, 12),
+                         16, 10).cast("long"), F.lit(1_000_000))
+    kept = (docs.select("doc_id", F.col(stratum).alias("stratum"))
+            .join(F.broadcast(per), "stratum")
+            .filter(coin < F.col("keep_ppm"))
+            .groupBy("stratum").agg(F.count("*").alias("n_sampled")))
+    return (per.join(kept, "stratum", "left")
+            .select("stratum", "n_docs", "isqrt_docs", "keep_ppm",
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                    .alias("n_sampled"))
+            .orderBy("stratum"))

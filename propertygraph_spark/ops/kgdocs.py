@@ -2765,3 +2765,243 @@ FROM (
   FROM base WHERE doc_id % 4 = 0
 )
 """
+
+
+def api_link_prediction(documents: DataFrame,
+                        hub_cap: int = 10_000) -> DataFrame:
+    """Link-prediction heuristics over the corpus call graph — the
+    scoring side of the KG-completion loop whose training side is
+    negative_samples: for every unordered pair of CALLEE APIs that
+    share at least one caller class ('APIs co-used by the same
+    client'), the common-caller count and an Adamic-Adar score
+    (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2007) over the
+    shared callers, with 1/log2(deg) realized as the exact-integer
+    1_000_000 div (length(bin(deg)) - 1) — a SHARED caller always has
+    out-degree >= 2, so the divisor is >= 1 and the whole score is
+    BIGINT on both engines. This is the item-item projection of the
+    bipartite caller x callee graph (the recommender-style direction:
+    a caller that fans out to everything carries little signal and is
+    down-weighted by 1/log2 of its fan-out). Returns
+    (api_a, api_b, n_common, aa_ppm).
+
+    Scale shape: runs entirely on the BOUNDED distinct-edge rollup
+    (caller x callee), one groupBy(caller) collect_set bounded by the
+    caller's distinct-callee count, pairs generated IN-ROW from the
+    sorted set (the api_cooccurrence shape — no self-join), and the
+    final agg groups on the bounded callee-pair key space. Hub callers
+    with more than ``hub_cap`` distinct callees are EXCLUDED before
+    pair generation (the standard hub cut — a god-class caller would
+    otherwise explode quadratically and carries ~zero Adamic-Adar
+    weight anyway)."""
+    edges = call_graph(documents).select("caller", "callee").distinct()
+    per_caller = (edges.groupBy("caller")
+                  .agg(F.sort_array(F.collect_set("callee"))
+                       .alias("callees"))
+                  .withColumn("deg", F.size("callees").cast("long"))
+                  .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap)))
+    weight = F.expr("1000000 div (length(bin(deg)) - 1)")
+    pairs = per_caller.select(
+        weight.alias("w"),
+        F.explode(F.expr(
+            "flatten(transform(callees, (x, i) -> "
+            "transform(slice(callees, i + 2, size(callees)), "
+            "y -> struct(x AS a, y AS b))))")).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("api_a"),
+                          F.col("p.b").alias("api_b"))
+            .agg(F.count("*").alias("n_common"),
+                 F.sum("w").cast("long").alias("aa_ppm"))
+            .orderBy("api_a", "api_b"))
+
+
+def api_link_prediction_oracle_sql() -> str:
+    """DuckDB twin of api_link_prediction: host-replayed linking argmax
+    -> each template's distinct linked callee set as constants; the
+    distinct caller-callee edge set, caller out-degrees, in-SQL callee
+    pair enumeration and the identical integer Adamic-Adar weight all
+    derive from those constants joined against the doc_id%4 template
+    counts (a template's caller class exists iff the corpus holds at
+    least one doc of it)."""
+    from propertygraph_spark.pipeline.linking import symbol_rows
+    rows = symbol_rows()
+    tpl_callees: dict = {}
+    for tpl, occs in TEMPLATE_LINK_OCCURRENCES.items():
+        for mention, kind, candidate in occs:
+            if kind != "call_site":
+                continue
+            best = _host_best_link(mention, candidate, rows)
+            if best is not None:
+                tpl_callees.setdefault(tpl, set()).add(best[0])
+    values = ", ".join(f"({tpl}, '{fqn}')"
+                       for tpl, fqns in sorted(tpl_callees.items())
+                       for fqn in sorted(fqns))
+    if not values:
+        raise RuntimeError("frozen call-site multiset yields no edges")
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, callee) AS (VALUES {values}),
+e AS (SELECT DISTINCT 'D' || CAST(c.tpl AS VARCHAR) AS caller, c.callee
+      FROM consts c JOIN tplcount t USING (tpl) WHERE t.n > 0),
+deg AS (SELECT caller, count(*) AS d FROM e GROUP BY 1),
+shared AS (
+  SELECT a.callee AS api_a, b.callee AS api_b,
+         1000000 // (length(bin(d.d)) - 1) AS w
+  FROM e a JOIN e b ON a.caller = b.caller AND a.callee < b.callee
+  JOIN deg d ON d.caller = a.caller
+  WHERE d.d >= 2 AND d.d <= 10000)
+SELECT api_a, api_b, CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(w) AS BIGINT) AS aa_ppm
+FROM shared GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _fow_stats(triples: list) -> tuple:
+    """Host replay of Ferrante-Ottenstein-Warren control dependence
+    over each method's CFG: (n_cdep_edges, n_self_deps) across the
+    doc's methods. Independent definition — postdominator SETS by
+    cut-reachability (y postdominates v iff v, which can reach the
+    virtual EXIT, cannot reach it once y is removed), then
+    cdep(X -> Z) = postdom(Z) minus STRICT postdom(X) — not the
+    ipostdom-tree + closure composition the distributed op runs.
+    Nodes that cannot reach EXIT degrade to postdom = {v} (mirroring
+    the operator, whose reversed-graph dominator pass only sees nodes
+    reachable from EXIT)."""
+    EXIT = -1
+    n_cdep, n_self = 0, 0
+    for edges in _cfg_edges_by_method(triples).values():
+        adj: dict = {}
+        nodes: set = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            nodes.add(a)
+            nodes.add(b)
+        terminals = {n for n in nodes if not adj.get(n)}
+        for t in terminals:
+            adj.setdefault(t, set()).add(EXIT)
+
+        def reaches_exit(v, cut=None):
+            if v == cut:
+                return False
+            seen, stack = {v}, [v]
+            while stack:
+                u = stack.pop()
+                for w in adj.get(u, ()):
+                    if w == EXIT:
+                        return True
+                    if w != cut and w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            return False
+
+        postdom = {}
+        for v in nodes:
+            if reaches_exit(v):
+                postdom[v] = {v} | {y for y in nodes
+                                    if y != v and not reaches_exit(v, y)}
+            else:
+                postdom[v] = {v}
+        for x, z in edges:
+            strict_x = postdom[x] - {x}
+            for y in postdom[z] - strict_x:
+                if y == EXIT:
+                    continue
+                n_cdep += 1
+                if y == x:
+                    n_self += 1
+    return n_cdep, n_self
+
+
+TEMPLATE_CFG_FOW: dict[int, tuple] = {}
+
+
+def _freeze_fow_constants() -> None:
+    from propertygraph_spark.kernel.extract import extract_document
+    for tpl, template in enumerate(JAVA_TEMPLATES):
+        _, triples, _, err = extract_document(f"tpl{tpl}", template % 7)
+        assert err is None, f"template {tpl} failed: {err}"
+        TEMPLATE_CFG_FOW[tpl] = _fow_stats(triples)
+
+
+_freeze_fow_constants()
+
+
+def control_dep_fow_by_template(documents: DataFrame) -> DataFrame:
+    """Ferrante-Ottenstein-Warren control dependence (FOW 1987) over
+    every method CFG — the textbook ALTERNATIVE to the reference's
+    structural pdg_control rule (PDG.java derives control edges from
+    the AST nesting; FOW derives them from postdominators), exposed so
+    a KG consumer can compare both definitions on the same graph. For
+    each CFG edge X -> Z, every Y in Z's reflexive postdominator chain
+    that does not STRICTLY postdominate X is control-dependent on X
+    (loop headers self-depend, the classic signature). Rolled up per
+    template to (n_cdep_edges, n_self_deps).
+
+    Spark-first composition — three existing scoped kernels, no new
+    iteration: (1) postdominators = dominator_tree on the REVERSED
+    CFG augmented with a virtual EXIT (-1, the minimum id, so the
+    kernel's min-rooting lands on it for free); (2) strict postdom
+    chains = transitive_closure over the ipostdom tree edges;
+    (3) the FOW rule itself = one join (Z's reflexive chain) + one
+    anti-join (X's strict chain). Each kernel is ONE scope-hash
+    exchange; the joins hash on (method, node) — all bounded by
+    method-graph size, the cost-routing premise."""
+    from propertygraph_spark.ops.graph import dominator_tree, \
+        transitive_closure
+    from propertygraph_spark.pipeline.extract import extract_docs, \
+        split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select("method_id", F.col("src").alias("node"))
+             .union(edges.select("method_id", F.col("dst").alias("node")))
+             .distinct())
+    outs = edges.select("method_id", F.col("src").alias("node")).distinct()
+    terminals = nodes.join(outs, ["method_id", "node"], "left_anti")
+    aug = edges.union(terminals.select(
+        "method_id", F.col("node").alias("src"),
+        F.lit(-1).cast("long").alias("dst")))
+    rev = aug.select("method_id", F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))
+    ipost = dominator_tree(rev, scope="method_id")
+    strict = transitive_closure(
+        ipost.select("method_id", F.col("node").alias("src"),
+                     F.col("idom").alias("dst")),
+        scope="method_id")
+    refl = strict.union(nodes.select("method_id",
+                                     F.col("node").alias("a"),
+                                     F.col("node").alias("b")))
+    cdep = (edges
+            .join(refl.select("method_id", F.col("a").alias("dst"),
+                              F.col("b").alias("y")),
+                  ["method_id", "dst"])
+            .join(strict.select("method_id", F.col("a").alias("src"),
+                                F.col("b").alias("y")),
+                  ["method_id", "src", "y"], "left_anti")
+            .filter(F.col("y") != -1))
+    return (cdep
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.count("*").cast("long").alias("n_cdep_edges"),
+                 F.sum((F.col("y") == F.col("src")).cast("long"))
+                 .cast("long").alias("n_self_deps"))
+            .orderBy("tpl"))
+
+
+def control_dep_fow_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {n}, {s})"
+        for tpl, (n, s) in TEMPLATE_CFG_FOW.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, ne, ns) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.ne AS BIGINT) AS n_cdep_edges,
+       CAST(t.n * c.ns AS BIGINT) AS n_self_deps
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.ne > 0
+ORDER BY c.tpl
+"""

@@ -1363,3 +1363,69 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_gs_in
         GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
     """)
+
+
+def audience_overlap_hll(spark: SparkSession, sf_dir: str,
+                         m: int = 64) -> DataFrame:
+    """Audience-overlap matrix via HLL set algebra — the sketch query
+    behind 'how many users who did A also did B' dashboards: for every
+    unordered pair of event types, |A|, |B| and |A u B| are estimated
+    from the SAME per-type register tables (union = register-wise max,
+    the HLL property that makes the sketch mergeable), and the
+    intersection comes out by inclusion-exclusion, clamped at 0
+    (the classic estimator can go negative on small overlaps).
+
+    Exactness contract: identical register machinery to event_user_hll
+    (md5 48-bit split, integer rank ladder, alpha_64 = 709/1000 in
+    BIGINT div), so the DuckDB twin is bit-identical; absent registers
+    participate as rank 0 through a DENSE types x m register frame.
+    The exact intersection rides along as the quality reference.
+
+    Scale shape: registers are ONE map-side-combined agg to
+    (type, reg) — m rows per type; everything after runs on bounded
+    tables (types x m, then pairs x m). The exact-intersection
+    reference is the only corpus-sized join, and it is a distinct
+    (type, user) self-equi-join on user — the full shuffle the sketch
+    exists to avoid (kept because the driver gate wants a truth
+    column; drop it for the pure sketch at 10^12 rows)."""
+    ev = _t(spark, sf_dir, "events")
+    per_reg = hll_registers(ev, m=m)
+    types = ev.select("event_type").distinct()
+    regs = types.crossJoin(
+        spark.range(m).select(F.col("id").cast("long").alias("reg")))
+    dense = (regs.join(per_reg, ["event_type", "reg"], "left")
+             .select("event_type", "reg",
+                     F.coalesce("mx", F.lit(0)).cast("long").alias("mx")))
+    a = dense.select(F.col("event_type").alias("type_a"),
+                     "reg", F.col("mx").alias("mx_a"))
+    b = dense.select(F.col("event_type").alias("type_b"),
+                     "reg", F.col("mx").alias("mx_b"))
+    pair_regs = a.join(b, "reg").filter(F.col("type_a") < F.col("type_b"))
+    est = lambda s: F.expr(  # noqa: E731  (shared formula, see above)
+        f"(({m * m * (1 << 43)} div {s}) * 709) div 1000")
+    term = lambda c: F.expr(  # noqa: E731
+        f"shiftleft(1L, cast(43 - {c} as int))")
+    sums = (pair_regs.groupBy("type_a", "type_b")
+            .agg(F.sum(term("mx_a")).alias("s_a"),
+                 F.sum(term("mx_b")).alias("s_b"),
+                 F.sum(term("greatest(mx_a, mx_b)")).alias("s_u")))
+    est_a, est_b, est_u = est("s_a"), est("s_b"), est("s_u")
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(F.col("event_type").alias("type_a"),
+                      "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (ua.join(ub, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.countDistinct("user_id").alias("exact_overlap")))
+    return (sums.join(exact, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b",
+                    est_a.cast("long").alias("est_a"),
+                    est_b.cast("long").alias("est_b"),
+                    est_u.cast("long").alias("est_union"),
+                    F.greatest(F.lit(0).cast("long"),
+                               (est_a + est_b - est_u).cast("long"))
+                    .alias("est_overlap"),
+                    F.coalesce("exact_overlap", F.lit(0)).cast("long")
+                    .alias("exact_overlap"))
+            .orderBy("type_a", "type_b"))

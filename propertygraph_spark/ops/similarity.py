@@ -1102,3 +1102,45 @@ def gram_int8(emb: DataFrame) -> DataFrame:
     partials = emb.select("embedding").mapInPandas(batches, schema)
     return (partials.groupBy("i", "j")
             .agg(F.sum("dot_sum").alias("dot_sum")))
+
+
+def pca_power(emb: DataFrame, iters: int = 8) -> DataFrame:
+    """Top principal direction of the int8-quantized embedding corpus by
+    INTEGER power iteration over the Gram matrix — the step that turns
+    ``gram_int8``'s sufficient statistic into an actual component
+    without ever loading the corpus on the driver. Starting from the
+    all-1000 vector, each round computes u = G v (one bounded join +
+    bounded agg over the D x D Gram rows) and renormalizes to milli
+    scale by the max-abs entry: v' = (u * 1000) div max|u|. Every
+    operation is BIGINT; integer division truncates toward zero in
+    BOTH engines (Spark ``div``, DuckDB ``//`` — the kmeans_cells
+    contract), so the DuckDB twin (an unrolled per-round CTE chain) is
+    bit-identical. Returns (dim, v_milli) — the milli-scaled direction
+    (sign follows the deterministic all-ones start; eigenvectors are
+    sign-ambiguous by nature).
+
+    Scale shape: the corpus is touched exactly ONCE (gram_int8's
+    map-only partial Grams + one (i,j)-keyed sum); all ``iters``
+    rounds run on the BOUNDED D x D table — D^2 join rows per round,
+    corpus-size independent. Overflow bound: |u| <= D * n * 127^2 *
+    1000, BIGINT-safe to n ~ 10^9 vectors at D = 64; past that,
+    pre-scale the Gram by one integer div (same truncation contract)
+    before iterating."""
+    g = gram_int8(emb)
+    sym = g.union(
+        g.filter(F.col("i") != F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "dot_sum")
+    ).localCheckpoint(eager=True)
+    v = (sym.select("i").distinct()
+         .withColumn("v", F.lit(1000).cast("long")))
+    for _ in range(iters):
+        u = (sym.join(v.select(F.col("i").alias("j"), "v"), "j")
+             .groupBy("i")
+             .agg(F.sum(F.col("dot_sum") * F.col("v")).alias("u")))
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m")).collect()[0]["m"]
+        if not m:
+            break
+        v = u.select("i", F.expr(f"(u * 1000) div {int(m)}").alias("v"))
+    return (v.select(F.col("i").cast("long").alias("dim"),
+                     F.col("v").cast("long").alias("v_milli"))
+            .orderBy("dim"))

@@ -1051,3 +1051,72 @@ def bm25_topk(docs: DataFrame, terms: list[str], top_k: int = 15,
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")) \
               .select("rank", "doc_id", "score", "dl")
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    full merge loop, not just the first-merge scoring of
+    bpe_pair_counts: starting from per-character symbol sequences over
+    the corpus word-frequency table, each round counts adjacent symbol
+    pairs weighted by word frequency, picks the argmax pair
+    (count DESC, then (left, right) lexicographic — a total,
+    engine-portable tie-break), and merges it greedily left-to-right
+    in every word. Returns the merge table
+    (round_no, left_sym, right_sym, merged, pair_count).
+
+    Exactness contract: the symbol sequence is carried as a DELIMITED
+    STRING — chr(31) + join(symbols, chr(31)*2) + chr(31) — and a merge
+    is one non-overlapping left-to-right replace() of
+    SEP+l+SEP+SEP+r+SEP with SEP+lr+SEP: replace()'s leftmost-first
+    scan IS greedy BPE merge order, and both engines' replace() share
+    it, so the DuckDB twin (an unrolled per-round CTE chain) is
+    bit-identical with no list-fold machinery on either side. Words
+    containing chr(31) are excluded up front (they would corrupt the
+    framing; none exist under the tokenizer's charset).
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    groupBy — vocabulary-sized output, orders of magnitude smaller
+    than the corpus); every round runs on the vocab table only: one
+    map-side pair explode + one bounded agg + a 1-row
+    TakeOrderedAndProject argmax (the engine's scalar-threshold
+    pattern), then a map-only replace. The evolving vocab state is
+    localCheckpoint()ed per round so round R's lineage does not replay
+    rounds 1..R-1."""
+    SEP = chr(31)
+    spark = docs.sparkSession
+    toks = tokens_col()
+    words = (docs.select(F.explode(toks).alias("word"))
+             .filter(~F.col("word").contains(SEP))
+             .groupBy("word").agg(F.count("*").alias("freq")))
+    chars = F.split(F.col("word"), "")
+    state = words.select(
+        "word", "freq",
+        F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP),
+                 F.lit(SEP)).alias("s")).localCheckpoint()
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"),
+                       SEP + SEP)
+        d = state.select("freq", syms.alias("syms")) \
+                 .filter(F.size("syms") >= 2)
+        pairs = d.select("freq", F.explode(F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(syms[i-1] AS lsym, syms[i] AS rsym))"))
+            .alias("p"))
+        best = (pairs.groupBy(F.col("p.lsym").alias("lsym"),
+                              F.col("p.rsym").alias("rsym"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "lsym", "rsym")
+                .limit(1).collect())
+        if not best:
+            break
+        lsym, rsym, cnt = best[0]["lsym"], best[0]["rsym"], best[0]["cnt"]
+        state = state.withColumn(
+            "s", F.replace(F.col("s"),
+                           F.lit(SEP + lsym + SEP + SEP + rsym + SEP),
+                           F.lit(SEP + lsym + rsym + SEP))) \
+            .localCheckpoint()
+        merges.append((rnd, lsym, rsym, lsym + rsym, int(cnt)))
+    return spark.createDataFrame(
+        merges, "round_no BIGINT, left_sym STRING, right_sym STRING, "
+                "merged STRING, pair_count BIGINT")

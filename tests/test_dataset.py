@@ -353,3 +353,65 @@ def test_leakage_safe_split_clusters_move_atomically(spark):
     again = [(r["doc_id"], r["cluster_id"], r["split"])
              for r in leakage_safe_split(docs, train_pm=700).collect()]
     assert sorted(again) == sorted(got)
+
+
+# ------------------------------------------------------- alpha sampling
+
+def test_alpha_sample_upsamples_low_resource_strata(spark):
+    from propertygraph_spark.ops.dataset import alpha_sample
+    rows = ([(i, "x", "en") for i in range(900)]
+            + [(1000 + i, "x", "fr") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    out = {r["stratum"]: r for r in
+           alpha_sample(docs, alpha_budget=300).collect()}
+    assert set(out) == {"en", "fr"}
+    en, fr = out["en"], out["fr"]
+    # exact isqrt: 900 -> 30, 100 -> 10
+    assert en["isqrt_docs"] == 30 and fr["isqrt_docs"] == 10
+    # expected keep rates: 300 * r_s * 1e6 // (40 * n_s)
+    assert en["keep_ppm"] == 300 * 30 * 1_000_000 // (40 * 900)
+    assert fr["keep_ppm"] == 300 * 10 * 1_000_000 // (40 * 100)
+    # temperature 0.5 upsamples the tail stratum RELATIVE to
+    # proportional sampling: fr keep rate = 3x en keep rate
+    assert fr["keep_ppm"] == 3 * en["keep_ppm"]
+    # expected-count sanity: realized samples within a loose band of
+    # n_s * keep_ppm (the md5 coin is uniform)
+    for r in (en, fr):
+        expect = r["n_docs"] * r["keep_ppm"] / 1_000_000
+        assert 0.5 * expect <= r["n_sampled"] <= 1.6 * expect
+
+
+def test_alpha_sample_caps_rate_and_is_deterministic(spark):
+    from propertygraph_spark.ops.dataset import alpha_sample
+    rows = [(i, "x", "en" if i % 10 else "fr") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    # budget >= corpus: every stratum saturates at 1e6 ppm and the
+    # sample is the whole corpus
+    out = {r["stratum"]: r for r in
+           alpha_sample(docs, alpha_budget=5000).collect()}
+    for r in out.values():
+        assert r["keep_ppm"] == 1_000_000
+        assert r["n_sampled"] == r["n_docs"]
+    # stable under repartition (pure function of doc_id)
+    a = sorted(map(tuple, alpha_sample(docs.repartition(7)).collect()))
+    b = sorted(map(tuple, alpha_sample(docs.repartition(2)).collect()))
+    assert a == b
+
+
+def test_alpha_sample_isqrt_edges(spark):
+    from propertygraph_spark.ops.dataset import alpha_sample
+    # stratum sizes sitting exactly on/next to perfect squares exercise
+    # the +-1 isqrt correction: 1, 2, 3, 4 docs
+    rows = []
+    did = 0
+    for lang, n in (("a", 1), ("b", 2), ("c", 3), ("d", 4)):
+        for _ in range(n):
+            rows.append((did, "x", lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    out = {r["stratum"]: r["isqrt_docs"]
+           for r in alpha_sample(docs, alpha_budget=1).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1, "d": 2}

@@ -2314,3 +2314,180 @@ def test_gram_int8_exact_hand_vectors(spark):
     assert got == want
     got2 = {tuple(r) for r in gram_int8(emb.repartition(4)).collect()}
     assert got2 == want
+
+
+# ------------------------------------------------------------ BPE training
+
+def test_bpe_train_hand_merges(spark):
+    """Sennrich merge loop on a hand corpus: 'ab'x3 + 'abc'x2 ->
+    round 1 merges (a,b) with count 5, round 2 merges (ab,c) with
+    count 2, then no pairs remain and the loop stops early."""
+    from propertygraph_spark.ops.text import bpe_train
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab abc")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    assert got == [(1, "a", "b", "ab", 5), (2, "ab", "c", "abc", 2)]
+
+
+def test_bpe_train_greedy_overlap_and_tiebreak(spark):
+    """'aaaa': the (a,a) pair counts 3 (adjacent index pairs) but the
+    greedy leftmost merge yields exactly two 'aa' symbols — replace()'s
+    non-overlapping scan IS the BPE merge rule; round 2 then merges
+    (aa,aa). Tie-breaks are lexicographic on (left, right)."""
+    from propertygraph_spark.ops.text import bpe_train
+    docs = spark.createDataFrame([(1, "aaaa")],
+                                 "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+    ties = spark.createDataFrame([(1, "ba bc")],
+                                 "doc_id long, text string")
+    first = bpe_train(ties, n_merges=1).collect()[0]
+    assert (first["left_sym"], first["right_sym"]) == ("b", "a")
+
+
+def test_bpe_train_stable_under_repartition(spark):
+    from propertygraph_spark.ops.text import bpe_train
+    docs = spark.createDataFrame(
+        [(i, "lo low lower lowest " * (1 + i % 3)) for i in range(24)],
+        "doc_id long, text string")
+    a = [tuple(r) for r in bpe_train(docs.repartition(7),
+                                     n_merges=4).collect()]
+    b = [tuple(r) for r in bpe_train(docs.repartition(2),
+                                     n_merges=4).collect()]
+    assert a == b and len(a) == 4
+    # every merge's pair count is positive and non-increasing merges
+    # need not hold in general, but counts are positive integers
+    assert all(row[4] >= 1 for row in a)
+
+
+# ------------------------------------------------- API link prediction
+
+def test_api_link_prediction_frozen_corpus(spark):
+    """On the 4-template corpus the callee sets per caller class are
+    frozen; every shared-caller callee pair scores n_common=1 and
+    aa_ppm = 1e6 div floor(log2(out_degree)) of its single shared
+    caller (deg 2 -> 1e6, deg 3 -> 1e6: floor(log2(3)) = 1)."""
+    from propertygraph_spark.ops.kgdocs import api_link_prediction
+    docs = spark.createDataFrame([(i, "") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {(r["api_a"], r["api_b"]): (r["n_common"], r["aa_ppm"])
+           for r in api_link_prediction(docs).collect()}
+    want_pairs = {
+        ("org.acme.util.Text.length", "org.acme.util.Text.put"),
+        ("java.lang.String.length", "java.lang.String.parseInt"),
+        ("java.lang.String.length", "java.lang.String.put"),
+        ("java.lang.String.parseInt", "java.lang.String.put"),
+        ("java.lang.String.getValue", "org.acme.util.Text.getValue"),
+    }
+    assert set(got) == want_pairs
+    assert all(v == (1, 1_000_000) for v in got.values())
+
+
+# ------------------------------------------------- HLL audience overlap
+
+def test_audience_overlap_hll_register_algebra(spark, tmp_path):
+    """Identical user sets -> identical registers -> est_a == est_b ==
+    est_union and exact overlap = set size; the union estimate can
+    never fall below either side (register-wise max)."""
+    import datetime as dt
+    from propertygraph_spark.ops.relational import audience_overlap_hll
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(200):
+        for t in ("A", "B"):          # identical audiences
+            rows.append((eid, base, u, t, 1.0, "{}")); eid += 1
+    for u in range(500, 800):         # C: disjoint audience
+        rows.append((eid, base, u, "C", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           audience_overlap_hll(spark, str(tmp_path)).collect()}
+    ab = out[("A", "B")]
+    assert ab["exact_overlap"] == 200
+    assert ab["est_a"] == ab["est_b"] == ab["est_union"]
+    assert ab["est_overlap"] == ab["est_a"]
+    for k, r in out.items():
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]), k
+    ac = out[("A", "C")]
+    assert ac["exact_overlap"] == 0
+    # disjoint 200 + 300 users: union estimate must clearly exceed
+    # either side (no accuracy claim at m=64, just separation)
+    assert ac["est_union"] > ac["est_a"] and ac["est_union"] > ac["est_b"]
+
+
+# -------------------------------------------------- PCA power iteration
+
+def test_pca_power_matches_host_replay(spark):
+    """Integer power iteration on a hand Gram: 3x [1,0] + 1x [1,1]
+    quantize to codes [127,0]/[127,127]; the milli-vector after each
+    round must equal a direct Python replay of u = G v,
+    v = (u*1000) div max|u| (trunc-toward-zero division)."""
+    from propertygraph_spark.ops.similarity import pca_power
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+         (4, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    G = [[4 * 127 * 127, 127 * 127], [127 * 127, 127 * 127]]
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [1000, 1000]
+    for _ in range(8):
+        u = [G[0][0] * v[0] + G[0][1] * v[1],
+             G[1][0] * v[0] + G[1][1] * v[1]]
+        m = max(abs(x) for x in u)
+        v = [trunc_div(x * 1000, m) for x in u]
+    got = [r["v_milli"] for r in pca_power(emb, iters=8).collect()]
+    assert got == v
+    # dominant direction: dim 0 carries the mass (3 of 4 vectors are
+    # pure e0), so it is the max-normalized 1000 entry
+    assert got[0] == 1000 and 0 < got[1] < 1000
+    # stable under repartition (integer sums are order-insensitive)
+    got2 = [r["v_milli"]
+            for r in pca_power(emb.repartition(3), iters=8).collect()]
+    assert got2 == got
+
+
+# --------------------------------------- FOW control dependence (hand)
+
+def test_fow_stats_hand_graphs():
+    """Host-replay FOW on textbook shapes: a diamond if yields one
+    cdep per branch arm and no self-deps; a while loop yields body +
+    header dependence with the header SELF-dependent (the classic FOW
+    loop signature); straight-line code yields none."""
+    from propertygraph_spark.ops.kgdocs import _fow_stats
+
+    def t(m, a, b):
+        return {"pred": "cfg_next", "method_id": m, "subj": a, "obj": b}
+
+    diamond = [t("m", 0, 1), t("m", 0, 2), t("m", 1, 3), t("m", 2, 3)]
+    assert _fow_stats(diamond) == (2, 0)
+    while_loop = [t("m", 1, 2), t("m", 2, 1), t("m", 1, 3)]
+    assert _fow_stats(while_loop) == (2, 1)
+    straight = [t("m", 0, 1), t("m", 1, 2)]
+    assert _fow_stats(straight) == (0, 0)
+
+
+def test_control_dep_fow_distributed_matches_frozen(spark):
+    """The three-kernel composition (reversed-CFG dominators ->
+    ipostdom closure -> join/anti-join) over the 8-doc corpus must
+    reproduce the host-frozen per-template constants exactly, scaled
+    by the two docs per template; templates with zero cdep edges
+    (straight-line try/catch) emit no row."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_CFG_FOW,
+                                                control_dep_fow_by_template)
+    docs = spark.createDataFrame([(i, "") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_cdep_edges"], r["n_self_deps"])
+           for r in control_dep_fow_by_template(docs).collect()}
+    want = {tpl: (2 * n, 2 * s)
+            for tpl, (n, s) in TEMPLATE_CFG_FOW.items() if n > 0}
+    assert got == want
+    # the while template carries the loop self-dependence signature
+    assert any(s > 0 for _, s in got.values())

@@ -742,3 +742,46 @@ def test_grouping_sets_single_expand_one_exchange(spark):
     assert "Expand" in p, p
     assert p.count("HashAggregate") >= 2 and "partial_count" in p, p
     assert p.count("Exchange") <= 2, p  # formatted lists tree + details
+
+
+def test_r5s9_new_op_plan_shapes(spark, docs):
+    """Plan pins for the session-9 ops: alpha_sample's rate table joins
+    back by BROADCAST (the corpus never shuffles for a join — its only
+    exchanges are the two bounded stratum aggregations); the BPE
+    trainer's per-round argmax is a 1-row TakeOrderedAndProject over
+    the vocab table, and the evolving state is a localCheckpoint scan
+    (no corpus lineage replay inside the loop); audience overlap's
+    corpus-side work is the register aggregation with map-side
+    partials."""
+    from propertygraph_spark.ops.dataset import alpha_sample
+    from propertygraph_spark.ops.relational import audience_overlap_hll
+
+    p = plan(alpha_sample(docs))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+    p = plan(audience_overlap_hll(spark, SF))
+    assert "partial_max" in p, p  # register agg combines map-side
+
+    # BPE: the returned merge table is a driver-local bounded result;
+    # pin the LOOP plan instead — pair argmax compiles to a 1-row
+    # TakeOrderedAndProject over a localCheckpoint scan, so round R
+    # never replays rounds 1..R-1 (nor the corpus groupBy)
+    from propertygraph_spark.ops.text import bpe_train, tokens_col
+    state = (docs.select(F.explode(tokens_col()).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("freq"))
+             .withColumn("s", F.col("word")).localCheckpoint())
+    syms = F.split(F.col("s"), "")
+    d = state.select("freq", syms.alias("syms")).filter(F.size("syms") >= 2)
+    pairs = d.select("freq", F.explode(F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(syms[i-1] AS lsym, syms[i] AS rsym))")).alias("p"))
+    argmax = (pairs.groupBy(F.col("p.lsym").alias("lsym"),
+                            F.col("p.rsym").alias("rsym"))
+              .agg(F.sum("freq").alias("cnt"))
+              .orderBy(F.desc("cnt"), "lsym", "rsym").limit(1))
+    p = plan(argmax)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p
+    # sanity: the real trainer produces its 6 merges on this corpus
+    assert bpe_train(docs, n_merges=2).count() == 2
