@@ -327,6 +327,8 @@ def main() -> None:
         "emb_pca_power": lambda: similarity.pca_power(emb(spark, sf_dir)),
         "kg_control_dep_fow": lambda: kgdocs.control_dep_fow_by_template(
             docs(spark, sf_dir)),
+        "kg_dead_stores": lambda: kgdocs.dead_stores_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

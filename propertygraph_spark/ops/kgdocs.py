@@ -3005,3 +3005,92 @@ FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.ne > 0
 ORDER BY c.tpl
 """
+
+
+def _deadstore_stats(nodes: list, triples: list) -> tuple:
+    """Host replay of dead-store detection: PDG definition-flavor nodes
+    (VariableDeclaration, PARAMETER) with NO outgoing pdg_data edge —
+    a value defined but never consumed, the classic unused-variable
+    lint a PDG answers for free. (n_def_nodes, n_dead) across the
+    doc's methods; keyed by (method_id, node_id) like the distributed
+    join."""
+    data_subj = {(t["method_id"], t["subj"]) for t in triples
+                 if t["pred"] == "pdg_data"}
+    n_defs = n_dead = 0
+    for nd in nodes:
+        if nd["graph"] != "pdg" or nd["category"] not in (
+                "VariableDeclaration", "PARAMETER"):
+            continue
+        n_defs += 1
+        if (nd["method_id"], nd["node_id"]) not in data_subj:
+            n_dead += 1
+    return n_defs, n_dead
+
+
+TEMPLATE_DEAD_STORES: dict[int, tuple] = {}
+
+
+def _freeze_deadstore_constants() -> None:
+    from propertygraph_spark.kernel.extract import extract_document
+    for tpl, template in enumerate(JAVA_TEMPLATES):
+        nodes, triples, _, err = extract_document(f"tpl{tpl}",
+                                                  template % 7)
+        assert err is None, f"template {tpl} failed: {err}"
+        TEMPLATE_DEAD_STORES[tpl] = _deadstore_stats(nodes, triples)
+
+
+_freeze_deadstore_constants()
+
+
+def dead_stores_by_template(documents: DataFrame) -> DataFrame:
+    """Dead-store detection over the distributed KG — definition-flavor
+    PDG nodes (VariableDeclaration, PARAMETER) whose value no
+    pdg_data edge ever consumes, rolled up per template to
+    (n_def_nodes, n_dead_stores). The PDG-native rendering of the
+    unused-variable lint: the reference's data-dependence edges
+    (PDG.java data rules) are exactly the 'value is consumed'
+    relation, so a def node that is subj of none of them is a store
+    nothing reads.
+
+    Scale shape: one node-table filter + one DISTINCT over pdg_data
+    subjects + a (method, node)-keyed LEFT ANTI join — all hashed on
+    the method key, bounded by method size per group; the rollup
+    groups on the bounded template key."""
+    from propertygraph_spark.pipeline.extract import extract_docs, \
+        split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    nodes, triples, _, _ = split_union(union)
+    defs = (nodes.filter((F.col("graph") == "pdg")
+                         & F.col("category").isin("VariableDeclaration",
+                                                  "PARAMETER"))
+            .select("method_id", "node_id"))
+    consumed = (triples.filter(F.col("pred") == "pdg_data")
+                .select("method_id", F.col("subj").alias("node_id"))
+                .distinct())
+    dead = defs.join(consumed, ["method_id", "node_id"], "left_anti") \
+               .select("method_id", F.lit(1).alias("is_dead"))
+    alldefs = defs.select("method_id", F.lit(0).alias("is_dead"))
+    return (alldefs.union(dead)
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg((F.count("*") - F.sum("is_dead")).cast("long")
+                 .alias("n_def_nodes"),
+                 F.sum("is_dead").cast("long").alias("n_dead_stores"))
+            .orderBy("tpl"))
+
+
+def dead_stores_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {d}, {dd})"
+        for tpl, (d, dd) in TEMPLATE_DEAD_STORES.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, nd, ndead) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.nd AS BIGINT) AS n_def_nodes,
+       CAST(t.n * c.ndead AS BIGINT) AS n_dead_stores
+FROM consts c JOIN tplcount t USING (tpl)
+WHERE c.nd > 0
+ORDER BY c.tpl
+"""

@@ -957,3 +957,60 @@ def zorder_rewrite_buckets(spark: SparkSession, path: str, cols: list,
                           for b in sorted(current, key=int))),
             {"zorder_cols": list(cols), "buckets": out})
     return out
+
+
+def read_stage_as_of(spark: SparkSession, path: str,
+                     snapshot_id: str) -> DataFrame:
+    """Time-travel read — the Iceberg ``VERSION AS OF`` twin for
+    APPEND-ONLY stages (the streaming commit sink's ``batch=<id>/``
+    layout, where every committed batch's data files are RETAINED):
+    reconstruct the table exactly as it stood at ``snapshot_id`` by
+    reading every batch dir EXCEPT those committed after it. Exclusion
+    (rather than inclusion) is what makes the read ``expire_snapshots``
+    -safe: batches whose ledger entries collapsed into the tombstone
+    are still on disk and still belong to every retained snapshot, so
+    they are readable without their original entries.
+
+    Overwrite-committed stages reclaim superseded data files
+    immediately (the documented lineage-not-time-travel substitution),
+    so as-of there is only valid for the LATEST snapshot; asking for an
+    earlier one raises with the reclaim explanation rather than
+    silently returning current data. An id that is not in the ledger
+    (expired, or never existed) raises KeyError.
+
+    Scale shape: pure ledger bookkeeping on the driver (the ledger is
+    retention-capped by expire_snapshots) + one parquet read whose
+    path list prunes whole batch dirs — no data is scanned to decide
+    membership."""
+    history = snapshot_history(path)
+    if not history:
+        raise KeyError(f"no snapshot ledger at {path}")
+    by_id = {s["snapshot_id"]: i for i, s in enumerate(history)}
+    if snapshot_id not in by_id:
+        raise KeyError(
+            f"snapshot {snapshot_id!r} not in the ledger at {path} "
+            f"(expired via expire_snapshots, or never committed)")
+    cut = by_id[snapshot_id]
+    target = history[cut]
+    after = history[cut + 1:]
+    if target["operation"] == "expire":
+        raise KeyError(
+            f"snapshot {snapshot_id!r} is the expire tombstone — its "
+            f"constituent commits were expired; read a retained one")
+    if any(s["operation"] not in ("streaming-append", "expire")
+           for s in history):
+        # overwrite-flavor stage: only the latest snapshot has data
+        if after:
+            raise KeyError(
+                f"stage at {path} commits by overwrite (superseded "
+                f"data files are reclaimed); as-of is only valid for "
+                f"the latest snapshot {history[-1]['snapshot_id']!r}")
+        return spark.read.parquet(path)
+    excluded = {s["batch_id"] for s in after}
+    dirs = sorted(
+        os.path.join(path, d) for d in os.listdir(path)
+        if d.startswith("batch=")
+        and int(d.split("=", 1)[1]) not in excluded)
+    if not dirs:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*dirs)

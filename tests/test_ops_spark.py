@@ -2491,3 +2491,20 @@ def test_control_dep_fow_distributed_matches_frozen(spark):
     assert got == want
     # the while template carries the loop self-dependence signature
     assert any(s > 0 for _, s in got.values())
+
+
+def test_dead_stores_distributed_matches_frozen(spark):
+    """Distributed dead-store detection over the 8-doc corpus equals
+    the host-frozen per-template (n_defs, n_dead) constants x 2 docs;
+    the loop template's unconsumed accumulator and the try/catch
+    template's dead local are the nonzero rows."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_DEAD_STORES,
+                                                dead_stores_by_template)
+    docs = spark.createDataFrame([(i, "") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_def_nodes"], r["n_dead_stores"])
+           for r in dead_stores_by_template(docs).collect()}
+    want = {tpl: (2 * d, 2 * dd)
+            for tpl, (d, dd) in TEMPLATE_DEAD_STORES.items() if d > 0}
+    assert got == want
+    assert sum(dd for _, dd in got.values()) > 0  # detector fires

@@ -843,3 +843,73 @@ def test_native_session_window_matches_batch(spark, tmp_path):
     # the stream emits exactly the batch sessions whose end precedes
     # the final watermark (user 9's session stays open)
     assert got == {g for g in batch if g[0] != 9}
+
+
+def test_read_stage_as_of_time_travel(spark, tmp_path):
+    """VERSION AS OF over the append-only sink: as-of snapshot k
+    reconstructs exactly batches 0..k; after expire_snapshots the
+    surviving snapshots stay readable (batch dirs outlive their
+    ledger entries via exclusion semantics), the tombstone itself and
+    unknown ids raise; an overwrite stage raises for non-latest and
+    reads current for latest."""
+    import os
+    import time as _t
+
+    from propertygraph_spark.pipeline.materialize import (
+        expire_snapshots, read_stage_as_of, snapshot_history, write_stage)
+    from propertygraph_spark.streaming.events import (read_events_stream,
+                                                      streaming_commit_sink)
+    import pytest as _pytest
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for lo in (0, 10, 20):
+        spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", i % 3, "view", 1.0, "{}")
+             for i in range(lo, lo + 10)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+    q = streaming_commit_sink(read_events_stream(spark, src,
+                                                 max_files_per_trigger=1),
+                              out, ckpt)
+    q.awaitTermination(60)
+    hist = snapshot_history(out)
+    assert [s["fingerprint"] for s in hist] == \
+        ["batch:0", "batch:1", "batch:2"]
+    # as-of each snapshot = prefix of batches (ids partition the rows
+    # deterministically: each batch is one source file)
+    counts = [read_stage_as_of(spark, out, s["snapshot_id"]).count()
+              for s in hist]
+    assert counts == [10, 20, 30]
+    mid = read_stage_as_of(spark, out, hist[1]["snapshot_id"])
+    assert mid.agg(F.max("event_id")).collect()[0][0] == 19
+
+    # expire down to the last 2: batch:0's entry collapses into the
+    # tombstone, but snapshots 1 and 2 still read their full prefixes
+    assert expire_snapshots(out, keep_last=2)["expired"] == 1
+    hist2 = snapshot_history(out)
+    assert hist2[0]["operation"] == "expire"
+    assert read_stage_as_of(spark, out,
+                            hist2[1]["snapshot_id"]).count() == 20
+    assert read_stage_as_of(spark, out,
+                            hist2[2]["snapshot_id"]).count() == 30
+    with _pytest.raises(KeyError):
+        read_stage_as_of(spark, out, hist2[0]["snapshot_id"])  # tombstone
+    with _pytest.raises(KeyError):
+        read_stage_as_of(spark, out, "nope")
+
+    # overwrite stage: latest ok, earlier raises with the reclaim story
+    ow = str(tmp_path / "ow")
+    df1 = spark.range(5).select(F.col("id").alias("x"))
+    write_stage(df1, ow, "fp1", spark=spark)
+    write_stage(spark.range(9).select(F.col("id").alias("x")),
+                ow, "fp2", spark=spark)
+    h = snapshot_history(ow)
+    assert read_stage_as_of(spark, ow, h[-1]["snapshot_id"]).count() == 9
+    with _pytest.raises(KeyError):
+        read_stage_as_of(spark, ow, h[0]["snapshot_id"])
