@@ -71,6 +71,15 @@ def main(argv=None) -> int:
                          "stages under --out and exit (Iceberg "
                          "rewrite_data_files twin; fingerprints and "
                          "rows unchanged, commit logged)")
+    ap.add_argument("--sql", metavar="QUERY", default=None,
+                    help="run a Spark SQL query over the materialized "
+                         "stage tables under --out (views: extracted, "
+                         "linked, canonical, nodes, edges), print the "
+                         "result and exit — the ad-hoc query surface "
+                         "over a previous run's output")
+    ap.add_argument("--sql-limit", type=int, default=20,
+                    help="max rows --sql prints (full count is always "
+                         "reported)")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--graphs", default="ast,cfg,pdg",
                     help="comma list: ast,cfg,pdg (reference -a/-c/-p)")
@@ -159,6 +168,43 @@ def main(argv=None) -> int:
                       + (f" [{detail}]" if done else ""))
         finally:
             spark.stop()
+        return 0
+    if args.sql:
+        from pyspark.sql import SparkSession
+        from propertygraph_spark.pipeline.session import get_spark
+        # only stop a session WE created (in-process callers — tests,
+        # notebooks — own theirs; get_spark is getOrCreate)
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark("propertygraph_spark_sql", cpus=args.cpus)
+        try:
+            n_views = 0
+            for stage in ("extracted", "linked", "canonical", "nodes",
+                          "edges"):
+                p = os.path.join(args.out, stage)
+                if not os.path.isdir(p):
+                    continue
+                try:
+                    spark.read.parquet(p).createOrReplaceTempView(stage)
+                    n_views += 1
+                except Exception as exc:  # unreadable stage: name it
+                    print(f"sql: skipping view {stage}: {exc}")
+            if not n_views:
+                print(f"sql: no readable stage tables under {args.out}")
+                return 1
+            df = spark.sql(args.sql)
+            rows = df.limit(args.sql_limit + 1).collect()
+            cols = df.columns
+            print("\t".join(cols))
+            for r in rows[:args.sql_limit]:
+                print("\t".join(str(r[c]) for c in cols))
+            if len(rows) > args.sql_limit:
+                print(f"... (+more rows; total="
+                      f"{df.count()}, raise --sql-limit)")
+            else:
+                print(f"({len(rows)} rows)")
+        finally:
+            if not preexisting:
+                spark.stop()
         return 0
     if not (args.input_dir or args.input_parquet):
         ap.error("one of --input-dir/--input-parquet is required "

@@ -1544,3 +1544,87 @@ def betweenness_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .alias("stress"),
                     F.coalesce("bc_fppm", F.lit(0)).cast("long")
                     .alias("bc_fppm")))
+
+
+def _k_eccentricity(es):
+    """Per-scope kernel: out-eccentricity per node — BFS from every
+    node, ecc = max min-hop distance over the REACHED set (0 when the
+    node reaches nothing; partially-reachable digraphs stay
+    well-defined without infinities, the closeness convention).
+    Yields (node, ecc, n_reached) for EVERY node."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in es:
+        nodes.add(a)
+        nodes.add(b)
+        adj.setdefault(a, set()).add(b)
+    for v in sorted(nodes):
+        dist = {v: 0}
+        frontier, d = [v], 0
+        while frontier:
+            d += 1
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        ecc = max(dist.values())
+        yield (v, ecc, len(dist) - 1)
+
+
+def eccentricity_int(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     scope: str | None = None, max_iter: int = 60,
+                     bounded_scopes: bool = True) -> DataFrame:
+    """Out-eccentricity per node — the worst-case broadcast distance
+    whose scope-level max is the DIAMETER and min (over nodes that
+    reach anything) the RADIUS; complements closeness (average reach)
+    with the extremal statistic. Exact integers: ecc = max BFS
+    distance over the node's reachable set, 0 for sink nodes.
+
+    Identical twin-strategy contract to closeness_int: the scoped
+    kernel is one scope-hash exchange + per-partition BFS from every
+    node; the distributed path reuses the SAME semi-naive APSP pair
+    expansion and folds max(d)/count(d) per source — both return
+    identical rows (a graph property), pinned by the battery."""
+    if scope and bounded_scopes:
+        out_schema = (edges.select(F.col(scope),
+                                   F.col(src).alias("node"))
+                      .withColumn("ecc", F.lit(0).cast("long"))
+                      .withColumn("n_reached", F.lit(0).cast("long"))
+                      .schema)
+        return _scoped_map_kernel(edges, src, dst, scope, _k_eccentricity,
+                                  out_schema)
+    keys = [scope] if scope else []
+    e = (edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(*keys, F.col("u").alias("node"))
+             .unionByName(e.select(*keys, F.col("v").alias("node")))
+             .distinct())
+    pairs = (e.filter(F.col("u") != F.col("v"))
+             .withColumn("d", F.lit(1).cast("long"))
+             .localCheckpoint(eager=True))
+    frontier = pairs
+    for _ in range(max_iter - 1):
+        stepped = (frontier.withColumnRenamed("v", "w")
+                   .join(e.withColumnRenamed("u", "w"), keys + ["w"])
+                   .filter(F.col("v") != F.col("u"))
+                   .select(*keys, "u", "v",
+                           (F.col("d") + 1).alias("d"))
+                   .groupBy(*keys, "u", "v").agg(F.min("d").alias("d")))
+        new = (stepped.join(pairs.select(*keys, "u", "v"),
+                            keys + ["u", "v"], "left_anti")
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        pairs = pairs.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    per_src = (pairs.groupBy(*keys, "u")
+               .agg(F.max("d").alias("mx"), F.count("*").alias("r1")))
+    joined = nodes.join(per_src.withColumnRenamed("u", "node"),
+                        keys + ["node"], "left")
+    return joined.select(
+        *keys, "node",
+        F.coalesce("mx", F.lit(0)).cast("long").alias("ecc"),
+        F.coalesce("r1", F.lit(0)).cast("long").alias("n_reached"))

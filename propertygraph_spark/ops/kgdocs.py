@@ -3094,3 +3094,107 @@ FROM consts c JOIN tplcount t USING (tpl)
 WHERE c.nd > 0
 ORDER BY c.tpl
 """
+
+
+def _ecc_stats(triples: list) -> tuple:
+    """Host replay of CFG diameter/radius via FLOYD-WARSHALL (a
+    different algorithm family than the operator's per-node BFS):
+    per method, diameter = max finite pairwise distance over reachable
+    pairs, peripheral nodes = those whose out-eccentricity equals the
+    diameter. (sum of diameters, max diameter, sum of peripheral-node
+    counts) across the doc's methods. (Out-RADIUS is degenerate on
+    CFGs — the exit node's eccentricity is always 0 — so the
+    peripheral count is the second statistic instead.)"""
+    INF = float("inf")
+    sum_dia, max_dia, sum_per = 0, 0, 0
+    for edges in _cfg_edges_by_method(triples).values():
+        nodes = sorted({x for e in edges for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        d = [[0 if i == j else INF for j in range(n)] for i in range(n)]
+        for a, b in edges:
+            if a != b:
+                d[idx[a]][idx[b]] = 1
+        for k in range(n):
+            for i in range(n):
+                dik = d[i][k]
+                if dik == INF:
+                    continue
+                row_k = d[k]
+                for j in range(n):
+                    if dik + row_k[j] < d[i][j]:
+                        d[i][j] = dik + row_k[j]
+        eccs = [max((x for x in row if x != INF), default=0)
+                for row in d]
+        dia = max(eccs) if eccs else 0
+        sum_dia += dia
+        max_dia = max(max_dia, dia)
+        sum_per += sum(1 for x in eccs if x == dia)
+    return sum_dia, max_dia, sum_per
+
+
+TEMPLATE_CFG_ECC: dict[int, tuple] = {}
+
+
+def _freeze_ecc_constants() -> None:
+    from propertygraph_spark.kernel.extract import extract_document
+    for tpl, template in enumerate(JAVA_TEMPLATES):
+        _, triples, _, err = extract_document(f"tpl{tpl}", template % 7)
+        assert err is None, f"template {tpl} failed: {err}"
+        TEMPLATE_CFG_ECC[tpl] = _ecc_stats(triples)
+
+
+_freeze_ecc_constants()
+
+
+def cfg_diameter_by_template(documents: DataFrame) -> DataFrame:
+    """CFG diameter and radius per template — the extremal-distance
+    profile completing the centrality suite (closeness = average
+    reach, eccentricity = worst case; its per-method max is the
+    diameter, its min the radius): per method, out-eccentricities via
+    ops/graph.eccentricity_int (scoped BFS kernel, one exchange),
+    folded to (sum of diameters, max diameter, sum of peripheral-node
+    counts) per template — out-radius is degenerate on CFGs (the exit
+    node's eccentricity is 0), so the peripheral count is the second
+    statistic. Oracle constants come from an independent
+    FLOYD-WARSHALL host replay (different algorithm family)."""
+    from propertygraph_spark.ops.graph import eccentricity_int
+    from propertygraph_spark.pipeline.extract import extract_docs, \
+        split_union
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred").startswith("cfg_"))
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    ecc = eccentricity_int(edges, scope="method_id")
+    per_method = (ecc.groupBy("method_id")
+                  .agg(F.max("ecc").alias("dia")))
+    peripheral = (ecc.join(per_method, "method_id")
+                  .filter(F.col("ecc") == F.col("dia"))
+                  .groupBy("method_id")
+                  .agg(F.count("*").alias("n_peripheral")))
+    return (per_method.join(peripheral, "method_id")
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.sum("dia").cast("long").alias("sum_diameter"),
+                 F.max("dia").cast("long").alias("max_diameter"),
+                 F.sum("n_peripheral").cast("long")
+                 .alias("sum_peripheral"))
+            .orderBy("tpl"))
+
+
+def cfg_diameter_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {s}, {m}, {np})"
+        for tpl, (s, m, np) in TEMPLATE_CFG_ECC.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, sd, md, np) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.sd AS BIGINT) AS sum_diameter,
+       CAST(c.md AS BIGINT) AS max_diameter,
+       CAST(t.n * c.np AS BIGINT) AS sum_peripheral
+FROM consts c JOIN tplcount t USING (tpl)
+ORDER BY c.tpl
+"""

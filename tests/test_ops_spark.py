@@ -880,9 +880,9 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
 
     from propertygraph_spark.ops.graph import (
         betweenness_int, bfs_levels, closeness_int, clustering_coefficient,
-        dag_layers, dominator_tree, kcore_nodes, label_propagation,
-        pagerank_int, strongly_connected_components, transitive_closure,
-        triangle_count, wl_fingerprints)
+        dag_layers, dominator_tree, eccentricity_int, kcore_nodes,
+        label_propagation, pagerank_int, strongly_connected_components,
+        transitive_closure, triangle_count, wl_fingerprints)
     rng = random.Random(42)
     rows = []
     for g in range(25):
@@ -895,7 +895,7 @@ def test_scoped_fastpaths_match_distributed_loops(spark):
                triangle_count, kcore_nodes, label_propagation,
                strongly_connected_components, dominator_tree, dag_layers,
                clustering_coefficient, wl_fingerprints, closeness_int,
-               betweenness_int):
+               betweenness_int, eccentricity_int):
         fast = sorted(tuple(r) for r in fn(df, scope="scope").collect())
         slow = sorted(tuple(r) for r in
                       fn(df, scope="scope", bounded_scopes=False).collect())
@@ -2508,3 +2508,19 @@ def test_dead_stores_distributed_matches_frozen(spark):
             for tpl, (d, dd) in TEMPLATE_DEAD_STORES.items() if d > 0}
     assert got == want
     assert sum(dd for _, dd in got.values()) > 0  # detector fires
+
+
+def test_cfg_diameter_distributed_matches_frozen(spark):
+    """Diameter/peripheral rollup over the 8-doc corpus equals the
+    Floyd-Warshall-frozen per-template constants (sum scales by docs,
+    max does not)."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_CFG_ECC,
+                                                cfg_diameter_by_template)
+    docs = spark.createDataFrame([(i, "") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["sum_diameter"], r["max_diameter"],
+                      r["sum_peripheral"])
+           for r in cfg_diameter_by_template(docs).collect()}
+    want = {tpl: (2 * s, m, 2 * np)
+            for tpl, (s, m, np) in TEMPLATE_CFG_ECC.items()}
+    assert got == want

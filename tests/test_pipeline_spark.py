@@ -121,6 +121,15 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path):
     # verification; exit code 0
     from propertygraph_spark.main import main as cli_main
     assert cli_main(["--audit", "--out", out]) == 0
+    # CLI --sql (r5s9): ad-hoc SQL over the materialized stage views;
+    # the edge rollup through the CLI must agree with the metrics total
+    assert cli_main(["--sql",
+                     "SELECT count(*) AS n FROM edges", "--out", out]) == 0
+    assert cli_main(["--sql", "SELECT pred, count(*) AS n FROM edges "
+                              "GROUP BY 1 ORDER BY 1",
+                     "--out", out]) == 0
+    assert cli_main(["--sql", "SELECT 1", "--out",
+                     str(tmp_path / "nothing_here")]) == 1
 
 
 def test_audit_stage_detects_drift(spark, tmp_path):
