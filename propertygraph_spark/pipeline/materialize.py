@@ -1014,3 +1014,141 @@ def read_stage_as_of(spark: SparkSession, path: str,
     if not dirs:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*dirs)
+
+
+def merge_stage_buckets(spark: SparkSession, path: str,
+                        updates: DataFrame, key_cols: list,
+                        delete_col: Optional[str] = None,
+                        n_buckets: int = N_BUCKETS_DEFAULT,
+                        bucket_from: str = "doc_id") -> dict:
+    """MERGE INTO — the Iceberg/Delta row-level upsert/delete twin for
+    bucket-incremental stages: rows in ``updates`` REPLACE target rows
+    sharing their ``key_cols`` (UPDATE SET *), unmatched rows INSERT,
+    and rows flagged true in ``delete_col`` DELETE their key (a
+    missing key deletes nothing). Only buckets that contain touched
+    keys are rewritten (dynamic partition overwrite — the
+    write_stage_buckets machinery); untouched buckets' files stay
+    byte-identical on disk, and a bucket whose rows are all deleted is
+    purged like any phantom.
+
+    Fingerprint contract: a MERGE is an OUT-OF-BAND data correction
+    (late fix, GDPR delete) that breaks the 'derived from upstream
+    fingerprints' invariant by design, so merged buckets' entries in
+    ``_buckets.json`` are rewritten as ``merge:<hash>`` — any later
+    incremental rebuild sees them as dirty and re-derives them from
+    upstream (the merge is durable until the next pipeline run
+    recomputes the bucket, exactly Iceberg's behavior when a MERGE
+    lands on a table a backfill job later overwrites). The commit logs
+    one ``merge`` snapshot with matched/inserted/deleted counts.
+
+    Scale shape: bucket assignment is the stage's own hash rule, so
+    update rows prune to their buckets before any join; the
+    anti/semi joins run only over affected buckets' rows, hashed on
+    the key — a 10^12-row table with a 1000-row merge touches ~1000
+    buckets' files and nothing else."""
+    import shutil
+    state_file = os.path.join(path, "_buckets.json")
+    with open(state_file) as f:
+        state = json.load(f)
+    upd = updates.withColumn(
+        "bucket", F.pmod(F.xxhash64(bucket_from),
+                         F.lit(n_buckets)).cast("int"))
+    is_del = (F.col(delete_col) if delete_col
+              else F.lit(False)).alias("_is_del")
+    upd = upd.select(*[c for c in upd.columns if c != delete_col],
+                     is_del).localCheckpoint(eager=True)
+    affected = sorted(r["bucket"] for r in
+                      upd.select("bucket").distinct().collect())
+    if not affected:
+        return {"matched": 0, "inserted": 0, "deleted": 0, "buckets": []}
+    cur = (spark.read.parquet(path)
+           .filter(F.col("bucket").isin(affected)))
+    keys = list(key_cols)
+    upd_keys = upd.select("bucket", *keys).distinct()
+    n_matched = (cur.join(upd.filter(~F.col("_is_del"))
+                          .select("bucket", *keys).distinct(),
+                          ["bucket"] + keys, "left_semi").count())
+    n_deleted = (cur.join(upd.filter(F.col("_is_del"))
+                          .select("bucket", *keys).distinct(),
+                          ["bucket"] + keys, "left_semi").count())
+    inserts = (upd.filter(~F.col("_is_del")).drop("_is_del")
+               .join(cur, ["bucket"] + keys, "left_anti"))
+    n_inserted = inserts.count()
+    survivors = cur.join(upd_keys, ["bucket"] + keys, "left_anti")
+    new_rows = survivors.unionByName(
+        inserts.unionByName(
+            upd.filter(~F.col("_is_del")).drop("_is_del")
+            .join(cur.select("bucket", *keys).distinct(),
+                  ["bucket"] + keys, "left_semi")))
+    from pyspark.sql import Observation
+    obs = Observation(f"merge_{os.path.basename(path)}")
+    observed = new_rows.observe(obs, F.collect_set("bucket").alias("parts"))
+    mode0 = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                           "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        observed.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode0)
+    present = {int(b) for b in obs.get["parts"]}
+    for b in affected:
+        target = os.path.join(path, f"bucket={b}")
+        if b not in present and os.path.isdir(target):
+            shutil.rmtree(target)
+    for b in affected:
+        key = str(b)
+        if b in present:
+            state[key] = "merge:" + fingerprint(path, key,
+                                                n_matched, n_inserted,
+                                                n_deleted, time.time())
+        else:
+            state.pop(key, None)
+    with open(state_file, "w") as f:
+        json.dump(state, f)
+    _append_snapshot(path, "merge",
+                     fingerprint(*(f"{b}={state.get(str(b), '')}"
+                                   for b in affected)),
+                     {"matched": n_matched, "inserted": n_inserted,
+                      "deleted": n_deleted,
+                      "merged_buckets": affected})
+    return {"matched": n_matched, "inserted": n_inserted,
+            "deleted": n_deleted, "buckets": affected}
+
+
+def read_changes_between(spark: SparkSession, path: str,
+                         from_snapshot: str,
+                         to_snapshot: str) -> DataFrame:
+    """Incremental (CDC-style) read over the append-only sink layout —
+    Iceberg's incremental scan: the rows committed AFTER
+    ``from_snapshot`` and at-or-before ``to_snapshot``, i.e. exactly
+    the batch dirs of the ledger interval (from, to]. The expire
+    tombstone is a valid LOWER bound (changes since everything it
+    absorbed = every retained batch up to ``to``), but not a valid
+    upper bound; unknown ids raise KeyError. The complement of
+    read_stage_as_of: as_of(to) == as_of(from) UNION changes(from, to).
+
+    Scale shape: ledger bookkeeping + a parquet read whose path list
+    IS the change set — no data scanned to find changes, no
+    row-level diffing."""
+    history = snapshot_history(path)
+    by_id = {s["snapshot_id"]: i for i, s in enumerate(history)}
+    for sid in (from_snapshot, to_snapshot):
+        if sid not in by_id:
+            raise KeyError(f"snapshot {sid!r} not in the ledger at {path}")
+    lo, hi = by_id[from_snapshot], by_id[to_snapshot]
+    if history[hi]["operation"] == "expire":
+        raise KeyError("the expire tombstone is not a valid upper bound")
+    if lo > hi:
+        raise KeyError(f"{from_snapshot!r} is newer than {to_snapshot!r}")
+    batches = [s["batch_id"] for s in history[lo + 1:hi + 1]
+               if s["operation"] == "streaming-append"]
+    if any(s["operation"] not in ("streaming-append", "expire")
+           for s in history):
+        raise KeyError(
+            f"stage at {path} commits by overwrite — incremental "
+            f"reads need the append-only (batch=) layout")
+    if not batches:
+        return spark.read.parquet(path).limit(0)
+    dirs = [os.path.join(path, f"batch={b}") for b in batches]
+    return spark.read.parquet(*dirs)

@@ -865,3 +865,113 @@ def test_read_stage_merges_evolved_schema(spark, tmp_path):
     assert all(e is None for i, e in got if i % 2 == 0)
     assert all(e == len(f"v{i}") for i, e in got if i % 2 == 1)
     assert audit_bucket_stage(path)["ok"]
+
+
+def test_merge_stage_buckets_upsert_insert_delete(spark, tmp_path):
+    """MERGE INTO twin: an update REPLACES its key's row, an unmatched
+    row INSERTS, a delete-flagged key DELETES; only buckets containing
+    touched keys are rewritten (untouched bucket dirs keep their
+    files byte-for-byte), merged buckets' fingerprints flip to
+    merge:<hash> so incremental rebuilds see them dirty, a 'merge'
+    snapshot carries the counts, and the audit stays green."""
+    import os
+
+    from propertygraph_spark.pipeline.materialize import (
+        audit_bucket_stage, merge_stage_buckets, snapshot_history,
+        with_bucket, write_stage_buckets)
+
+    base = with_bucket(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "doc_id long, val string"), 8)
+    path = str(tmp_path / "stage")
+    buckets = sorted(r["bucket"] for r in
+                     base.select("bucket").distinct().collect())
+    write_stage_buckets(base, path, {b: "v1" for b in buckets},
+                        spark=spark)
+    # snapshot the untouched buckets' file listing + mtimes
+    upd_rows = [(3, "v3-fixed", False),     # upsert existing key
+                (1000, "v1000-new", False),  # insert new key
+                (7, "whatever", True)]       # delete existing key
+    upd = spark.createDataFrame(
+        upd_rows, "doc_id long, val string, is_del boolean")
+    touched = {r["bucket"] for r in
+               with_bucket(upd, 8).select("bucket").distinct().collect()}
+    untouched = [b for b in buckets if b not in touched]
+    before = {}
+    for b in untouched:
+        d = os.path.join(path, f"bucket={b}")
+        before[b] = sorted((f, os.path.getmtime(os.path.join(d, f)))
+                           for f in os.listdir(d))
+    res = merge_stage_buckets(spark, path, upd, ["doc_id"],
+                              delete_col="is_del", n_buckets=8)
+    assert res["matched"] == 1 and res["inserted"] == 1 \
+        and res["deleted"] == 1
+    got = {r["doc_id"]: r["val"]
+           for r in spark.read.parquet(path).collect()}
+    assert got[3] == "v3-fixed" and got[1000] == "v1000-new"
+    assert 7 not in got and len(got) == 40  # -1 delete +1 insert
+    for b in untouched:
+        d = os.path.join(path, f"bucket={b}")
+        after = sorted((f, os.path.getmtime(os.path.join(d, f)))
+                       for f in os.listdir(d))
+        assert after == before[b], b
+    import json as _json
+    with open(os.path.join(path, "_buckets.json")) as f:
+        state = _json.load(f)
+    for b in touched:
+        assert state[str(b)].startswith("merge:")
+    for b in untouched:
+        assert state[str(b)] == "v1"
+    snaps = snapshot_history(path)
+    assert snaps[-1]["operation"] == "merge"
+    assert snaps[-1]["matched"] == 1
+    assert audit_bucket_stage(path)["ok"]
+
+
+def test_read_changes_between_cdc(spark, tmp_path):
+    """Incremental read = the ledger interval's batch dirs; as_of(to)
+    == as_of(from) + changes(from, to]; tombstone valid as lower
+    bound only."""
+    import os
+    import time as _t
+
+    from propertygraph_spark.pipeline.materialize import (
+        expire_snapshots, read_changes_between, read_stage_as_of,
+        snapshot_history)
+    from propertygraph_spark.streaming.events import (
+        read_events_stream, streaming_commit_sink)
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "sink")
+    os.makedirs(src)
+    for lo in (0, 10, 20):
+        spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", i, "view", 1.0, "{}")
+             for i in range(lo, lo + 10)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+    q = streaming_commit_sink(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        out, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    hist = snapshot_history(out)
+    s0, s1, s2 = [h["snapshot_id"] for h in hist]
+    ch = read_changes_between(spark, out, s0, s2)
+    assert sorted(r["event_id"] for r in ch.collect()) == list(range(10, 30))
+    assert read_changes_between(spark, out, s1, s1).count() == 0
+    a = set(r["event_id"] for r in read_stage_as_of(spark, out, s0).collect())
+    b = set(r["event_id"] for r in
+            read_changes_between(spark, out, s0, s1).collect())
+    c = set(r["event_id"] for r in read_stage_as_of(spark, out, s1).collect())
+    assert a | b == c and not (a & b)
+    expire_snapshots(out, keep_last=2)
+    hist2 = snapshot_history(out)
+    tomb = hist2[0]["snapshot_id"]
+    got = read_changes_between(spark, out, tomb,
+                               hist2[-1]["snapshot_id"])
+    assert sorted(r["event_id"] for r in got.collect()) == \
+        list(range(10, 30))
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        read_changes_between(spark, out, hist2[-1]["snapshot_id"], tomb)
