@@ -94,13 +94,13 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "events_zorder_stats", "events_json_props",
                     "text_token_stats", "text_quality",
                     "text_lm_fluency", "text_gopher_repetition",
-                    "text_bm25", "dedup_containment",
-                    "dedup_semantic_clusters", "emb_gram_int8",
-                    "ann_ivfpq_refine_topk", "ann_sign_topk",
-                    "emb_kmeans", "media_alignment", "media_phash",
-                    "dataset_dsir_sample", "dataset_unimax",
-                    "dataset_priority_sample", "dataset_group_split",
-                    "dataset_curriculum")
+                    "text_bm25", "dedup_keep_best",
+                    "dedup_containment", "dedup_semantic_clusters",
+                    "emb_gram_int8", "ann_ivfpq_refine_topk",
+                    "ann_sign_topk", "emb_kmeans", "media_alignment",
+                    "media_phash", "dataset_dsir_sample",
+                    "dataset_unimax", "dataset_priority_sample",
+                    "dataset_group_split", "dataset_curriculum")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_wl_shapes"] = lambda s, d: kgdocs.wl_shapes_by_template(
         _docs(s, d))
     q["kg_api_cooccurrence"] = lambda s, d: kgdocs.api_cooccurrence(
+        _docs(s, d))
+    q["kg_ast_paths"] = lambda s, d: kgdocs.ast_paths_by_template(
         _docs(s, d))
     q["kg_cfg_diameter"] = lambda s, d: kgdocs.cfg_diameter_by_template(
         _docs(s, d))
@@ -838,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_control_dep_fow"] = kgdocs.control_dep_fow_oracle_sql()
     o["kg_dead_stores"] = kgdocs.dead_stores_oracle_sql()
     o["kg_cfg_diameter"] = kgdocs.cfg_diameter_oracle_sql()
+    o["kg_ast_paths"] = kgdocs.ast_paths_oracle_sql()
     o["kg_cyclomatic"] = kgdocs.cyclomatic_oracle_sql()
     o["kg_api_pagerank"] = kgdocs.api_pagerank_oracle_sql()
     o["kg_api_hits"] = kgdocs.api_hits_oracle_sql()

@@ -331,6 +331,8 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_cfg_diameter": lambda: kgdocs.cfg_diameter_by_template(
             docs(spark, sf_dir)),
+        "kg_ast_paths": lambda: kgdocs.ast_paths_by_template(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

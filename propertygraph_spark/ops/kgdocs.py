@@ -3198,3 +3198,161 @@ SELECT c.tpl AS tpl, CAST(t.n * c.sd AS BIGINT) AS sum_diameter,
 FROM consts c JOIN tplcount t USING (tpl)
 ORDER BY c.tpl
 """
+
+
+def _k_ast_paths(es, max_len: int = 8):
+    """Per-scope kernel: code2vec-style AST path contexts (Alon et al.
+    2019) — for every unordered pair of AST LEAVES in one method's
+    tree, the (up, down) path through their lowest common ancestor;
+    contexts longer than ``max_len`` edges are discarded (the
+    standard truncation). LCA via root-path comparison over parent
+    pointers. Yields ONE tuple (n_leaves, n_contexts, sum_path_len)
+    per scope."""
+    parent: dict = {}
+    children: dict = {}
+    nodes = set()
+    for a, b in es:
+        parent[b] = a
+        children.setdefault(a, set()).add(b)
+        nodes.add(a)
+        nodes.add(b)
+    leaves = sorted(n for n in nodes if not children.get(n))
+
+    def root_path(v):
+        p = [v]
+        while p[-1] in parent:
+            p.append(parent[p[-1]])
+        return p
+
+    paths = {v: root_path(v) for v in leaves}
+    n_ctx = s_len = 0
+    for i, a in enumerate(leaves):
+        pa = paths[a]
+        sa = {x: d for d, x in enumerate(pa)}
+        for b in leaves[i + 1:]:
+            pb = paths[b]
+            for db, x in enumerate(pb):
+                if x in sa:
+                    plen = sa[x] + db
+                    if plen <= max_len:
+                        n_ctx += 1
+                        s_len += plen
+                    break
+    yield (len(leaves), n_ctx, s_len)
+
+
+def _ast_path_stats(triples: list, max_len: int = 8) -> tuple:
+    """Independent host replay of the AST path-context count: pairwise
+    leaf distance via BFS over the UNDIRECTED tree (tree paths are
+    unique, so distance == LCA path length) — no parent-pointer or
+    LCA machinery shared with the kernel. (sum leaves, sum contexts,
+    sum path length) across the doc's methods."""
+    by_m: dict = {}
+    for t in triples:
+        if t["pred"] == "ast_child":
+            by_m.setdefault(t["method_id"], []).append(
+                (t["subj"], t["obj"]))
+    tot_l = tot_c = tot_s = 0
+    for es in by_m.values():
+        und: dict = {}
+        children: dict = {}
+        nodes = set()
+        for a, b in es:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+            children.setdefault(a, set()).add(b)
+            nodes.add(a)
+            nodes.add(b)
+        leaves = sorted(n for n in nodes if not children.get(n))
+        tot_l += len(leaves)
+        for i, a in enumerate(leaves):
+            dist = {a: 0}
+            frontier = [a]
+            while frontier:
+                nxt = []
+                for x in frontier:
+                    for y in und.get(x, ()):
+                        if y not in dist:
+                            dist[y] = dist[x] + 1
+                            nxt.append(y)
+                frontier = nxt
+            for b in leaves[i + 1:]:
+                if dist.get(b, max_len + 1) <= max_len:
+                    tot_c += 1
+                    tot_s += dist[b]
+    return tot_l, tot_c, tot_s
+
+
+TEMPLATE_AST_PATHS: dict[int, tuple] = {}
+
+
+def _freeze_ast_path_constants() -> None:
+    from propertygraph_spark.kernel.extract import extract_document
+    for tpl, template in enumerate(JAVA_TEMPLATES):
+        _, triples, _, err = extract_document(f"tpl{tpl}", template % 7)
+        assert err is None, f"template {tpl} failed: {err}"
+        TEMPLATE_AST_PATHS[tpl] = _ast_path_stats(triples)
+
+
+_freeze_ast_path_constants()
+
+
+def ast_paths_by_template(documents: DataFrame) -> DataFrame:
+    """code2vec-style AST path-context extraction (Alon et al. 2019) —
+    THE classic ML-for-code featurization over exactly the ast_child
+    edges the reference's -a mode emits (PEASTVisitor's raw AST): for
+    each method, every unordered AST leaf pair's path through its
+    lowest common ancestor, truncated at 8 edges, rolled up per
+    template to (n_leaf_nodes, n_path_contexts, sum_path_len). The
+    path-context multiset is what code2vec/code2seq train on; its
+    volume statistics are the per-corpus knob (truncation length vs
+    context explosion) a training-data pipeline tunes.
+
+    Scale shape: one scoped streaming kernel (the graph suite's
+    _scoped_map_kernel — ONE scope-hash exchange, per-scope
+    parent-pointer LCA, leaf pairs bounded by method size under the
+    cost-routing premise), then a bounded template rollup. Oracle
+    constants from an independent undirected-BFS host replay (tree
+    distance == LCA path length, no shared machinery)."""
+    from propertygraph_spark.ops.graph import _scoped_map_kernel
+    from propertygraph_spark.pipeline.extract import extract_docs, \
+        split_union
+    from pyspark.sql.types import LongType, StructField, StructType
+    docs = docs_with_spans(documents)
+    union = extract_docs(docs, route=False)
+    _, triples, _, _ = split_union(union)
+    edges = (triples.filter(F.col("pred") == "ast_child")
+             .select("method_id", F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    schema = StructType([
+        edges.schema["method_id"],
+        StructField("n_leaves", LongType()),
+        StructField("n_contexts", LongType()),
+        StructField("sum_len", LongType()),
+    ])
+    per_method = _scoped_map_kernel(edges, "src", "dst", "method_id",
+                                    _k_ast_paths, schema)
+    return (per_method
+            .withColumn("tpl", _tpl_of_method())
+            .groupBy("tpl")
+            .agg(F.sum("n_leaves").cast("long").alias("n_leaf_nodes"),
+                 F.sum("n_contexts").cast("long")
+                 .alias("n_path_contexts"),
+                 F.sum("sum_len").cast("long").alias("sum_path_len"))
+            .orderBy("tpl"))
+
+
+def ast_paths_oracle_sql() -> str:
+    values = ", ".join(
+        f"({tpl}, {l}, {c}, {s})"
+        for tpl, (l, c, s) in TEMPLATE_AST_PATHS.items())
+    return f"""
+WITH tplcount AS (
+  SELECT doc_id % 4 AS tpl, count(*) AS n FROM documents GROUP BY 1
+), consts(tpl, nl, nc, sl) AS (VALUES {values})
+SELECT c.tpl AS tpl, CAST(t.n * c.nl AS BIGINT) AS n_leaf_nodes,
+       CAST(t.n * c.nc AS BIGINT) AS n_path_contexts,
+       CAST(t.n * c.sl AS BIGINT) AS sum_path_len
+FROM consts c JOIN tplcount t USING (tpl)
+ORDER BY c.tpl
+"""

@@ -2524,3 +2524,27 @@ def test_cfg_diameter_distributed_matches_frozen(spark):
     want = {tpl: (2 * s, m, 2 * np)
             for tpl, (s, m, np) in TEMPLATE_CFG_ECC.items()}
     assert got == want
+
+
+def test_ast_paths_hand_tree_and_frozen(spark):
+    """code2vec path contexts on a hand tree: root 1 with children
+    2, 3; 2 has leaves 4, 5; 3 is a leaf. Leaf pairs: (4,5) len 2,
+    (4,3) len 3, (5,3) len 3 -> 3 contexts, sum 8, 3 leaves. The
+    distributed rollup over the 8-doc corpus equals the
+    undirected-BFS-frozen constants."""
+    from propertygraph_spark.ops.kgdocs import (TEMPLATE_AST_PATHS,
+                                                _k_ast_paths,
+                                                ast_paths_by_template)
+    es = [(1, 2), (1, 3), (2, 4), (2, 5)]
+    assert list(_k_ast_paths(es)) == [(3, 3, 8)]
+    # truncation: same tree with max_len=2 keeps only the (4,5) pair
+    assert list(_k_ast_paths(es, max_len=2)) == [(3, 1, 2)]
+
+    docs = spark.createDataFrame([(i, "") for i in range(8)],
+                                 "doc_id long, text string")
+    got = {r["tpl"]: (r["n_leaf_nodes"], r["n_path_contexts"],
+                      r["sum_path_len"])
+           for r in ast_paths_by_template(docs).collect()}
+    want = {tpl: (2 * l, 2 * c, 2 * s)
+            for tpl, (l, c, s) in TEMPLATE_AST_PATHS.items()}
+    assert got == want
