@@ -95,12 +95,13 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "text_token_stats", "text_quality",
                     "text_lm_fluency", "text_gopher_repetition",
                     "text_bm25", "dedup_keep_best",
-                    "dedup_containment", "dedup_semantic_clusters",
-                    "emb_gram_int8", "ann_ivfpq_refine_topk",
-                    "ann_sign_topk", "emb_kmeans", "media_alignment",
-                    "media_phash", "dataset_dsir_sample",
-                    "dataset_unimax", "dataset_priority_sample",
-                    "dataset_group_split", "dataset_curriculum")
+                    "dedup_containment", "dedup_eval_fuzzy",
+                    "dedup_semantic_clusters", "emb_gram_int8",
+                    "ann_ivfpq_refine_topk", "ann_sign_topk",
+                    "emb_kmeans", "media_alignment", "media_phash",
+                    "dataset_dsir_sample", "dataset_unimax",
+                    "dataset_priority_sample", "dataset_group_split",
+                    "dataset_curriculum")
 
 
 def _window_reorder(d: dict) -> dict:
@@ -532,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from propertygraph_spark.ops.dataset import alpha_sample
     q["dataset_alpha_sample"] = lambda s, d: alpha_sample(_docs(s, d))
     q["text_bpe_train"] = lambda s, d: text.bpe_train(_docs(s, d))
+    q["text_bpe_apply"] = lambda s, d: text.bpe_apply(_docs(s, d))
     q["kg_link_prediction"] = lambda s, d: kgdocs.api_link_prediction(
         _docs(s, d))
     q["events_audience_overlap"] = relational.audience_overlap_hll
@@ -721,6 +723,57 @@ hv AS (SELECT doc_id, {hv} AS hv FROM h),
 v AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
 SELECT doc_id, CAST({combine} AS BIGINT) AS simhash16 FROM v
 """
+
+
+def _bpe_apply_sql(n_merges: int) -> str:
+    """DuckDB twin of text.bpe_apply: the bpe_train CTE chain with the
+    vocab keyed by (lang, word) — pair counting still aggregates
+    globally, so the learned merges are identical — then the
+    per-language compression rollup off the final state."""
+    sep2 = "chr(31) || chr(31)"
+    w = "chr(31) || array_to_string(list_transform(" \
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), " \
+        f"{sep2}) || chr(31)"
+    parts = [f"""
+w0 AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq, {w} AS s
+       FROM (SELECT lang, unnest({_sql_tokens()}) AS word
+             FROM documents)
+       WHERE NOT contains(word, chr(31)) GROUP BY lang, word)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+p{r} AS (SELECT pr.lsym AS lsym, pr.rsym AS rsym,
+                CAST(sum(freq) AS BIGINT) AS cnt
+         FROM (SELECT freq,
+                      unnest(list_transform(
+                          generate_series(1, len(syms) - 1),
+                          i -> {{'lsym': syms[i], 'rsym': syms[i+1]}}))
+                        AS pr
+               FROM (SELECT freq,
+                            string_split(substr(s, 2, length(s) - 2),
+                                         {sep2}) AS syms
+                     FROM w{r - 1}) ws
+               WHERE len(syms) >= 2)
+         GROUP BY 1, 2),
+b{r} AS (SELECT lsym, rsym FROM p{r}
+         ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+w{r} AS (SELECT lang, word, freq,
+                replace(s,
+                        chr(31) || lsym || chr(31) || chr(31)
+                                || rsym || chr(31),
+                        chr(31) || lsym || rsym || chr(31)) AS s
+         FROM w{r - 1} CROSS JOIN b{r})""")
+    return ("WITH " + ",".join(parts) + f"""
+, fin AS (SELECT lang, freq,
+                 CAST(length(word) AS BIGINT) AS n_chars,
+                 CAST(len(string_split(substr(s, 2, length(s) - 2),
+                                       {sep2})) AS BIGINT) AS n_syms
+          FROM w{n_merges})
+SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
+       CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(freq * n_syms) AS BIGINT) AS n_symbols,
+       CAST(sum(freq * n_syms) * 1000 // sum(freq * n_chars) AS BIGINT)
+         AS symbols_per_char_pm
+FROM fin GROUP BY lang ORDER BY lang""")
 
 
 def _pca_power_sql(iters: int) -> str:
@@ -3278,6 +3331,7 @@ FROM rates r LEFT JOIN kept k USING (stratum) ORDER BY stratum
 
     o["text_bpe_train"] = _bpe_train_sql(6)
     o["emb_pca_power"] = _pca_power_sql(8)
+    o["text_bpe_apply"] = _bpe_apply_sql(6)
     from propertygraph_spark.ops.kgdocs import api_link_prediction_oracle_sql
     o["kg_link_prediction"] = api_link_prediction_oracle_sql()
 

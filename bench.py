@@ -333,6 +333,7 @@ def main() -> None:
             docs(spark, sf_dir)),
         "kg_ast_paths": lambda: kgdocs.ast_paths_by_template(
             docs(spark, sf_dir)),
+        "text_bpe_apply": lambda: text.bpe_apply(docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

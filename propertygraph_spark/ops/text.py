@@ -1053,6 +1053,58 @@ def bm25_topk(docs: DataFrame, terms: list[str], top_k: int = 15,
               .select("rank", "doc_id", "score", "dl")
 
 
+def _bpe_loop(state: DataFrame, n_merges: int):
+    """Shared BPE merge loop (see bpe_train for the exactness
+    contract): ``state`` carries at least (freq, s) where s is the
+    delimited-string symbol sequence; extra key columns (word, lang,
+    ...) ride along untouched. Pair counting aggregates over ALL rows
+    (global merges); each round's merge applies to every row. Returns
+    (final_state, merges) with merges = [(round, l, r, merged, cnt)].
+    Every round localCheckpoints so round R never replays 1..R-1."""
+    SEP = chr(31)
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"),
+                       SEP + SEP)
+        d = state.select("freq", syms.alias("syms")) \
+                 .filter(F.size("syms") >= 2)
+        pairs = d.select("freq", F.explode(F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(syms[i-1] AS lsym, syms[i] AS rsym))"))
+            .alias("p"))
+        best = (pairs.groupBy(F.col("p.lsym").alias("lsym"),
+                              F.col("p.rsym").alias("rsym"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "lsym", "rsym")
+                .limit(1).collect())
+        if not best:
+            break
+        lsym, rsym, cnt = best[0]["lsym"], best[0]["rsym"], best[0]["cnt"]
+        state = state.withColumn(
+            "s", F.replace(F.col("s"),
+                           F.lit(SEP + lsym + SEP + SEP + rsym + SEP),
+                           F.lit(SEP + lsym + rsym + SEP))) \
+            .localCheckpoint()
+        merges.append((rnd, lsym, rsym, lsym + rsym, int(cnt)))
+    return state, merges
+
+
+def _bpe_initial_state(docs: DataFrame, extra_keys: list) -> DataFrame:
+    """Word-frequency vocab (optionally keyed by extra columns, e.g.
+    lang) with the initial per-character delimited-string state."""
+    SEP = chr(31)
+    toks = tokens_col()
+    words = (docs.select(*extra_keys, F.explode(toks).alias("word"))
+             .filter(~F.col("word").contains(SEP))
+             .groupBy(*extra_keys, "word")
+             .agg(F.count("*").alias("freq")))
+    chars = F.split(F.col("word"), "")
+    return words.select(
+        *extra_keys, "word", "freq",
+        F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP),
+                 F.lit(SEP)).alias("s")).localCheckpoint()
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the
     full merge loop, not just the first-merge scoring of
@@ -1082,41 +1134,47 @@ def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     pattern), then a map-only replace. The evolving vocab state is
     localCheckpoint()ed per round so round R's lineage does not replay
     rounds 1..R-1."""
-    SEP = chr(31)
     spark = docs.sparkSession
-    toks = tokens_col()
-    words = (docs.select(F.explode(toks).alias("word"))
-             .filter(~F.col("word").contains(SEP))
-             .groupBy("word").agg(F.count("*").alias("freq")))
-    chars = F.split(F.col("word"), "")
-    state = words.select(
-        "word", "freq",
-        F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP),
-                 F.lit(SEP)).alias("s")).localCheckpoint()
-    merges = []
-    for rnd in range(1, n_merges + 1):
-        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"),
-                       SEP + SEP)
-        d = state.select("freq", syms.alias("syms")) \
-                 .filter(F.size("syms") >= 2)
-        pairs = d.select("freq", F.explode(F.expr(
-            "transform(sequence(1, size(syms) - 1),"
-            " i -> struct(syms[i-1] AS lsym, syms[i] AS rsym))"))
-            .alias("p"))
-        best = (pairs.groupBy(F.col("p.lsym").alias("lsym"),
-                              F.col("p.rsym").alias("rsym"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), "lsym", "rsym")
-                .limit(1).collect())
-        if not best:
-            break
-        lsym, rsym, cnt = best[0]["lsym"], best[0]["rsym"], best[0]["cnt"]
-        state = state.withColumn(
-            "s", F.replace(F.col("s"),
-                           F.lit(SEP + lsym + SEP + SEP + rsym + SEP),
-                           F.lit(SEP + lsym + rsym + SEP))) \
-            .localCheckpoint()
-        merges.append((rnd, lsym, rsym, lsym + rsym, int(cnt)))
+    state = _bpe_initial_state(docs, [])
+    _, merges = _bpe_loop(state, n_merges)
     return spark.createDataFrame(
         merges, "round_no BIGINT, left_sym STRING, right_sym STRING, "
                 "merged STRING, pair_count BIGINT")
+
+
+def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of bpe_train: learn
+    the corpus-global merge table, then tokenize every word with it
+    and report the per-language compression profile
+    (lang, n_tokens, n_chars, n_symbols, symbols_per_char_pm). The
+    symbols/char ratio is the statistic a tokenizer-budget decision
+    reads — which languages the learned vocab compresses well and
+    which it shatters into characters (the practical fairness check
+    behind multilingual tokenizer design).
+
+    Same exactness contract as bpe_train (delimited-string state,
+    replace()-as-merge); symbol counts fall out of the final state as
+    size(split(s)) — no re-tokenization pass. Integer ppm ratio.
+
+    Scale shape: ONE corpus pass builds the (lang, word)-keyed vocab;
+    merges are learned on the global aggregate of that same table and
+    applied map-only; the rollup groups on the bounded language key.
+    Nothing corpus-sized moves after the first groupBy."""
+    SEP = chr(31)
+    state = _bpe_initial_state(docs, [F.col("lang")])
+    state, _ = _bpe_loop(state, n_merges)
+    syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
+    per_word = state.select(
+        "lang", "freq",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(syms).cast("long").alias("n_syms"))
+    return (per_word.groupBy("lang")
+            .agg(F.sum("freq").cast("long").alias("n_tokens"),
+                 F.sum(F.col("freq") * F.col("n_chars")).cast("long")
+                 .alias("n_chars"),
+                 F.sum(F.col("freq") * F.col("n_syms")).cast("long")
+                 .alias("n_symbols"))
+            .withColumn("symbols_per_char_pm",
+                        F.expr("n_symbols * 1000 div n_chars")
+                        .cast("long"))
+            .orderBy("lang"))

@@ -2548,3 +2548,26 @@ def test_ast_paths_hand_tree_and_frozen(spark):
     want = {tpl: (2 * l, 2 * c, 2 * s)
             for tpl, (l, c, s) in TEMPLATE_AST_PATHS.items()}
     assert got == want
+
+
+def test_bpe_apply_compression_profile(spark):
+    """Tokenizer application: merges learned on the 'ab'-heavy corpus
+    compress 'ab...' words while the lang whose words never contain
+    the merged pairs stays at one symbol per char; counts match a
+    hand replay."""
+    from propertygraph_spark.ops.text import bpe_apply
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab abc abc", "aa"),
+         (2, "xy xz", "bb")],
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in bpe_apply(docs, n_merges=2).collect()}
+    # merges learned globally: (a,b) cnt 6 -> 'ab'; then (ab,c) cnt 2
+    aa = out["aa"]
+    assert aa["n_tokens"] == 6 and aa["n_chars"] == 14
+    # 'ab' -> 1 symbol (x4 words... freq 4), 'abc' -> 1 symbol (freq 2)
+    assert aa["n_symbols"] == 4 * 1 + 2 * 1
+    assert aa["symbols_per_char_pm"] == 6 * 1000 // 14
+    bb = out["bb"]
+    # 'xy'/'xz' untouched by the merges: 2 symbols each
+    assert bb["n_tokens"] == 2 and bb["n_symbols"] == 4
+    assert bb["symbols_per_char_pm"] == 1000
