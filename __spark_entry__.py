@@ -94,7 +94,7 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "events_zorder_stats", "events_json_props",
                     "text_token_stats", "text_quality",
                     "text_lm_fluency", "text_gopher_repetition",
-                    "text_bm25", "dedup_keep_best",
+                    "text_bm25", "dedup_lines_cut", "dedup_keep_best",
                     "dedup_containment", "dedup_eval_fuzzy",
                     "dedup_semantic_clusters", "emb_gram_int8",
                     "ann_ivfpq_refine_topk", "ann_sign_topk",
@@ -534,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_alpha_sample"] = lambda s, d: alpha_sample(_docs(s, d))
     q["text_bpe_train"] = lambda s, d: text.bpe_train(_docs(s, d))
     q["text_bpe_apply"] = lambda s, d: text.bpe_apply(_docs(s, d))
+    q["text_curation_funnel"] = lambda s, d: text.curation_funnel(
+        _docs(s, d))
     q["kg_link_prediction"] = lambda s, d: kgdocs.api_link_prediction(
         _docs(s, d))
     q["events_audience_overlap"] = relational.audience_overlap_hll
@@ -3332,6 +3334,45 @@ FROM rates r LEFT JOIN kept k USING (stratum) ORDER BY stratum
     o["text_bpe_train"] = _bpe_train_sql(6)
     o["emb_pca_power"] = _pca_power_sql(8)
     o["text_bpe_apply"] = _bpe_apply_sql(6)
+    # CCNet-flavor funnel: language confirmation -> quality gate ->
+    # keep-first dedup among survivors; composes the langid and
+    # quality oracles' own expressions (same stage definitions).
+    o["text_curation_funnel"] = f"""
+WITH lid AS (SELECT doc_id, pred_lang FROM ({_langid_sql()})),
+qs AS (
+  SELECT doc_id,
+         CAST(least(n_tok, 500)
+              + (CASE WHEN n_tok > 0
+                      THEN floor(n_stop * 1000 / n_tok) ELSE 0 END)
+              - (CASE WHEN n_char > 0
+                      THEN floor(n_punct * 1000 / n_char) ELSE 0 END)
+           AS BIGINT) AS quality_score
+  FROM (SELECT doc_id, len(toks) AS n_tok, length(text) AS n_char,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(list_filter(toks,
+                   x -> list_contains({stop_arr}, x))) AS n_stop
+        FROM (SELECT doc_id, text, {_sql_tokens()} AS toks
+              FROM documents))
+),
+j AS (SELECT d.doc_id, d.lang, md5(d.text) AS h,
+             CAST(l.pred_lang = d.lang AS INT) AS lang_ok,
+             CAST(l.pred_lang = d.lang
+                  AND q.quality_score >= 100 AS INT) AS qual_ok
+      FROM documents d JOIN lid l USING (doc_id)
+      JOIN qs q ON q.doc_id = d.doc_id),
+surv AS (SELECT * FROM j WHERE qual_ok = 1),
+keep AS (SELECT h, min(doc_id) AS keep_id FROM surv GROUP BY h),
+uniq AS (SELECT s.lang, CAST(count(*) AS BIGINT) AS n_unique
+         FROM surv s JOIN keep k ON s.h = k.h AND s.doc_id = k.keep_id
+         GROUP BY s.lang),
+fun AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(lang_ok) AS BIGINT) AS n_lang_ok,
+               CAST(sum(qual_ok) AS BIGINT) AS n_quality_ok
+        FROM j GROUP BY lang)
+SELECT f.lang, f.n_total, f.n_lang_ok, f.n_quality_ok,
+       CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique
+FROM fun f LEFT JOIN uniq u USING (lang) ORDER BY f.lang
+"""
     from propertygraph_spark.ops.kgdocs import api_link_prediction_oracle_sql
     o["kg_link_prediction"] = api_link_prediction_oracle_sql()
 

@@ -334,6 +334,8 @@ def main() -> None:
         "kg_ast_paths": lambda: kgdocs.ast_paths_by_template(
             docs(spark, sf_dir)),
         "text_bpe_apply": lambda: text.bpe_apply(docs(spark, sf_dir)),
+        "text_curation_funnel": lambda: text.curation_funnel(
+            docs(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

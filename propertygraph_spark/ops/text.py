@@ -1178,3 +1178,45 @@ def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
                         F.expr("n_symbols * 1000 div n_chars")
                         .cast("long"))
             .orderBy("lang"))
+
+
+def curation_funnel(docs: DataFrame, min_quality: int = 100) -> DataFrame:
+    """CCNet-style curation funnel (Wenzek et al. 2020's shape:
+    language confirmation -> quality gate -> dedup), reported as
+    monotone per-language survivor counts — the end-to-end curation
+    dashboard every corpus build watches: (lang, n_total, n_lang_ok,
+    n_quality_ok, n_unique). Stages compose the suite's own primitives
+    (language_id's marker argmax, quality_score's integer composite,
+    md5 keep-first dedup) applied SEQUENTIALLY: a doc must pass
+    language confirmation (predicted == metadata lang) to face the
+    quality gate, and pass that to enter dedup (keep = min doc_id per
+    content hash among quality survivors).
+
+    Scale shape: both scores are map-only; the funnel adds one
+    bounded-key language rollup and one md5-content-key aggregation
+    over quality survivors (16-byte shuffle keys, survivor-sized, not
+    corpus-sized when the gates bite). All counts integer."""
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    base = docs.select("doc_id", "lang", F.md5("text").alias("h"))
+    j = (base.join(lid, "doc_id").join(q, "doc_id")
+         .withColumn("lang_ok",
+                     (F.col("pred_lang") == F.col("lang")).cast("int"))
+         .withColumn("qual_ok",
+                     ((F.col("pred_lang") == F.col("lang"))
+                      & (F.col("quality_score") >= min_quality))
+                     .cast("int")))
+    survivors = j.filter(F.col("qual_ok") == 1)
+    keep = survivors.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    uniq = (survivors.join(keep, "h")
+            .filter(F.col("doc_id") == F.col("keep_id"))
+            .groupBy("lang").agg(F.count("*").alias("n_unique")))
+    funnel = (j.groupBy("lang")
+              .agg(F.count("*").cast("long").alias("n_total"),
+                   F.sum("lang_ok").cast("long").alias("n_lang_ok"),
+                   F.sum("qual_ok").cast("long").alias("n_quality_ok")))
+    return (funnel.join(uniq, "lang", "left")
+            .select("lang", "n_total", "n_lang_ok", "n_quality_ok",
+                    F.coalesce("n_unique", F.lit(0)).cast("long")
+                    .alias("n_unique"))
+            .orderBy("lang"))

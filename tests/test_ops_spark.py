@@ -2571,3 +2571,27 @@ def test_bpe_apply_compression_profile(spark):
     # 'xy'/'xz' untouched by the merges: 2 symbols each
     assert bb["n_tokens"] == 2 and bb["n_symbols"] == 4
     assert bb["symbols_per_char_pm"] == 1000
+
+
+def test_curation_funnel_monotone_and_hand_counts(spark):
+    """Funnel stages are monotone and match a hand corpus: two good
+    English docs sharing identical text (dedup drops one), one doc
+    whose predicted language contradicts its label, one low-quality
+    doc (pure punctuation)."""
+    from propertygraph_spark.ops.text import STOPWORDS, curation_funnel
+    good = ("the quick brown fox and the lazy dog walk with a friend "
+            * 20)
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, good, "en"),
+         (3, good, "fr"),                     # label contradicts content
+         (4, "!!! ??? ;;; ***", "en")],       # fails the quality gate
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in curation_funnel(docs).collect()}
+    en = out["en"]
+    assert (en["n_total"], en["n_lang_ok"], en["n_quality_ok"],
+            en["n_unique"]) == (3, 2, 2, 1)
+    fr = out["fr"]
+    assert fr["n_total"] == 1 and fr["n_lang_ok"] == 0
+    for r in out.values():
+        assert (r["n_total"] >= r["n_lang_ok"] >= r["n_quality_ok"]
+                >= r["n_unique"])
