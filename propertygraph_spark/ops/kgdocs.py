@@ -3053,9 +3053,11 @@ def dead_stores_by_template(documents: DataFrame) -> DataFrame:
     nothing reads.
 
     Scale shape: one node-table filter + one DISTINCT over pdg_data
-    subjects + a (method, node)-keyed LEFT ANTI join — all hashed on
-    the method key, bounded by method size per group; the rollup
-    groups on the bounded template key."""
+    subjects + a single (method, node)-keyed LEFT join carrying a
+    consumed flag — ONE pass over the extraction lineage (a
+    defs/dead union would run the kernel twice), all hashed on the
+    method key, bounded by method size per group; the rollup groups
+    on the bounded template key."""
     from propertygraph_spark.pipeline.extract import extract_docs, \
         split_union
     docs = docs_with_spans(documents)
@@ -3067,16 +3069,14 @@ def dead_stores_by_template(documents: DataFrame) -> DataFrame:
             .select("method_id", "node_id"))
     consumed = (triples.filter(F.col("pred") == "pdg_data")
                 .select("method_id", F.col("subj").alias("node_id"))
-                .distinct())
-    dead = defs.join(consumed, ["method_id", "node_id"], "left_anti") \
-               .select("method_id", F.lit(1).alias("is_dead"))
-    alldefs = defs.select("method_id", F.lit(0).alias("is_dead"))
-    return (alldefs.union(dead)
+                .distinct().withColumn("consumed", F.lit(1)))
+    flagged = defs.join(consumed, ["method_id", "node_id"], "left")
+    return (flagged
             .withColumn("tpl", _tpl_of_method())
             .groupBy("tpl")
-            .agg((F.count("*") - F.sum("is_dead")).cast("long")
-                 .alias("n_def_nodes"),
-                 F.sum("is_dead").cast("long").alias("n_dead_stores"))
+            .agg(F.count("*").cast("long").alias("n_def_nodes"),
+                 F.sum(F.col("consumed").isNull().cast("long"))
+                 .cast("long").alias("n_dead_stores"))
             .orderBy("tpl"))
 
 

@@ -1140,7 +1140,12 @@ def pca_power(emb: DataFrame, iters: int = 8) -> DataFrame:
         m = u.agg(F.max(F.abs(F.col("u"))).alias("m")).collect()[0]["m"]
         if not m:
             break
-        v = u.select("i", F.expr(f"(u * 1000) div {int(m)}").alias("v"))
+        # checkpoint the D-row vector per round: round R's plan must
+        # not re-chain rounds 1..R-1's joins (plan growth dominated
+        # the wall time before data did — measured 19 s -> ~2 s at
+        # sf0.1 for 8 rounds over the same Gram)
+        v = u.select("i", F.expr(f"(u * 1000) div {int(m)}")
+                     .alias("v")).localCheckpoint(eager=True)
     return (v.select(F.col("i").cast("long").alias("dim"),
                      F.col("v").cast("long").alias("v_milli"))
             .orderBy("dim"))
