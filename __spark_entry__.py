@@ -96,7 +96,8 @@ _WINDOW_OVERFLOW = ("kg_linked_mentions", "kg_canonical_entities",
                     "text_lm_fluency", "text_gopher_repetition",
                     "text_bm25", "dedup_lines_cut", "dedup_keep_best",
                     "dedup_containment", "dedup_eval_fuzzy",
-                    "dedup_semantic_clusters", "emb_gram_int8",
+                    "dedup_semantic_clusters", "ann_mutual_knn",
+                    "emb_gram_int8", "ann_lsh_mt_topk",
                     "ann_ivfpq_refine_topk", "ann_sign_topk",
                     "emb_kmeans", "media_alignment", "media_phash",
                     "dataset_dsir_sample", "dataset_unimax",
@@ -399,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_mutual_knn"] = lambda s, d: similarity.mutual_knn(_emb(s, d), k=5)
     q["emb_gram_int8"] = lambda s, d: similarity.gram_int8(_emb(s, d))
     q["emb_pca_power"] = lambda s, d: similarity.pca_power(_emb(s, d))
+    q["emb_pca_project"] = lambda s, d: similarity.pca_project_hist(
+        _emb(s, d))
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(_emb(s, d), k=5)
     q["ann_lsh_mt_topk"] = lambda s, d: similarity.ann_lsh_mt_topk(
         _emb(s, d), k=5)
@@ -539,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_link_prediction"] = lambda s, d: kgdocs.api_link_prediction(
         _docs(s, d))
     q["events_audience_overlap"] = relational.audience_overlap_hll
+    q["events_session_native"] = relational.session_window_native
     q["text_decontaminate"] = lambda s, d: text.decontaminate(_docs(s, d))
     q["text_heavy_hitters"] = lambda s, d: text.heavy_hitters_cms(
         _docs(s, d))
@@ -794,14 +798,14 @@ WITH q AS (
                         x -> abs(CAST(x AS DOUBLE)))) AS absmax
         FROM embeddings)
 ),
-gram AS (
+gram AS MATERIALIZED (
   SELECT CAST(i.i AS BIGINT) - 1 AS i, CAST(j.j AS BIGINT) - 1 AS j,
          CAST(sum(codes[i.i] * codes[j.j]) AS BIGINT) AS dot_sum
   FROM q, (SELECT unnest(range(1, 65)) AS i) i,
           (SELECT unnest(range(1, 65)) AS j) j
   WHERE j.j >= i.i GROUP BY 1, 2
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT i, j, dot_sum FROM gram
   UNION ALL
   SELECT j AS i, i AS j, dot_sum FROM gram WHERE i <> j
@@ -810,14 +814,52 @@ v0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i,
               CAST(1000 AS BIGINT) AS v)"""
     rounds = []
     for r in range(1, iters + 1):
+        # every round CTE MATERIALIZED: v{r} references u{r} twice
+        # (directly and via m{r}), so default inlining would evaluate
+        # the chain 2^rounds times (measured: minutes, not seconds)
         rounds.append(f""",
-u{r} AS (SELECT s.i AS i, CAST(sum(s.dot_sum * v.v) AS BIGINT) AS u
-         FROM sym s JOIN v{r - 1} v ON v.i = s.j GROUP BY 1),
-m{r} AS (SELECT max(abs(u)) AS m FROM u{r}),
-v{r} AS (SELECT i, (u * 1000) // m AS v FROM u{r} CROSS JOIN m{r})""")
+u{r} AS MATERIALIZED (
+    SELECT s.i AS i, CAST(sum(s.dot_sum * v.v) AS BIGINT) AS u
+    FROM sym s JOIN v{r - 1} v ON v.i = s.j GROUP BY 1),
+m{r} AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u{r}),
+v{r} AS MATERIALIZED (
+    SELECT i, (u * 1000) // m AS v FROM u{r} CROSS JOIN m{r})""")
     return (head + "".join(rounds)
             + f"\nSELECT i AS dim, CAST(v AS BIGINT) AS v_milli "
               f"FROM v{iters} ORDER BY dim")
+
+
+def _pca_project_sql(iters: int, n_buckets: int) -> str:
+    """DuckDB twin of similarity.pca_project_hist: the pca_power CTE
+    chain verbatim, a label-carrying codes CTE, a correlated-scalar
+    integer projection against the final vector, and the fixed-width
+    integer bin rule over the observed min/max."""
+    power = _pca_power_sql(iters)
+    chain = power[:power.rindex("\nSELECT")]  # keep WITH ... v{iters}
+    return chain + f""",
+q2 AS (
+  SELECT label, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE)
+              * (CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END)
+              + 0.5) AS BIGINT)) AS codes
+  FROM (SELECT label, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        FROM embeddings)
+),
+vl AS MATERIALIZED (SELECT list(v ORDER BY i) AS vs FROM v{iters}),
+proj AS (SELECT label,
+                list_sum(list_transform(generate_series(1, 64),
+                                        j -> codes[j] * vs[j])) AS p
+         FROM q2 CROSS JOIN vl),
+mm AS (SELECT min(p) AS mn, max(p) AS mx FROM proj)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(least({n_buckets - 1},
+                  (p - mn) * {n_buckets} // (mx - mn + 1)) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM proj CROSS JOIN mm
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def _bpe_train_sql(n_merges: int) -> str:
@@ -894,6 +936,31 @@ def oracle_sql() -> dict[str, str]:
     o["kg_cfg_dominators"] = kgdocs.dominators_oracle_sql()
     o["kg_control_dep_fow"] = kgdocs.control_dep_fow_oracle_sql()
     o["kg_dead_stores"] = kgdocs.dead_stores_oracle_sql()
+    # native session_window twin: islands break at gap > 1800 (Spark
+    # merges sessions whose windows touch, boundary INCLUSIVE — pinned
+    # by test_session_window_native_boundary), end = last + gap
+    o["events_session_native"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_value_x1000
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
     o["kg_cfg_diameter"] = kgdocs.cfg_diameter_oracle_sql()
     o["kg_ast_paths"] = kgdocs.ast_paths_oracle_sql()
     o["kg_cyclomatic"] = kgdocs.cyclomatic_oracle_sql()
@@ -3333,6 +3400,7 @@ FROM rates r LEFT JOIN kept k USING (stratum) ORDER BY stratum
 
     o["text_bpe_train"] = _bpe_train_sql(6)
     o["emb_pca_power"] = _pca_power_sql(8)
+    o["emb_pca_project"] = _pca_project_sql(8, 16)
     o["text_bpe_apply"] = _bpe_apply_sql(6)
     # CCNet-flavor funnel: language confirmation -> quality gate ->
     # keep-first dedup among survivors; composes the langid and

@@ -336,6 +336,10 @@ def main() -> None:
         "text_bpe_apply": lambda: text.bpe_apply(docs(spark, sf_dir)),
         "text_curation_funnel": lambda: text.curation_funnel(
             docs(spark, sf_dir)),
+        "events_session_native": lambda: relational.session_window_native(
+            spark, sf_dir),
+        "emb_pca_project": lambda: similarity.pca_project_hist(
+            emb(spark, sf_dir)),
     }
     ext_results: dict[str, float] = {}
     for name, build in extended.items():

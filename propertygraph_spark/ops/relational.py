@@ -1429,3 +1429,33 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str,
                     F.coalesce("exact_overlap", F.lit(0)).cast("long")
                     .alias("exact_overlap"))
             .orderBy("type_a", "type_b"))
+
+
+def session_window_native(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes") -> DataFrame:
+    """ENGINE-NATIVE sessionization (F.session_window) as a batch
+    query — the same operator the streaming suite runs
+    (streaming_session_windows), surfaced for the driver gate so the
+    engine's own session-merge semantics are value-checked against a
+    gaps-and-islands SQL twin. Semantics pinned here (empirically, by
+    the boundary test): session_window merges sessions whose windows
+    TOUCH — a gap of exactly the gap length still merges (boundary
+    inclusive), so sessions break only on `gap > g`, matching
+    user_sessions' custom rule; session_end = last event + gap. The
+    twin encodes `gap > g` breaks and max(ts) + g accordingly.
+
+    Scale shape: one user-hash exchange feeds the engine's session
+    aggregation (incremental merge, spillable state) — same cost
+    class as the window-function sessionizer, but the merge logic
+    lives in the engine, not in lag()/sum() plumbing."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", gap).alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("sum_value_x1000"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events", "sum_value_x1000")
+            .orderBy("user_id", "session_start"))

@@ -1149,3 +1149,51 @@ def pca_power(emb: DataFrame, iters: int = 8) -> DataFrame:
     return (v.select(F.col("i").cast("long").alias("dim"),
                      F.col("v").cast("long").alias("v_milli"))
             .orderBy("dim"))
+
+
+def pca_project_hist(emb: DataFrame, iters: int = 8,
+                     n_buckets: int = 16) -> DataFrame:
+    """PCA projection histogram — the drift/separability surface that
+    makes pca_power actionable: every embedding's int8 codes are
+    projected onto the learned milli-scaled principal direction
+    (integer dot product), bucketed into ``n_buckets`` fixed-width
+    bins over the observed projection range, and counted per LABEL —
+    how each class distributes along the corpus's dominant axis (the
+    1-D view behind embedding-drift monitors and quick separability
+    checks). All integer: codes are quantize_int8's exact arithmetic,
+    the direction is pca_power's BIGINT vector, the bin rule is the
+    curriculum/zorder fixed-width integer formula.
+
+    Scale shape: the direction is a 64-entry literal (one bounded
+    collect of the power iteration's output); projection is MAP-ONLY
+    over the corpus; the range is one 1-row min/max aggregate (the
+    engine's scalar-threshold pattern) and the histogram one
+    bounded-key (label x bucket) agg."""
+    vec = [int(r["v_milli"]) for r in pca_power(emb, iters).collect()]
+    if not vec:
+        return emb.sparkSession.createDataFrame(
+            [], "label long, bucket long, n_vecs long")
+    arr = "array(" + ", ".join(f"{x}L" for x in vec) + ")"
+    absmax = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    d = emb.select("label", "embedding", absmax.alias("absmax"))
+    scale = F.when(F.col("absmax") > 0, 127.0 / F.col("absmax")) \
+             .otherwise(F.lit(0.0))
+    codes = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * scale + 0.5).cast("long"))
+    proj = F.expr(
+        f"aggregate(zip_with(codes, {arr}, (c, w) -> c * w), "
+        f"0L, (a, x) -> a + x)")
+    p = d.withColumn("codes", codes).select("label", proj.alias("p"))
+    row = p.agg(F.min("p").alias("mn"), F.max("p").alias("mx")) \
+           .collect()[0]
+    mn, mx = int(row["mn"]), int(row["mx"])
+    bucket = F.expr(f"least({n_buckets - 1}, "
+                    f"(p - {mn}) * {n_buckets} div {mx - mn + 1})")
+    return (p.select(F.col("label").cast("long").alias("label"),
+                     bucket.cast("long").alias("bucket"))
+            .groupBy("label", "bucket")
+            .agg(F.count("*").alias("n_vecs"))
+            .orderBy("label", "bucket"))

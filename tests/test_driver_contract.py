@@ -24,7 +24,7 @@ def test_oracles_are_self_contained_sql():
 def test_queries_are_stateless_rebuilds():
     a, b = E.queries(), E.queries()
     assert set(a) == set(b)
-    assert len(a) == 169
+    assert len(a) == 171
 
 
 def test_driver_window_rotation():

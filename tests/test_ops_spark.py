@@ -2595,3 +2595,45 @@ def test_curation_funnel_monotone_and_hand_counts(spark):
     for r in out.values():
         assert (r["n_total"] >= r["n_lang_ok"] >= r["n_quality_ok"]
                 >= r["n_unique"])
+
+
+def test_session_window_native_boundary_and_pca_project(spark, tmp_path):
+    """Native F.session_window merges sessions whose windows TOUCH: a
+    gap of EXACTLY the gap length still merges (boundary inclusive —
+    sessions break only on gap > g, matching the custom rule), a
+    31-minute gap splits; session_end = last event + gap. And
+    pca_project_hist: projections bucket deterministically, counts sum
+    to the corpus, identical under repartition."""
+    import datetime as dt
+
+    from propertygraph_spark.ops.relational import session_window_native
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=29), 7, "view", 2.0, "{}"),
+        (3, base + dt.timedelta(minutes=59), 7, "view", 4.0, "{}"),
+        # exactly 30 min later: still the SAME session (inclusive)
+        (4, base + dt.timedelta(minutes=89), 7, "view", 8.0, "{}"),
+        # 31 min later: breaks
+        (5, base + dt.timedelta(minutes=120), 7, "view", 16.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = session_window_native(spark, str(tmp_path)).collect()
+    assert [r["n_events"] for r in out] == [4, 1]
+    assert out[0]["sum_value_x1000"] == 15000
+    assert out[0]["session_end"] == base + dt.timedelta(minutes=119)
+    assert out[1]["session_end"] == base + dt.timedelta(minutes=150)
+
+    from propertygraph_spark.ops.similarity import pca_project_hist
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0], i % 3) for i in range(60)],
+        "vec_id long, embedding array<float>, label int")
+    h = pca_project_hist(emb, iters=4, n_buckets=4).collect()
+    assert sum(r["n_vecs"] for r in h) == 60
+    assert all(0 <= r["bucket"] < 4 for r in h)
+    h2 = pca_project_hist(emb.repartition(5), iters=4,
+                          n_buckets=4).collect()
+    assert sorted(map(tuple, h)) == sorted(map(tuple, h2))
